@@ -1,0 +1,149 @@
+"""Factorization tests (intent of fullTensor_factorisations.cxx,
+fullTensor_solve.cxx: round-trip + orthogonality + truncation oracles)."""
+
+import numpy as np
+import pytest
+
+import xerus_tpu as xe
+from xerus_tpu import Tensor
+from xerus_tpu.core import factorizations as fact
+
+
+def _rand(dims):
+    return Tensor.random(dims)
+
+
+def test_svd_roundtrip_and_orthogonality():
+    t = _rand([4, 5, 6])
+    U, S, Vt = fact.calculate_svd(t, 1)
+    rec = xe.contract(xe.contract(U, S, 1), Vt, 1)
+    assert xe.approx_equal(rec, t, 1e-12)
+    u = U.to_ndarray().reshape(4, -1)
+    assert np.allclose(u.T @ u, np.eye(u.shape[1]), atol=1e-12)
+    v = Vt.to_ndarray().reshape(Vt.dimensions[0], -1)
+    assert np.allclose(v @ v.T, np.eye(v.shape[0]), atol=1e-12)
+    s = S.to_ndarray()
+    d = np.diag(s)
+    assert np.all(np.diff(d) <= 1e-14)  # descending
+    assert np.allclose(s, np.diag(d))
+
+
+def test_svd_max_rank_truncation():
+    t = _rand([8, 8])
+    U, S, Vt = fact.calculate_svd(t, 1, max_rank=3)
+    assert S.dimensions == [3, 3]
+    full_s = np.linalg.svd(t.to_ndarray(), compute_uv=False)
+    assert np.allclose(np.diag(S.to_ndarray()), full_s[:3], atol=1e-12)
+
+
+def test_svd_eps_truncation():
+    # rank-2 matrix + noise below eps threshold
+    a = np.outer(np.arange(1, 7), np.ones(6)) + np.outer(np.ones(6), np.arange(6))
+    t = Tensor.from_ndarray(a)
+    U, S, Vt = fact.calculate_svd(t, 1, eps=1e-10)
+    assert S.dimensions[0] == 2
+
+
+def test_svd_factor_handling():
+    t = _rand([5, 5])
+    t *= -2.0
+    U, S, Vt = fact.calculate_svd(t, 1)
+    rec = xe.contract(xe.contract(U, S, 1), Vt, 1)
+    assert xe.approx_equal(rec, t, 1e-12)
+    assert np.all(np.diag(S.to_ndarray()) >= 0)
+
+
+def test_qr_roundtrip():
+    for dims, split in [([6, 4], 1), ([3, 4, 5], 2), ([4, 12], 1)]:
+        t = _rand(dims)
+        Q, R = fact.calculate_qr(t, split)
+        rec = xe.contract(Q, R, 1)
+        assert xe.approx_equal(rec, t, 1e-12)
+        q = Q.to_ndarray().reshape(-1, Q.dimensions[-1])
+        assert np.allclose(q.T @ q, np.eye(q.shape[1]), atol=1e-12)
+
+
+def test_rq_roundtrip():
+    for dims, split in [([6, 4], 1), ([3, 4, 5], 1), ([12, 4], 1)]:
+        t = _rand(dims)
+        R, Q = fact.calculate_rq(t, split)
+        rec = xe.contract(R, Q, 1)
+        assert xe.approx_equal(rec, t, 1e-12)
+        q = Q.to_ndarray().reshape(Q.dimensions[0], -1)
+        assert np.allclose(q @ q.T, np.eye(q.shape[0]), atol=1e-12)
+
+
+def test_qc_rank_revealing():
+    # build an exactly rank-3 6x8 matrix
+    a = xe.misc.randomEngine.normal(size=(6, 3)) @ xe.misc.randomEngine.normal(size=(3, 8))
+    t = Tensor.from_ndarray(a)
+    Q, C = fact.calculate_qc(t, 1)
+    assert Q.dimensions[-1] == 3
+    rec = xe.contract(Q, C, 1)
+    assert xe.approx_equal(rec, t, 1e-12)
+    q = Q.to_ndarray()
+    assert np.allclose(q.T @ q, np.eye(3), atol=1e-12)
+
+
+def test_cq_rank_revealing():
+    a = xe.misc.randomEngine.normal(size=(8, 3)) @ xe.misc.randomEngine.normal(size=(3, 6))
+    t = Tensor.from_ndarray(a)
+    C, Q = fact.calculate_cq(t, 1)
+    assert C.dimensions[-1] == 3
+    rec = xe.contract(C, Q, 1)
+    assert xe.approx_equal(rec, t, 1e-12)
+    q = Q.to_ndarray()
+    assert np.allclose(q @ q.T, np.eye(3), atol=1e-12)
+
+
+def test_pseudo_inverse():
+    t = _rand([5, 3])
+    pinv = fact.pseudo_inverse(t, 1)
+    assert pinv.dimensions == [3, 5]
+    assert np.allclose(pinv.to_ndarray(), np.linalg.pinv(t.to_ndarray()), atol=1e-10)
+
+
+def test_solve_square():
+    A = _rand([6, 6])
+    b = _rand([6])
+    x = fact.solve(A, b)
+    assert np.allclose(A.to_ndarray() @ x.to_ndarray(), b.to_ndarray(), atol=1e-9)
+
+
+def test_solve_spd_path():
+    g = _rand([6, 6]).to_ndarray()
+    A = Tensor.from_ndarray(g @ g.T + 6 * np.eye(6))
+    b = _rand([6])
+    x = fact.solve(A, b)
+    assert np.allclose(A.to_ndarray() @ x.to_ndarray(), b.to_ndarray(), atol=1e-9)
+
+
+def test_solve_factor_propagation():
+    A = _rand([5, 5]); A *= 2.0
+    b = _rand([5]); b *= -3.0
+    x = fact.solve(A, b)
+    assert np.allclose(A.to_ndarray() @ x.to_ndarray(), b.to_ndarray(), atol=1e-9)
+
+
+def test_solve_least_squares_overdetermined():
+    A = _rand([8, 3])
+    b = _rand([8])
+    x = fact.solve_least_squares(A, b)
+    expect, *_ = np.linalg.lstsq(A.to_ndarray(), b.to_ndarray(), rcond=None)
+    assert np.allclose(x.to_ndarray(), expect, atol=1e-10)
+
+
+def test_solve_matrix_rhs_extra_degree():
+    A = _rand([6, 6])
+    B = _rand([6, 4])
+    X = fact.solve(A, B, extra_degree=1)
+    assert X.dimensions == [6, 4]
+    assert np.allclose(A.to_ndarray() @ X.to_ndarray(), B.to_ndarray(), atol=1e-9)
+
+
+def test_singular_solve_falls_back():
+    a = np.zeros((4, 4)); a[0, 0] = 1.0
+    A = Tensor.from_ndarray(a)
+    b = Tensor.from_ndarray(np.array([2.0, 0, 0, 0]))
+    x = fact.solve(A, b)
+    assert np.allclose(a @ x.to_ndarray(), b.to_ndarray(), atol=1e-9)

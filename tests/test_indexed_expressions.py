@@ -1,0 +1,180 @@
+"""Indexed-expression DSL tests (intent of fullTensor_product.cxx,
+fullTensor_assignment.cxx, fullTensor_trace.cxx, indices.cxx)."""
+
+import numpy as np
+import pytest
+
+import xerus_tpu as xe
+from xerus_tpu import Tensor
+
+
+def test_basic_contraction():
+    A = Tensor.random([3, 4, 5])
+    B = Tensor.random([4, 6, 5])
+    i, j, k, l = xe.indices(4)
+    C = Tensor()
+    C(i, j) << A(i, k, l) * B(k, j, l)
+    ref = np.einsum('ikl,kjl->ij', A.to_ndarray(), B.to_ndarray())
+    assert np.allclose(C.to_ndarray(), ref, atol=1e-12)
+
+
+def test_matrix_chain():
+    A = Tensor.random([3, 4]); B = Tensor.random([4, 5]); C = Tensor.random([5, 6])
+    i, j, k, l = xe.indices(4)
+    D = Tensor()
+    D(i, l) << A(i, j) * B(j, k) * C(k, l)
+    ref = A.to_ndarray() @ B.to_ndarray() @ C.to_ndarray()
+    assert np.allclose(D.to_ndarray(), ref, atol=1e-12)
+
+
+def test_outer_product():
+    a = Tensor.random([3]); b = Tensor.random([4])
+    i, j = xe.indices(2)
+    C = Tensor()
+    C(i, j) << a(i) * b(j)
+    assert np.allclose(C.to_ndarray(), np.outer(a.to_ndarray(), b.to_ndarray()))
+
+
+def test_full_contraction_scalar():
+    A = Tensor.random([3, 4])
+    i, j = xe.indices(2)
+    val = float(A(i, j) * A(i, j))
+    assert np.isclose(val, (A.to_ndarray() ** 2).sum())
+    assert np.isclose((A(i, j) * A(i, j)).value, (A.to_ndarray() ** 2).sum())
+
+
+def test_trace_expression():
+    A = Tensor.random([5, 5])
+    i = xe.Index()
+    assert np.isclose(float(A(i, i)), np.trace(A.to_ndarray()))
+
+
+def test_partial_trace():
+    A = Tensor.random([3, 4, 3])
+    i, j = xe.indices(2)
+    out = Tensor()
+    out(j) << A(i, j, i)
+    assert np.allclose(out.to_ndarray(), np.einsum('iji->j', A.to_ndarray()))
+
+
+def test_fixed_indices():
+    A = Tensor.random([3, 4])
+    i = xe.Index()
+    row = Tensor()
+    row(i) << A(1, i)
+    assert np.allclose(row.to_ndarray(), A.to_ndarray()[1, :])
+    col = Tensor()
+    col(i) << A(i, 2)
+    assert np.allclose(col.to_ndarray(), A.to_ndarray()[:, 2])
+
+
+def test_spans_pow_and():
+    A = Tensor.random([2, 3, 4])
+    B = Tensor.random([2, 3, 4])
+    i, j = xe.indices(2)
+    out = Tensor()
+    out(i ^ 3) << A(i ^ 3) + B(i ^ 3)
+    assert np.allclose(out.to_ndarray(), A.to_ndarray() + B.to_ndarray())
+    val = float(A(i & 0) * B(i & 0))
+    assert np.isclose(val, (A.to_ndarray() * B.to_ndarray()).sum())
+
+
+def test_span_fraction():
+    A = Tensor.random([3, 4, 3, 4])
+    i, j = xe.indices(2)
+    # symmetric matrification contraction with vectorization
+    C = Tensor.random([3, 4])
+    out = Tensor()
+    out(i & 0) << A(i / 2, j / 2) * C(j & 0)
+    ref = np.einsum('abcd,cd->ab', A.to_ndarray(), C.to_ndarray())
+    assert np.allclose(out.to_ndarray(), ref, atol=1e-12)
+
+
+def test_sum_with_permutation():
+    A = Tensor.random([3, 3])
+    i, j = xe.indices(2)
+    sym = Tensor()
+    sym(i, j) << A(i, j) + A(j, i)
+    arr = A.to_ndarray()
+    assert np.allclose(sym.to_ndarray(), arr + arr.T)
+
+
+def test_scalar_scaling_in_expression():
+    A = Tensor.random([4])
+    i = xe.Index()
+    out = Tensor()
+    out(i) << 3.0 * A(i) / 2.0
+    assert np.allclose(out.to_ndarray(), 1.5 * A.to_ndarray())
+
+
+def test_assignment_reorders():
+    A = Tensor.random([3, 4, 5])
+    i, j, k = xe.indices(3)
+    B = Tensor()
+    B(k, i, j) << A(i, j, k)
+    assert B.dimensions == [5, 3, 4]
+    assert np.allclose(B.to_ndarray(), np.transpose(A.to_ndarray(), (2, 0, 1)))
+
+
+def test_aliasing_self_assignment():
+    A = Tensor.random([4, 4])
+    arr = A.to_ndarray()
+    i, j, k = xe.indices(3)
+    A(i, j) << A(i, k) * A(k, j)
+    assert np.allclose(A.to_ndarray(), arr @ arr, atol=1e-12)
+
+
+def test_solve_via_division():
+    A = Tensor.random([5, 5])
+    b = Tensor.random([5])
+    i, j = xe.indices(2)
+    x = Tensor()
+    x(i) << b(j) / A(j, i)
+    assert np.allclose(A.to_ndarray().T @ x.to_ndarray() if False else
+                       np.einsum('ji,i->j', A.to_ndarray(), x.to_ndarray()),
+                       b.to_ndarray(), atol=1e-9)
+
+
+def test_solve_multimode():
+    A = Tensor.random([3, 4, 3, 4])  # (j1 j2) x (i1 i2)
+    b = Tensor.random([3, 4])
+    i, j = xe.indices(2)
+    x = Tensor()
+    x(i ^ 2) << b(j ^ 2) / A(j ^ 2, i ^ 2)
+    ref = np.linalg.solve(A.to_ndarray().reshape(12, 12), b.to_ndarray().reshape(12))
+    assert np.allclose(x.to_ndarray().reshape(12), ref, atol=1e-9)
+
+
+def test_frob_norm_of_expression():
+    A = Tensor.random([3, 4])
+    B = Tensor.random([3, 4])
+    i, j = xe.indices(2)
+    n = (A(i, j) - B(i, j)).frob_norm()
+    assert np.isclose(n, np.linalg.norm(A.to_ndarray() - B.to_ndarray()))
+
+
+def test_dimension_mismatch_raises():
+    A = Tensor.random([3, 4])
+    B = Tensor.random([5, 4])
+    i, j, k = xe.indices(3)
+    C = Tensor()
+    with pytest.raises(Exception):
+        C(i, j) << A(i, k) * B(k, j)
+
+
+def test_too_many_index_uses_raises():
+    A = Tensor.random([3, 3])
+    B = Tensor.random([3, 3])
+    C = Tensor.random([3, 3])
+    i, j = xe.indices(2)
+    out = Tensor()
+    with pytest.raises(Exception):
+        out(j) << A(i, i) * B(i, j) * C(i, j)
+
+
+def test_span_mismatch_raises():
+    A = Tensor.random([3, 4, 5])
+    i, j = xe.indices(2)
+    out = Tensor()
+    with pytest.raises(Exception):
+        out(i, j) << A(i, j)  # only 2 spans for order-3 tensor

@@ -1,0 +1,76 @@
+"""Misc-layer tests (intent of misc.cxx, fileIO.cxx, saveAndLoad.cxx)."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+import xerus_tpu as xe
+from xerus_tpu import Tensor, FileFormat, LogHistogram
+
+
+def test_log_histogram_basic():
+    h = LogHistogram(2.0)
+    h.add(1.5)   # bucket 0
+    h.add(3.0)   # bucket 1
+    h.add(3.9)   # bucket 1
+    assert h.buckets[0] == 1 and h.buckets[1] == 2
+    assert h.total_count() == 3
+
+
+def test_log_histogram_merge_and_io(tmp_path):
+    h = LogHistogram(1.7)
+    for x in [0.1, 0.5, 2.0, 30.0]:
+        h.add(x)
+    h2 = LogHistogram(1.7)
+    h2.add(0.1)
+    h += h2
+    p = str(tmp_path / "hist.tsv")
+    h.dump_to_file(p)
+    back = LogHistogram.read_from_file(p)
+    assert back.total_count() == h.total_count()
+    assert back.buckets == h.buckets
+
+
+def test_tensor_save_load_binary(tmp_path):
+    t = Tensor.random([3, 4, 5])
+    p = str(tmp_path / "t.xtpu")
+    xe.save_to_file(t, p)
+    back = xe.load_from_file(p)
+    assert back.dimensions == t.dimensions
+    assert np.allclose(back.to_ndarray(), t.to_ndarray())
+
+
+def test_tensor_save_load_tsv(tmp_path):
+    t = Tensor.random([4, 4])
+    t *= 2.5
+    p = str(tmp_path / "t.txt")
+    xe.save_to_file(t, p, FileFormat.TSV)
+    back = xe.load_from_file(p)
+    assert np.allclose(back.to_ndarray(), t.to_ndarray())
+
+
+def test_sparse_tensor_save_load(tmp_path):
+    t = Tensor.random([10, 10], n=7)
+    p = str(tmp_path / "s.xtpu")
+    xe.save_to_file(t, p)
+    back = xe.load_from_file(p)
+    assert back.is_sparse()
+    assert np.allclose(back.to_ndarray(), t.to_ndarray())
+
+
+def test_load_rejects_garbage(tmp_path):
+    p = str(tmp_path / "bad.xtpu")
+    with open(p, "w") as f:
+        f.write("not a datafile\n")
+    with pytest.raises(Exception):
+        xe.load_from_file(p)
+
+
+def test_deterministic_seed():
+    xe.set_seed(123)
+    a = Tensor.random([3, 3]).to_ndarray()
+    xe.set_seed(123)
+    b = Tensor.random([3, 3]).to_ndarray()
+    assert np.array_equal(a, b)

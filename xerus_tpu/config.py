@@ -1,0 +1,66 @@
+"""Global configuration for xerus_tpu.
+
+The reference library (xerus) fixes ``value_t = double`` and derives its
+comparison tolerance ``EPSILON = 8 * machine-eps`` from it
+(/root/reference/include/xerus/basic.h:37-43).  We keep float64 as the
+default *semantic* dtype (enabled through jax x64) so that decomposition /
+solver residuals match the reference to ~1e-10, while allowing the compute
+dtype to be lowered (float32 / bfloat16) for TPU throughput benchmarks.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# x64: xerus is a double-precision library.  Enable unless explicitly disabled.
+# ---------------------------------------------------------------------------
+if os.environ.get("XERUS_TPU_NO_X64", "0") != "1":
+    jax.config.update("jax_enable_x64", True)
+
+_DEFAULT_DTYPE = np.float64 if jax.config.jax_enable_x64 else np.float32
+
+
+class _Config:
+    """Mutable runtime configuration (xerus' compile-time config.mk becomes this)."""
+
+    def __init__(self) -> None:
+        self.value_dtype = np.dtype(_DEFAULT_DTYPE)
+        # Runtime checks (dimension/format validation).  The reference controls
+        # this via XERUS_DISABLE_RUNTIME_CHECKS (config.mk.default:16).
+        self.runtime_checks = os.environ.get("XERUS_TPU_DISABLE_CHECKS", "0") != "1"
+        # Dense<->sparse auto-switch heuristic factor (tensor.h:72 sparsityFactor).
+        self.sparsity_factor = 4
+
+    @property
+    def epsilon(self) -> float:
+        """Default comparison tolerance: 8 * machine eps (basic.h:43)."""
+        return 8.0 * float(np.finfo(self.value_dtype).eps)
+
+
+config = _Config()
+
+
+def value_dtype():
+    return config.value_dtype
+
+
+def set_value_dtype(dtype) -> None:
+    config.value_dtype = np.dtype(dtype)
+
+
+def EPSILON() -> float:
+    return config.epsilon
+
+
+def checks_enabled() -> bool:
+    return config.runtime_checks
+
+
+def require(cond: bool, msg: str = "") -> None:
+    """REQUIRE analogue (misc/check.h:40): raises when runtime checks are on."""
+    if config.runtime_checks and not cond:
+        raise ValueError(msg or "xerus_tpu runtime check failed")

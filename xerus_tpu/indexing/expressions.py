@@ -1,0 +1,221 @@
+"""Lazy indexed-tensor expressions.
+
+Re-design of the reference's expression-template frontend
+(include/xerus/indexedTensor*.h, src/xerus/indexedTensor*.cpp): instead of
+C++ expression templates evaluated at assignment, we build a small Python
+expression tree that is compiled to a cached, jitted einsum chain on
+assignment (``lhs << rhs``, matching the Python binding's operator —
+src/xerus/python/indexedTensor.cpp:102-147).
+
+Supported grammar (indexedTensorReadOnly.h:112-166):
+  expr := IndexedTensor | expr * expr | expr +/- expr | scalar * expr
+        | expr / scalar | b_expr / A_expr          (solve)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..config import require
+from .index import Index, as_index
+
+Number = (int, float, np.integer, np.floating)
+
+
+class Expression:
+    """Base class providing the operator algebra."""
+
+    def __mul__(self, other):
+        if isinstance(other, Number):
+            return _scaled(self, float(other))
+        if isinstance(other, Expression):
+            return Product.of(self, other)
+        return NotImplemented
+
+    def __rmul__(self, other):
+        if isinstance(other, Number):
+            return _scaled(self, float(other))
+        return NotImplemented
+
+    def __truediv__(self, other):
+        if isinstance(other, Number):
+            return _scaled(self, 1.0 / float(other))
+        if isinstance(other, Expression):
+            return SolveExpr(A=other, b=self)  # x(i) << b(j) / A(j,i)
+        return NotImplemented
+
+    def __add__(self, other):
+        if isinstance(other, Expression):
+            return Sum.of(self, 1.0, other, 1.0)
+        return NotImplemented
+
+    def __sub__(self, other):
+        if isinstance(other, Expression):
+            return Sum.of(self, 1.0, other, -1.0)
+        return NotImplemented
+
+    def __neg__(self):
+        return _scaled(self, -1.0)
+
+    # evaluation-to-value helpers -------------------------------------
+    def _to_tensor(self):
+        from .evaluate import evaluate_to_tensor
+        return evaluate_to_tensor(self, None)
+
+    def frob_norm(self) -> float:
+        return self._to_tensor().frob_norm()
+
+    def __float__(self) -> float:
+        t = self._to_tensor()
+        require(t.degree() == 0, "cannot cast non-scalar expression to float")
+        return float(t[0])
+
+    @property
+    def value(self) -> float:
+        return float(self)
+
+
+def _scaled(expr: "Expression", s: float) -> "Expression":
+    if isinstance(expr, Product):
+        return Product(expr.factors, expr.scalar * s)
+    if isinstance(expr, Sum):
+        return Sum([(c * s, t) for c, t in expr.terms])
+    if isinstance(expr, SolveExpr):
+        return SolveExpr(expr.A, _scaled(expr.b, s))
+    return Product([expr], s)
+
+
+class IndexedTensor(Expression):
+    """A tensor-like object together with its index tuple.
+
+    ``obj`` is a core Tensor, a TensorNetwork or a TTNetwork; writability
+    follows the reference's IndexedTensor vs IndexedTensorReadOnly split —
+    here every IndexedTensor may be an assignment target via ``<<``.
+    """
+
+    def __init__(self, obj, indices: Sequence):
+        self.obj = obj
+        self.indices: List[Index] = [as_index(i) for i in indices]
+
+    # -- span resolution (indexedTensorReadOnly.cpp get_assigned_indices) --
+    def resolved(self) -> Tuple[List[Tuple[int, int]], List[Optional[int]]]:
+        """Returns (labels, fixed) of length degree.
+
+        labels[m] = (value_id, k) for the k-th mode covered by that index;
+        fixed[m] = fixed position or None.
+        """
+        degree = self.obj.degree()
+        labels: List[Tuple[int, int]] = []
+        fixed: List[Optional[int]] = []
+        for idx in self.indices:
+            span = idx.actual_span(degree)
+            if idx.fixed():
+                labels.append((-1, len(labels)))
+                fixed.append(idx.fixed_position)
+            else:
+                for k in range(span):
+                    labels.append((idx.value_id, k))
+                    fixed.append(None)
+        require(len(labels) == degree,
+                f"index spans sum to {len(labels)} but object has degree {degree}")
+        return labels, fixed
+
+    # -- assignment («) ------------------------------------------------
+    def __lshift__(self, rhs) -> None:
+        from .evaluate import assign
+        require(isinstance(rhs, (Expression, Factorisation)),
+                "can only assign expressions")
+        if isinstance(rhs, Factorisation):
+            rhs.apply([self])
+            return
+        assign(self, rhs)
+
+    def __repr__(self) -> str:
+        return f"IndexedTensor({type(self.obj).__name__}, {self.indices})"
+
+
+class Product(Expression):
+    def __init__(self, factors: Sequence[IndexedTensor], scalar: float = 1.0):
+        self.factors: List[IndexedTensor] = list(factors)
+        self.scalar = float(scalar)
+
+    @staticmethod
+    def of(a: Expression, b: Expression) -> "Product":
+        fa, sa = (a.factors, a.scalar) if isinstance(a, Product) else ([a], 1.0)
+        fb, sb = (b.factors, b.scalar) if isinstance(b, Product) else ([b], 1.0)
+        require(all(isinstance(f, IndexedTensor) for f in fa + fb),
+                "products of sums/solves must be parenthesised via temporaries")
+        return Product(fa + fb, sa * sb)
+
+
+class Sum(Expression):
+    def __init__(self, terms: Sequence[Tuple[float, Expression]]):
+        self.terms: List[Tuple[float, Expression]] = list(terms)
+
+    @staticmethod
+    def of(a: Expression, ca: float, b: Expression, cb: float) -> "Sum":
+        ta = a.terms if isinstance(a, Sum) else [(1.0, a)]
+        tb = b.terms if isinstance(b, Sum) else [(1.0, b)]
+        return Sum([(c * ca, t) for c, t in ta] + [(c * cb, t) for c, t in tb])
+
+
+class SolveExpr(Expression):
+    """b / A: the solution x of A x = b (indexedTensorReadOnly.h:163-166)."""
+
+    def __init__(self, A: Expression, b: Expression):
+        self.A = A
+        self.b = b
+
+
+class Factorisation:
+    """Multi-output factorization target: ``(Q(i,r), R(r,j)) << QR(A(i,j))``
+    (indexedTensor_tensor_factorisations.h:40-100, python binding
+    factorizations.cpp:31-37 uses __rlshift__ on the tuple)."""
+
+    kind = ""
+
+    def __init__(self, source: IndexedTensor, max_rank: int = 0, eps: float = 0.0,
+                 soft_threshold: float = 0.0):
+        require(isinstance(source, IndexedTensor),
+                "factorisation source must be a plain indexed tensor")
+        self.source = source
+        self.max_rank = max_rank
+        self.eps = eps
+        self.soft_threshold = soft_threshold
+
+    def __rlshift__(self, targets) -> None:
+        require(isinstance(targets, (tuple, list)),
+                "factorisation targets must be a tuple of indexed tensors")
+        self.apply(list(targets))
+
+    def apply(self, targets: List[IndexedTensor]) -> None:
+        from .evaluate import assign_factorisation
+        assign_factorisation(self, targets)
+
+
+class SVD(Factorisation):
+    kind = "svd"
+
+    def __init__(self, source, max_rank: int = 0, eps: Optional[float] = None,
+                 soft_threshold: float = 0.0):
+        from ..config import config
+        super().__init__(source, max_rank,
+                         config.epsilon if eps is None else eps, soft_threshold)
+
+
+class QR(Factorisation):
+    kind = "qr"
+
+
+class RQ(Factorisation):
+    kind = "rq"
+
+
+class QC(Factorisation):
+    kind = "qc"
+
+
+class CQ(Factorisation):
+    kind = "cq"
