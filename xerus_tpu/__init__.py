@@ -17,6 +17,7 @@ from .core import (Tensor, Representation, Initialisation, reshuffle,
                    calculate_qc, calculate_cq, pseudo_inverse, solve,
                    solve_least_squares)
 from .indexing import Index, indices, SVD, QR, RQ, QC, CQ
+from .network import TensorNetwork
 from .misc import (FileFormat, save_to_file, load_from_file, LogHistogram,
                    set_seed)
 from .core import serialization as _serialization  # registers Tensor I/O
