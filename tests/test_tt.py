@@ -1,0 +1,290 @@
+"""TT layer tests (intent of ttCreation.cxx, ttArithmetic.cxx,
+ttRounding.cxx, ttOther.cxx, consistency.cxx)."""
+
+import numpy as np
+import pytest
+
+import xerus_tpu as xe
+from xerus_tpu import Tensor, TTTensor, TTOperator
+
+
+def test_tt_svd_roundtrip():
+    t = Tensor.random([3, 4, 5, 2])
+    tt = TTTensor(t)
+    tt.require_correct_format()
+    assert tt.degree() == 4
+    assert np.allclose(tt.to_tensor().to_ndarray(), t.to_ndarray(), atol=1e-12)
+
+
+def test_tt_svd_max_rank():
+    t = Tensor.random([4, 4, 4, 4])
+    tt = TTTensor(t, eps=0.0, max_ranks=[2, 2, 2])
+    assert all(r <= 2 for r in tt.ranks())
+    # best rank-2 approx still close-ish but not exact
+    assert tt.to_tensor().dimensions == [4, 4, 4, 4]
+
+
+def test_tto_svd_roundtrip():
+    t = Tensor.random([2, 3, 2, 2, 3, 2])  # out dims 2,3,2; in dims 2,3,2
+    tto = TTOperator(t)
+    tto.require_correct_format()
+    assert np.allclose(tto.to_tensor().to_ndarray(), t.to_ndarray(), atol=1e-12)
+
+
+def test_tt_random_ranks_and_canonical():
+    tt = TTTensor.random([4, 4, 4, 4, 4], 3)
+    tt.require_correct_format()
+    assert tt.ranks() == [3, 3, 3, 3]
+    assert tt.canonicalized and tt.corePosition == 0
+
+
+def test_tt_rank_clamping():
+    tt = TTTensor.random([2, 2, 2], 10)
+    assert tt.ranks() == [2, 2]  # clamped to maximal possible
+
+
+def test_tt_entry_access():
+    t = Tensor.random([3, 4, 5])
+    tt = TTTensor(t)
+    arr = t.to_ndarray()
+    assert np.isclose(tt[[1, 2, 3]], arr[1, 2, 3])
+    assert np.isclose(tt[0], arr[0, 0, 0])
+
+
+def test_tt_ones_kronecker_dirac():
+    ones = TTTensor.ones([3, 3, 3])
+    assert np.allclose(ones.to_tensor().to_ndarray(), np.ones((3, 3, 3)))
+    kron = TTTensor.kronecker([3, 3, 3])
+    assert np.allclose(kron.to_tensor().to_ndarray(),
+                       Tensor.kronecker([3, 3, 3]).to_ndarray())
+    d = TTTensor.dirac([3, 3, 3], [1, 2, 0])
+    arr = d.to_tensor().to_ndarray()
+    assert arr[1, 2, 0] == 1.0 and arr.sum() == 1.0
+
+
+def test_tto_identity():
+    ident = TTOperator.identity([3, 2, 3, 2])
+    arr = ident.to_tensor().to_ndarray().reshape(6, 6)
+    assert np.allclose(arr, np.eye(6))
+
+
+def test_move_core_preserves_value():
+    tt = TTTensor.random([3, 4, 3, 4], [2, 3, 2])
+    before = tt.to_tensor().to_ndarray()
+    for pos in [2, 0, 3, 1]:
+        tt.move_core(pos)
+        tt.require_correct_format()
+        assert tt.corePosition == pos
+        assert np.allclose(tt.to_tensor().to_ndarray(), before, atol=1e-12)
+
+
+def test_frob_norm_canonical_vs_dense():
+    tt = TTTensor.random([3, 4, 5], [2, 3])
+    dense_norm = np.linalg.norm(tt.to_tensor().to_ndarray())
+    assert np.isclose(tt.frob_norm(), dense_norm, atol=1e-10)
+    tt.canonicalized = False
+    assert np.isclose(tt.frob_norm(), dense_norm, atol=1e-10)
+
+
+def test_tt_addition():
+    a = TTTensor.random([3, 4, 3], [2, 2])
+    b = TTTensor.random([3, 4, 3], [3, 2])
+    c = a + b
+    c.require_correct_format()
+    assert np.allclose(c.to_tensor().to_ndarray(),
+                       a.to_tensor().to_ndarray() + b.to_tensor().to_ndarray(),
+                       atol=1e-12)
+
+
+def test_tt_subtraction_and_scaling():
+    a = TTTensor.random([3, 3, 3], 2)
+    b = TTTensor.random([3, 3, 3], 2)
+    c = 2.0 * a - b / 2.0
+    assert np.allclose(c.to_tensor().to_ndarray(),
+                       2 * a.to_tensor().to_ndarray() - b.to_tensor().to_ndarray() / 2,
+                       atol=1e-12)
+
+
+def test_tt_round_exact_rank():
+    # sum of two rank-2 TTs has rank <= 4, rounding to 4 must be exact
+    a = TTTensor.random([4, 4, 4, 4], 2)
+    b = TTTensor.random([4, 4, 4, 4], 2)
+    c = a + b
+    assert c.ranks() == [4, 4, 4]
+    before = c.to_tensor().to_ndarray()
+    c.round(4)
+    assert np.allclose(c.to_tensor().to_ndarray(), before, atol=1e-10)
+
+
+def test_tt_round_removes_artificial_rank():
+    a = TTTensor.random([4, 4, 4], 2)
+    c = a + a  # rank 4 but really rank 2
+    c.round(eps=1e-12)
+    c.require_correct_format()
+    assert all(r <= 2 for r in c.ranks())
+    assert np.allclose(c.to_tensor().to_ndarray(), 2 * a.to_tensor().to_ndarray(),
+                       atol=1e-10)
+
+
+def test_tt_round_maxrank_truncation():
+    tt = TTTensor.random([5, 5, 5, 5], 4)
+    before = tt.to_tensor().to_ndarray()
+    tt.round(2)
+    tt.require_correct_format()
+    assert all(r <= 2 for r in tt.ranks())
+    # should be the quasi-best rank-2 approximation: error bounded
+    err = np.linalg.norm(tt.to_tensor().to_ndarray() - before)
+    assert err < np.linalg.norm(before)
+
+
+def test_soft_threshold():
+    tt = TTTensor.random([4, 4, 4], 3)
+    big_tau = 1e6
+    cp = tt.copy()
+    cp.soft_threshold(big_tau)
+    assert all(r == 1 for r in cp.ranks())
+
+
+def test_entrywise_product_tt():
+    a = TTTensor.random([3, 4, 3], 2)
+    b = TTTensor.random([3, 4, 3], 2)
+    c = xe.entrywise_product(a, b)
+    c.require_correct_format()
+    assert c.ranks() == [4, 4]
+    assert np.allclose(c.to_tensor().to_ndarray(),
+                       a.to_tensor().to_ndarray() * b.to_tensor().to_ndarray(),
+                       atol=1e-12)
+
+
+def test_dyadic_product():
+    a = TTTensor.random([3, 4], 2)
+    b = TTTensor.random([5, 2], 2)
+    c = xe.dyadic_product(a, b)
+    c.require_correct_format()
+    assert c.dimensions == [3, 4, 5, 2]
+    ref = np.einsum('ij,kl->ijkl', a.to_tensor().to_ndarray(),
+                    b.to_tensor().to_ndarray())
+    assert np.allclose(c.to_tensor().to_ndarray(), ref, atol=1e-12)
+
+
+def test_operator_apply():
+    A = TTOperator.random([3, 4, 3, 4], 2)
+    x = TTTensor.random([3, 4], 2)
+    y = xe.apply_operator(A, x)
+    y.require_correct_format()
+    ref = A.to_tensor().to_ndarray().reshape(12, 12) @ x.to_tensor().to_ndarray().reshape(12)
+    assert np.allclose(y.to_tensor().to_ndarray().reshape(12), ref, atol=1e-12)
+    assert y.ranks() == [4]
+
+
+def test_operator_apply_dsl():
+    A = TTOperator.random([3, 4, 3, 4], 2)
+    x = TTTensor.random([3, 4], 2)
+    i, j = xe.indices(2)
+    y = TTTensor()
+    y(i & 0) << A(i / 2, j / 2) * x(j & 0)
+    ref = A.to_tensor().to_ndarray().reshape(12, 12) @ x.to_tensor().to_ndarray().reshape(12)
+    assert np.allclose(y.to_tensor().to_ndarray().reshape(12), ref, atol=1e-12)
+
+
+def test_operator_transpose_apply_dsl():
+    A = TTOperator.random([3, 4, 3, 4], 2)
+    x = TTTensor.random([3, 4], 2)
+    i, j = xe.indices(2)
+    y = TTTensor()
+    y(i & 0) << A(j / 2, i / 2) * x(j & 0)  # A^T x
+    ref = A.to_tensor().to_ndarray().reshape(12, 12).T @ x.to_tensor().to_ndarray().reshape(12)
+    assert np.allclose(y.to_tensor().to_ndarray().reshape(12), ref, atol=1e-12)
+
+
+def test_tt_sum_dsl():
+    a = TTTensor.random([3, 3, 3], 2)
+    b = TTTensor.random([3, 3, 3], 2)
+    i = xe.Index()
+    c = TTTensor()
+    c(i & 0) << a(i & 0) + 2.0 * b(i & 0)
+    assert np.allclose(c.to_tensor().to_ndarray(),
+                       a.to_tensor().to_ndarray() + 2 * b.to_tensor().to_ndarray(),
+                       atol=1e-12)
+
+
+def test_tt_in_dense_expression():
+    tt = TTTensor.random([3, 4, 5], 2)
+    i, j, k = xe.indices(3)
+    out = Tensor()
+    out(i, j, k) << tt(i, j, k)
+    assert np.allclose(out.to_ndarray(), tt.to_tensor().to_ndarray(), atol=1e-12)
+
+
+def test_tt_inner_product_dsl():
+    a = TTTensor.random([3, 4, 3], 2)
+    b = TTTensor.random([3, 4, 3], 2)
+    i = xe.Index()
+    val = float(a(i & 0) * b(i & 0))
+    ref = np.sum(a.to_tensor().to_ndarray() * b.to_tensor().to_ndarray())
+    assert np.isclose(val, ref)
+
+
+def test_operator_compose_dsl():
+    A = TTOperator.random([3, 2, 3, 2], 2)
+    B = TTOperator.random([3, 2, 3, 2], 2)
+    i, j, k = xe.indices(3)
+    C = TTOperator()
+    C(i / 2, k / 2) << A(i / 2, j / 2) * B(j / 2, k / 2)
+    ref = (A.to_tensor().to_ndarray().reshape(6, 6)
+           @ B.to_tensor().to_ndarray().reshape(6, 6))
+    assert np.allclose(C.to_tensor().to_ndarray().reshape(6, 6), ref, atol=1e-12)
+
+
+def test_tto_transpose():
+    A = TTOperator.random([3, 4, 3, 4], 2)
+    At = A.transpose()
+    ref = A.to_tensor().to_ndarray().reshape(12, 12).T
+    assert np.allclose(At.to_tensor().to_ndarray().reshape(12, 12), ref, atol=1e-12)
+
+
+def test_tt_fix_mode():
+    tt = TTTensor.random([3, 4, 5], 2)
+    arr = tt.to_tensor().to_ndarray()
+    cp = tt.copy()
+    cp.fix_mode(1, 2)
+    assert cp.dimensions == [3, 5]
+    assert np.allclose(cp.to_tensor().to_ndarray(), arr[:, 2, :], atol=1e-12)
+
+
+def test_degrees_of_freedom():
+    tt = TTTensor.random([4, 4, 4], 2)
+    # 1*4*2 + 2*4*2 + 2*4*1 - 2^2 - 2^2 = 8 + 16 + 8 - 8 = 24
+    assert tt.degrees_of_freedom() == 24
+
+
+def test_tt_save_load(tmp_path):
+    tt = TTTensor.random([3, 4, 3], 2)
+    p = str(tmp_path / "tt.xtpu")
+    xe.save_to_file(tt, p)
+    back = xe.load_from_file(p)
+    assert isinstance(back, TTTensor)
+    back.require_correct_format()
+    assert np.allclose(back.to_tensor().to_ndarray(), tt.to_tensor().to_ndarray())
+
+
+def test_consistency_dense_tt_roundtrip_ops():
+    """consistency.cxx-style: same expression dense vs TT."""
+    t1 = Tensor.random([3, 3, 3])
+    t2 = Tensor.random([3, 3, 3])
+    tt1 = TTTensor(t1)
+    tt2 = TTTensor(t2)
+    s_dense = (t1 + t2).to_ndarray()
+    s_tt = (tt1 + tt2).to_tensor().to_ndarray()
+    assert np.allclose(s_dense, s_tt, atol=1e-12)
+    p_dense = xe.entrywise_product(t1, t2).to_ndarray()
+    p_tt = xe.entrywise_product(tt1, tt2).to_tensor().to_ndarray()
+    assert np.allclose(p_dense, p_tt, atol=1e-12)
+
+
+def test_degree_zero_tt():
+    t = Tensor([], xe.Representation.Dense)
+    t._dense = np.array(3.5)
+    tt = TTTensor(t)
+    assert tt.degree() == 0
+    assert np.isclose(tt.to_tensor()[0], 3.5)

@@ -12,12 +12,24 @@ from . import config as _config_module
 from .config import config, EPSILON, set_value_dtype, value_dtype
 
 from .core import (Tensor, Representation, Initialisation, reshuffle,
-                   entrywise_product, approx_equal, approx_entrywise_equal,
+                   approx_equal, approx_entrywise_equal,
                    contract, calculate_svd, calculate_qr, calculate_rq,
                    calculate_qc, calculate_cq, pseudo_inverse, solve,
                    solve_least_squares)
+from .core import entrywise_product as _tensor_entrywise_product
 from .indexing import Index, indices, SVD, QR, RQ, QC, CQ
 from .network import TensorNetwork
+from .tt import (TTNetwork, TTTensor, TTOperator, dyadic_product,
+                 apply_operator)
+from .tt import entrywise_product as _tt_entrywise_product
+
+
+def entrywise_product(a, b):
+    """Hadamard product for Tensors or TT networks (overloaded like the
+    reference's xerus::entrywise_product)."""
+    if isinstance(a, TTNetwork):
+        return _tt_entrywise_product(a, b)
+    return _tensor_entrywise_product(a, b)
 from .misc import (FileFormat, save_to_file, load_from_file, LogHistogram,
                    set_seed)
 from .core import serialization as _serialization  # registers Tensor I/O

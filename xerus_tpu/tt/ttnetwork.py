@@ -1,0 +1,865 @@
+"""Tensor-Train / MPS networks: TTTensor and TTOperator.
+
+Ground-up re-design of ``xerus::TTNetwork<isOperator>``
+(include/xerus/ttNetwork.h:44-519, src/xerus/ttNetwork.cpp).  Instead of the
+reference's TensorNetwork subclass with ghost boundary nodes
+(ttNetwork.cpp:90-108), components live in a plain list:
+
+    TTTensor   component i: (r_{i-1}, n_i, r_i)
+    TTOperator component i: (r_{i-1}, m_i, n_i, r_i)   [m=out, n=in]
+
+with r_{-1} = r_{d-1} = 1 held explicitly.  External dimension order matches
+the reference: (out_0..out_{d-1}, in_0..in_{d-1}) for operators.
+
+Canonicalization invariants follow ttNetwork.h:50-58: if ``canonicalized``,
+components left of ``corePosition`` are left-orthogonal, right of it
+right-orthogonal.  All component math dispatches through core ops (XLA);
+the uniform-rank hot paths additionally have stacked/scanned kernels in
+ops/tt_kernels.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import config, require
+from ..core.tensor import (Tensor, Representation, reshuffle as core_reshuffle,
+                           entrywise_product as core_entrywise, _prod)
+from ..core.contract import contract as core_contract
+from ..core import factorizations as fact
+from .. import misc as _misc
+
+MAX_RANK = 2 ** 62  # stand-in for size_t max
+
+
+class TTNetwork:
+    """Common implementation; use TTTensor / TTOperator."""
+
+    is_operator = False
+    N = 1
+
+    # ------------------------------------------------------------------
+    # Construction
+    # ------------------------------------------------------------------
+    def __init__(self, source=None, eps: float = 0.0,
+                 max_ranks: Optional[Sequence[int]] = None):
+        self.components: List[Tensor] = []
+        self.canonicalized = True
+        self.corePosition = 0
+        self.dimensions: List[int] = []
+
+        if source is None:
+            return
+        if isinstance(source, int):
+            # zero TT of given degree with ranks 1 (ttNetwork.cpp:64-88)
+            self._init_zero([1] * source)
+        elif isinstance(source, Tensor):
+            self._init_from_tensor(source, eps, max_ranks)
+        elif isinstance(source, (list, tuple)):
+            self._init_zero([int(d) for d in source])
+        else:
+            raise TypeError(f"cannot construct TTNetwork from {type(source)!r}")
+
+    def _init_zero(self, dims: List[int]) -> None:
+        require(len(dims) % self.N == 0,
+                "number of dimensions must be even for TTOperator")
+        self.dimensions = list(dims)
+        num = len(dims) // self.N
+        for i in range(num):
+            if self.is_operator:
+                shape = [1, dims[i], dims[num + i], 1]
+            else:
+                shape = [1, dims[i], 1]
+            self.components.append(Tensor(shape, Representation.Sparse))
+        self.canonicalized = True
+        self.corePosition = 0
+
+    def _init_from_tensor(self, tensor: Tensor, eps: float,
+                          max_ranks: Optional[Sequence[int]]) -> None:
+        """TT-SVD (ttNetwork.cpp:112-160): sweep of truncated SVDs from the
+        right, leaving the core at component 0."""
+        require(tensor.degree() % self.N == 0,
+                "number of modes must be even for TTOperator")
+        require(0.0 <= eps < 1.0, "eps must fulfill 0 <= eps < 1")
+        num = tensor.degree() // self.N
+        if max_ranks is None:
+            max_ranks = [MAX_RANK] * max(num - 1, 0)
+        require(len(max_ranks) == max(num - 1, 0), "need degree/N - 1 maxRanks")
+        self.dimensions = list(tensor.dimensions)
+
+        if tensor.degree() == 0:
+            self.components = [tensor.copy()]
+            self.canonicalized = True
+            self.corePosition = 0
+            return
+
+        remains = tensor
+        if self.is_operator:
+            # interleave (out_i, in_i) pairs (ttNetwork.cpp:127-136)
+            shuffle = [0] * tensor.degree()
+            for i in range(num):
+                shuffle[i] = 2 * i
+                shuffle[num + i] = 2 * i + 1
+            remains = core_reshuffle(remains, shuffle)
+        remains = remains.copy()
+        remains.reinterpret_dimensions([1] + list(remains.dimensions) + [1])
+
+        comps: List[Optional[Tensor]] = [None] * num
+        for position in range(num - 1, 0, -1):
+            split = 1 + position * self.N
+            U, S, Vt = fact.calculate_svd(remains, split,
+                                          max_ranks[position - 1], eps)
+            comps[position] = Vt
+            remains = core_contract(U, S, 1)
+        comps[0] = remains
+        self.components = [c for c in comps]  # type: ignore
+        self.canonicalized = True
+        self.corePosition = 0
+
+    @classmethod
+    def _make(cls, components: List[Tensor], canonicalized: bool = False,
+              core_position: int = 0) -> "TTNetwork":
+        out = cls.__new__(cls)
+        out.components = components
+        out.canonicalized = canonicalized
+        out.corePosition = core_position
+        out.dimensions = cls._dims_from_components(components)
+        return out
+
+    @classmethod
+    def _dims_from_components(cls, comps: List[Tensor]) -> List[int]:
+        if len(comps) == 1 and comps[0].degree() == 0:
+            return []
+        outs = [c.dimensions[1] for c in comps]
+        if cls.is_operator:
+            ins = [c.dimensions[2] for c in comps]
+            return outs + ins
+        return outs
+
+    # -- random / special constructors ---------------------------------
+    @classmethod
+    def random(cls, dimensions: Sequence[int],
+               ranks: Union[int, Sequence[int]], generator=None) -> "TTNetwork":
+        """Random TT with given ranks, canonicalized to 0
+        (ttNetwork.h:129-154)."""
+        dims = [int(d) for d in dimensions]
+        num = len(dims) // cls.N
+        if isinstance(ranks, int):
+            ranks = [ranks] * (num - 1)
+        ranks = [int(r) for r in ranks]
+        require(len(ranks) == num - 1, "need degree/N - 1 ranks")
+        require(all(r > 0 for r in ranks), "ranks must be positive")
+        ranks = cls.reduce_to_maximal_ranks(ranks, dims)
+        rng = generator if generator is not None else _misc.randomEngine
+
+        comps = []
+        for i in range(num):
+            rl = 1 if i == 0 else ranks[i - 1]
+            rr = 1 if i == num - 1 else ranks[i]
+            if cls.is_operator:
+                shape = (rl, dims[i], dims[num + i], rr)
+            else:
+                shape = (rl, dims[i], rr)
+            comps.append(Tensor.from_ndarray(rng.normal(size=shape)))
+        out = cls._make(comps)
+        out.move_core(0)
+        # normalize like the reference's random (unit-ish scale)
+        return out
+
+    @classmethod
+    def ones(cls, dimensions: Sequence[int]) -> "TTNetwork":
+        dims = [int(d) for d in dimensions]
+        num = len(dims) // cls.N
+        comps = []
+        for i in range(num):
+            if cls.is_operator:
+                t = Tensor.ones([1, dims[i], dims[num + i], 1])
+            else:
+                t = Tensor.ones([1, dims[i], 1])
+            comps.append(t)
+        return cls._make(comps, canonicalized=True, core_position=0)
+
+    @classmethod
+    def kronecker(cls, dimensions: Sequence[int]) -> "TTNetwork":
+        """TT of the kronecker tensor: rank-min(dims) representation via
+        TT-SVD of the explicit tensor for small sizes, diagonal cores
+        otherwise."""
+        dims = [int(d) for d in dimensions]
+        num = len(dims) // cls.N
+        m = min(dims)
+        comps = []
+        for i in range(num):
+            rl = 1 if i == 0 else m
+            rr = 1 if i == num - 1 else m
+            if cls.is_operator:
+                shape = [rl, dims[i], dims[num + i], rr]
+            else:
+                shape = [rl, dims[i], rr]
+            t = Tensor(shape, Representation.Sparse)
+            for k in range(m):
+                a = 0 if i == 0 else k
+                b = 0 if i == num - 1 else k
+                idx = [a, k, k, b] if cls.is_operator else [a, k, b]
+                t._sparse[Tensor.multiIndex_to_position(idx, shape)] = 1.0
+            comps.append(t)
+        return cls._make(comps)
+
+    @classmethod
+    def dirac(cls, dimensions: Sequence[int], position) -> "TTNetwork":
+        dims = [int(d) for d in dimensions]
+        if not isinstance(position, (list, tuple, np.ndarray)):
+            position = Tensor.position_to_multiIndex(int(position), dims)
+        num = len(dims) // cls.N
+        comps = []
+        for i in range(num):
+            if cls.is_operator:
+                t = Tensor.dirac([1, dims[i], dims[num + i], 1],
+                                 [0, position[i], position[num + i], 0])
+            else:
+                t = Tensor.dirac([1, dims[i], 1], [0, position[i], 0])
+            comps.append(t)
+        return cls._make(comps, canonicalized=True, core_position=0)
+
+    # ------------------------------------------------------------------
+    # Information
+    # ------------------------------------------------------------------
+    def degree(self) -> int:
+        return len(self.dimensions)
+
+    def order(self) -> int:
+        return len(self.dimensions)
+
+    def num_components(self) -> int:
+        return len(self.components)
+
+    def num_ranks(self) -> int:
+        return max(self.num_components() - 1, 0)
+
+    def ranks(self) -> List[int]:
+        return [c.dimensions[-1] for c in self.components[:-1]]
+
+    def rank(self, i: int) -> int:
+        require(i + 1 < self.num_components(), f"illegal rank index {i}")
+        return self.components[i].dimensions[-1]
+
+    @staticmethod
+    def reduce_to_maximal_ranks(ranks: Sequence[int],
+                                dimensions: Sequence[int]) -> List[int]:
+        """Clamp ranks to the maximum reachable (ttNetwork.cpp
+        reduce_to_maximal_ranks): r_i <= min(prod left phys, prod right phys)."""
+        dims = list(dimensions)
+        n_r = len(ranks)
+        num = n_r + 1
+        N = len(dims) // num if num else 1  # 1 for TT, 2 for TTO
+        site = []
+        for i in range(num):
+            s = dims[i]
+            if N == 2:
+                s *= dims[num + i]
+            site.append(s)
+        out = []
+        for i in range(n_r):
+            left = _prod(site[:i + 1])
+            right = _prod(site[i + 1:])
+            out.append(min(int(ranks[i]), left, right))
+        return out
+
+    def exceeds_maximal_ranks(self) -> bool:
+        r = self.ranks()
+        return r != self.reduce_to_maximal_ranks(r, self.dimensions)
+
+    @staticmethod
+    def degrees_of_freedom_of(dimensions: Sequence[int], ranks: Sequence[int],
+                              N: int = 1) -> int:
+        num = len(dimensions) // N
+        full = [1] + list(ranks) + [1]
+        total = 0
+        for i in range(num):
+            s = dimensions[i] * (dimensions[num + i] if N == 2 else 1)
+            total += full[i] * s * full[i + 1]
+        for r in ranks:
+            total -= r * r
+        return total
+
+    def degrees_of_freedom(self) -> int:
+        return self.degrees_of_freedom_of(self.dimensions, self.ranks(), self.N)
+
+    # ------------------------------------------------------------------
+    # Component access (ttNetwork.cpp:457-511)
+    # ------------------------------------------------------------------
+    def get_component(self, idx: int) -> Tensor:
+        require(0 <= idx < self.num_components(), f"illegal component {idx}")
+        return self.components[idx]
+
+    def component(self, idx: int) -> Tensor:
+        return self.get_component(idx)
+
+    def set_component(self, idx: int, tensor: Tensor) -> None:
+        require(0 <= idx < self.num_components(), f"illegal component {idx}")
+        require(tensor.degree() == self.N + 2,
+                f"component must have degree {self.N + 2}")
+        old = self.components[idx]
+        self.components[idx] = tensor.copy()
+        # update external dims + neighbor rank bookkeeping is implicit; verify
+        num = self.num_components()
+        self.dimensions[idx] = tensor.dimensions[1]
+        if self.is_operator:
+            self.dimensions[num + idx] = tensor.dimensions[2]
+
+    def use_dense_representations(self) -> None:
+        for c in self.components:
+            c.use_dense_representation()
+
+    # ------------------------------------------------------------------
+    # Format checking (ttNetwork.cpp:290-344)
+    # ------------------------------------------------------------------
+    def require_correct_format(self) -> None:
+        if not config.runtime_checks:
+            return
+        num = self.num_components()
+        if self.degree() == 0:
+            require(num == 1 and self.components[0].degree() == 0,
+                    "degree-0 TT must hold a single scalar component")
+            return
+        require(num * self.N == self.degree(), "component count mismatch")
+        for i, c in enumerate(self.components):
+            require(c.degree() == self.N + 2, f"component {i} has wrong degree")
+            require(c.dimensions[1] == self.dimensions[i],
+                    f"component {i} external dim mismatch")
+            if self.is_operator:
+                require(c.dimensions[2] == self.dimensions[num + i],
+                        f"component {i} input dim mismatch")
+            if i == 0:
+                require(c.dimensions[0] == 1, "first rank must be 1")
+            else:
+                require(c.dimensions[0] == self.components[i - 1].dimensions[-1],
+                        f"rank mismatch at edge {i - 1}")
+            if i == num - 1:
+                require(c.dimensions[-1] == 1, "last rank must be 1")
+        if self.canonicalized:
+            require(self.corePosition < num, "invalid core position")
+            for i, c in enumerate(self.components):
+                if i == self.corePosition:
+                    continue
+                arr = c.to_ndarray()
+                if i < self.corePosition:
+                    mat = arr.reshape(-1, arr.shape[-1])
+                    ok = np.allclose(mat.T @ mat, np.eye(mat.shape[1]),
+                                     atol=1e-10 * max(1.0, abs(arr).max()))
+                    require(ok, f"component {i} not left-orthogonal")
+                else:
+                    mat = arr.reshape(arr.shape[0], -1)
+                    ok = np.allclose(mat @ mat.T, np.eye(mat.shape[0]),
+                                     atol=1e-10 * max(1.0, abs(arr).max()))
+                    require(ok, f"component {i} not right-orthogonal")
+
+    # ------------------------------------------------------------------
+    # Canonicalization (ttNetwork.cpp:582-640)
+    # ------------------------------------------------------------------
+    def _transfer_core(self, frm: int, to: int, allow_rank_reduction: bool) -> None:
+        """Orthogonalize component ``frm`` towards adjacent ``to`` (both are
+        component indices; reference transfer_core works on node ids,
+        tensorNetwork.cpp:821)."""
+        require(abs(frm - to) == 1, "transfer_core requires adjacent components")
+        cf = self.components[frm]
+        ct = self.components[to]
+        if to > frm:  # left-orthogonalize frm, push factor right
+            split = cf.degree() - 1
+            if allow_rank_reduction:
+                Q, C = fact.calculate_qc(cf, split)
+            else:
+                Q, C = fact.calculate_qr(cf, split)
+            self.components[frm] = Q
+            self.components[to] = core_contract(C, ct, 1)
+        else:  # right-orthogonalize frm, push factor left
+            if allow_rank_reduction:
+                C, Q = fact.calculate_cq(cf, 1)
+            else:
+                R, Q = fact.calculate_rq(cf, 1)
+                C = R
+            self.components[frm] = Q
+            self.components[to] = core_contract(ct, C, 1)
+
+    def move_core(self, position: int, keep_rank: bool = False) -> None:
+        num = self.num_components()
+        require(position < num or (position == 0 and self.degree() == 0),
+                f"illegal core position {position}")
+        if self.degree() == 0:
+            self.canonicalized = True
+            self.corePosition = 0
+            return
+        if self.canonicalized:
+            for n in range(self.corePosition, position):
+                self._transfer_core(n, n + 1, not keep_rank)
+            for n in range(self.corePosition, position, -1):
+                self._transfer_core(n, n - 1, not keep_rank)
+        else:
+            for n in range(0, position):
+                self._transfer_core(n, n + 1, not keep_rank)
+            for n in range(num - 1, position, -1):
+                self._transfer_core(n, n - 1, not keep_rank)
+        # repair rank excess near boundaries (ttNetwork.cpp:609-624)
+        while self.exceeds_maximal_ranks():
+            for n in range(position, 0, -1):
+                self._transfer_core(n, n - 1, not keep_rank)
+            for n in range(0, num - 1):
+                self._transfer_core(n, n + 1, not keep_rank)
+            for n in range(num - 1, position, -1):
+                self._transfer_core(n, n - 1, not keep_rank)
+        self.canonicalized = True
+        self.corePosition = position
+
+    def canonicalize_left(self) -> None:
+        self.move_core(0)
+
+    def canonicalize_right(self) -> None:
+        self.move_core(0 if self.degree() == 0 else self.num_components() - 1)
+
+    def assume_core_position(self, pos: int) -> None:
+        require(pos < self.num_components() or (self.degree() == 0 and pos == 0),
+                "invalid core position")
+        self.corePosition = pos
+        self.canonicalized = True
+
+    # ------------------------------------------------------------------
+    # Rounding (ttNetwork.cpp:644-716)
+    # ------------------------------------------------------------------
+    def _round_edge(self, right: int, left: int, max_rank: int, eps: float,
+                    soft_threshold: float) -> None:
+        """Truncate the edge between components left=right-1 and right.
+        Merges, SVDs, leaves the (orthogonal) U at ``right`` and S*Vt at
+        ``left`` — moving the core one step left (tensorNetwork.cpp:678)."""
+        cl = self.components[left]
+        cr = self.components[right]
+        merged = core_contract(cl, cr, 1)      # (rl, n_l.., n_r.., rr)
+        split = cl.degree() - 1
+        U, S, Vt = fact.calculate_svd(merged, split, max_rank, eps)
+        if soft_threshold > 0.0:
+            s = np.diag(S.to_ndarray())
+            s = np.maximum(s - soft_threshold, 0.0)
+            keep = max(int(np.sum(s > 0)), 1)
+            if max_rank:
+                keep = min(keep, max_rank)
+            U.resize_mode(U.degree() - 1, keep)
+            Vt.resize_mode(0, keep)
+            S = Tensor([keep, keep], Representation.Sparse)
+            for i2 in range(keep):
+                S._sparse[i2 * keep + i2] = float(s[i2])
+        self.components[left] = core_contract(U, S, 1)
+        self.components[right] = Vt
+
+    def round(self, arg=None, eps: Optional[float] = None) -> None:
+        """round(maxRanks list, eps) / round(int maxRank) / round(float eps)
+        (ttNetwork.cpp:644-685)."""
+        num = self.num_components()
+        if arg is None and eps is not None:
+            max_ranks = [MAX_RANK] * self.num_ranks()
+        elif isinstance(arg, (int, np.integer)) and eps is None:
+            require(arg > 0, "maxRank must be positive")
+            max_ranks = [int(arg)] * self.num_ranks()
+            eps = config.epsilon
+        elif isinstance(arg, float) and eps is None:
+            max_ranks = [MAX_RANK] * self.num_ranks()
+            eps = arg
+        else:
+            max_ranks = [int(r) for r in arg]
+            eps = config.epsilon if eps is None else eps
+        require(len(max_ranks) == self.num_ranks(), "need degree/N - 1 maxRanks")
+        require(eps < 1.0, "eps must be < 1")
+        require(all(r > 0 for r in max_ranks), "cannot round to rank 0")
+
+        initial_canon = self.canonicalized
+        initial_core = self.corePosition
+        self.canonicalize_right()
+        for i in range(num - 1):
+            right = num - 1 - i
+            self._round_edge(right, right - 1, max_ranks[right - 1], eps, 0.0)
+        self.assume_core_position(0)
+        if initial_canon:
+            self.move_core(initial_core)
+
+    def soft_threshold(self, tau, prevent_zero: bool = False) -> None:
+        """(ttNetwork.cpp:688-716)"""
+        num = self.num_components()
+        if isinstance(tau, (int, float)):
+            taus = [float(tau)] * self.num_ranks()
+        else:
+            taus = [float(t) for t in tau]
+        require(len(taus) == self.num_ranks(), "need degree/N - 1 taus")
+        initial_canon = self.canonicalized
+        initial_core = self.corePosition
+        self.canonicalize_right()
+        for i in range(num - 1):
+            right = num - 1 - i
+            self._round_edge(right, right - 1, MAX_RANK, 0.0, taus[right - 1])
+        self.assume_core_position(0)
+        if initial_canon:
+            self.move_core(initial_core)
+
+    # ------------------------------------------------------------------
+    # Arithmetic (ttNetwork.cpp:797-905, 1275-1340)
+    # ------------------------------------------------------------------
+    def __imul__(self, factor: float) -> "TTNetwork":
+        pos = self.corePosition if self.canonicalized else 0
+        self.components[pos] *= float(factor)
+        return self
+
+    def __itruediv__(self, divisor: float) -> "TTNetwork":
+        self *= 1.0 / float(divisor)
+        return self
+
+    def __mul__(self, factor):
+        if isinstance(factor, (int, float, np.integer, np.floating)):
+            out = self.copy()
+            out *= float(factor)
+            return out
+        return NotImplemented
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, divisor):
+        if isinstance(divisor, (int, float, np.integer, np.floating)):
+            out = self.copy()
+            out /= float(divisor)
+            return out
+        return NotImplemented
+
+    def __neg__(self):
+        return self * -1.0
+
+    def __iadd__(self, other: "TTNetwork") -> "TTNetwork":
+        """Block-diagonal rank-sum embedding (ttNetwork.cpp:797-846)."""
+        require(type(other) is type(self), "TT sum requires same TT type")
+        require(self.dimensions == other.dimensions,
+                f"TT sum dimension mismatch {self.dimensions} vs {other.dimensions}")
+        num = self.num_components()
+        initial_canon = self.canonicalized
+        initial_core = self.corePosition
+
+        if num <= 1:
+            self.components[0] += other.components[0]
+            return self
+
+        for pos in range(num):
+            mine = self.components[pos]
+            theirs = other.components[pos]
+            rl = 1 if pos == 0 else mine.dimensions[0] + theirs.dimensions[0]
+            rr = 1 if pos == num - 1 else mine.dimensions[-1] + theirs.dimensions[-1]
+            if self.is_operator:
+                shape = [rl, mine.dimensions[1], mine.dimensions[2], rr]
+            else:
+                shape = [rl, mine.dimensions[1], rr]
+            rep = (Representation.Sparse if mine.is_sparse() and theirs.is_sparse()
+                   else Representation.Dense)
+            new = Tensor(shape, rep)
+            if rep is Representation.Sparse:
+                new.use_dense_representation()
+            zero_off = [0] * (self.N + 2)
+            new.offset_add(mine, zero_off)
+            left_off = 0 if pos == 0 else mine.dimensions[0]
+            right_off = 0 if pos == num - 1 else mine.dimensions[-1]
+            off = [left_off] + [0] * self.N + [right_off]
+            new.offset_add(theirs, off)
+            self.components[pos] = new
+        self.canonicalized = False
+        if initial_canon:
+            self.move_core(initial_core)
+        return self
+
+    def __isub__(self, other: "TTNetwork") -> "TTNetwork":
+        self *= -1.0
+        self += other
+        self *= -1.0
+        return self
+
+    def __add__(self, other):
+        if isinstance(other, TTNetwork):
+            out = self.copy()
+            out += other
+            return out
+        return NotImplemented
+
+    def __sub__(self, other):
+        if isinstance(other, TTNetwork):
+            out = self.copy()
+            out -= other
+            return out
+        return NotImplemented
+
+    # ------------------------------------------------------------------
+    # Norms / scalar products
+    # ------------------------------------------------------------------
+    def frob_norm(self) -> float:
+        if self.canonicalized:
+            return self.components[self.corePosition].frob_norm()
+        return math.sqrt(max(inner(self, self), 0.0))
+
+    # ------------------------------------------------------------------
+    # Conversion / element access
+    # ------------------------------------------------------------------
+    def to_tensor(self) -> Tensor:
+        if self.degree() == 0:
+            return self.components[0].copy()
+        acc = self.components[0]
+        for c in self.components[1:]:
+            acc = core_contract(acc, c, 1)
+        # acc dims: (1, m0[,n0], m1[,n1], ..., 1)
+        acc = acc.copy()
+        dims = acc.dimensions[1:-1]
+        acc.reinterpret_dimensions(dims)
+        if self.is_operator:
+            num = self.num_components()
+            shuffle = [0] * len(dims)
+            for i in range(num):
+                shuffle[2 * i] = i
+                shuffle[2 * i + 1] = num + i
+            acc = core_reshuffle(acc, shuffle)
+        return acc
+
+    def __getitem__(self, key) -> float:
+        if isinstance(key, (list, tuple, np.ndarray)):
+            positions = [int(k) for k in key]
+        else:
+            positions = list(Tensor.position_to_multiIndex(int(key), self.dimensions))
+        require(len(positions) == self.degree(), "wrong number of positions")
+        if self.degree() == 0:
+            return float(self.components[0][0])
+        num = self.num_components()
+        vec = None
+        for i in range(num):
+            c = self.components[i].copy()
+            if self.is_operator:
+                c.fix_mode(2, positions[num + i])
+            c.fix_mode(1, positions[i])
+            vec = c if vec is None else core_contract(vec, c, 1)
+        return float(vec[[0, 0]])
+
+    # ------------------------------------------------------------------
+    # Structural ops
+    # ------------------------------------------------------------------
+    def copy(self) -> "TTNetwork":
+        out = type(self).__new__(type(self))
+        out.components = [c.copy() for c in self.components]
+        out.canonicalized = self.canonicalized
+        out.corePosition = self.corePosition
+        out.dimensions = list(self.dimensions)
+        return out
+
+    def chop(self, position: int) -> Tuple[List[Tensor], List[Tensor]]:
+        """Split into (components left of position, components right of it)
+        — the reference returns two TensorNetworks with a dangling edge
+        (ttNetwork.cpp:515-553); we return the component lists."""
+        require(position < self.num_components(), "chop position out of range")
+        return ([c.copy() for c in self.components[:position]],
+                [c.copy() for c in self.components[position + 1:]])
+
+    def fix_mode(self, mode: int, value: int) -> None:
+        """Fix one external mode (TTTensor only, ttNetwork.h fix_mode)."""
+        require(not self.is_operator, "fix_mode not defined for TTOperator")
+        num = self.num_components()
+        c = self.components[mode].copy()
+        c.fix_mode(1, value)  # (rl, rr)
+        if num == 1:
+            scalar = Tensor([], Representation.Dense)
+            scalar._dense = np.asarray(c.to_ndarray().reshape(()))
+            self.components = [scalar]
+            self.dimensions = []
+            self.canonicalized = True
+            self.corePosition = 0
+            return
+        if mode + 1 < num:
+            self.components[mode + 1] = core_contract(c, self.components[mode + 1], 1)
+        else:
+            self.components[mode - 1] = core_contract(self.components[mode - 1], c, 1)
+        del self.components[mode]
+        del self.dimensions[mode]
+        self.canonicalized = False
+
+    def resize_mode(self, mode: int, new_dim: int, cut_pos: Optional[int] = None) -> None:
+        num = self.num_components()
+        comp_idx = mode % num
+        phys = 1 if not self.is_operator else (1 if mode < num else 2)
+        initial_canon = self.canonicalized
+        initial_core = self.corePosition
+        self.components[comp_idx].resize_mode(phys, new_dim, cut_pos)
+        self.dimensions[mode] = new_dim
+        self.canonicalized = False
+        if initial_canon:
+            self.move_core(initial_core)
+
+    def transpose(self) -> "TTNetwork":
+        """Swap in/out modes of a TTOperator (ttNetwork.h:442-448)."""
+        require(self.is_operator, "transpose requires TTOperator")
+        out = self.copy()
+        for i, c in enumerate(out.components):
+            out.components[i] = core_reshuffle(c, [0, 2, 1, 3])
+        num = self.num_components()
+        out.dimensions = self.dimensions[num:] + self.dimensions[:num]
+        return out
+
+    # ------------------------------------------------------------------
+    # DSL integration
+    # ------------------------------------------------------------------
+    def __call__(self, *indices):
+        from ..indexing.expressions import IndexedTensor
+        return IndexedTensor(self, list(indices))
+
+    def einsum_operands(self, outer_labels: Sequence) -> List[Tuple[Tensor, List]]:
+        """Expand cores for generic einsum evaluation: external mode k of the
+        TT carries outer_labels[k]; bond edges get fresh shared labels."""
+        num = self.num_components()
+        out = []
+        for i, c in enumerate(self.components):
+            labels = []
+            labels.append(("tt", id(self), i - 1) if i > 0 else ("tt1", id(self), i, "L"))
+            labels.append(outer_labels[i])
+            if self.is_operator:
+                labels.append(outer_labels[num + i])
+            labels.append(("tt", id(self), i) if i < num - 1 else ("tt1", id(self), i, "R"))
+            out.append((c, labels))
+        # boundary rank-1 modes: fix via reshaped copies (drop them)
+        fixed = []
+        for i, (c, labels) in enumerate(out):
+            t = c
+            labs = list(labels)
+            if i == 0:
+                t = t.copy()
+                t.fix_mode(0, 0)
+                labs.pop(0)
+            if i == num - 1:
+                t = t.copy() if t is c else t
+                t.fix_mode(t.degree() - 1, 0)
+                labs.pop()
+            fixed.append((t, labs))
+        return fixed
+
+    def assign_indexed(self, lhs, rhs) -> None:
+        from .dsl import tt_assign
+        tt_assign(self, lhs, rhs)
+
+
+class TTTensor(TTNetwork):
+    is_operator = False
+    N = 1
+
+    @classmethod
+    def from_tensor(cls, tensor: Tensor, eps: float = 0.0,
+                    max_ranks: Optional[Sequence[int]] = None) -> "TTTensor":
+        return cls(tensor, eps, max_ranks)
+
+    def entrywise_product(self, other: "TTTensor") -> "TTTensor":
+        return entrywise_product(self, other)
+
+
+class TTOperator(TTNetwork):
+    is_operator = True
+    N = 2
+
+    @classmethod
+    def identity(cls, dimensions: Sequence[int]) -> "TTOperator":
+        """Rank-1 identity operator (ttNetwork.cpp:225-252)."""
+        dims = [int(d) for d in dimensions]
+        num = len(dims) // 2
+        comps = []
+        for i in range(num):
+            require(dims[i] == dims[num + i], "identity requires matching dims")
+            t = Tensor([1, dims[i], dims[num + i], 1], Representation.Sparse)
+            for k in range(dims[i]):
+                t._sparse[Tensor.multiIndex_to_position([0, k, k, 0], t.dimensions)] = 1.0
+            comps.append(t)
+        return cls._make(comps, canonicalized=True, core_position=0)
+
+
+# ---------------------------------------------------------------------------
+# Free functions
+# ---------------------------------------------------------------------------
+
+def inner(a: TTNetwork, b: TTNetwork) -> float:
+    """<a, b> via left-to-right environment contraction — O(d n r^3)."""
+    require(a.dimensions == b.dimensions, "inner: dimension mismatch")
+    num = a.num_components()
+    env = None  # (ra, rb)
+    for i in range(num):
+        ca, cb = a.components[i], b.components[i]
+        if env is None:
+            # (1, n.., ra') x (1, n.., rb') -> (ra', rb')
+            env = core_contract(ca, cb, ca.degree() - 1, lhs_trans=True,
+                                rhs_trans=False)
+            # ca^T contracted over first N+1 modes
+            continue
+        # env (ra, rb) * ca (ra, n.., ra') -> (rb, n.., ra')
+        tmp = core_contract(env, ca, 1, lhs_trans=True)
+        # tmp (rb, n.., ra') * cb (rb, n.., rb') -> (ra', rb')
+        env = core_contract(tmp, cb, cb.degree() - 1, lhs_trans=True)
+    return float(env[[0, 0]])
+
+
+def entrywise_product(a: TTNetwork, b: TTNetwork) -> TTNetwork:
+    """Hadamard product: per-site rank-kron (ttNetwork.cpp:1275-1303)."""
+    require(type(a) is type(b), "entrywise product requires same TT type")
+    require(a.dimensions == b.dimensions, "entrywise product dimension mismatch")
+    comps = []
+    for ca, cb in zip(a.components, b.components):
+        arr_a = ca.to_jax()
+        arr_b = cb.to_jax()
+        if a.is_operator:
+            out = jnp.einsum("amnb,cmnd->acmnbd", arr_a, arr_b)
+            out = out.reshape(arr_a.shape[0] * arr_b.shape[0], arr_a.shape[1],
+                              arr_a.shape[2], arr_a.shape[3] * arr_b.shape[3])
+        else:
+            out = jnp.einsum("anb,cnd->acnbd", arr_a, arr_b)
+            out = out.reshape(arr_a.shape[0] * arr_b.shape[0], arr_a.shape[1],
+                              arr_a.shape[2] * arr_b.shape[2])
+        comps.append(Tensor.from_jax(out))
+    return type(a)._make(comps)
+
+
+def dyadic_product(a: TTNetwork, b: TTNetwork) -> TTNetwork:
+    """Outer product: concatenated cores with a rank-1 junction
+    (ttNetwork.cpp:1319-1340)."""
+    require(type(a) is type(b), "dyadic product requires same TT type")
+    if a.degree() == 0:
+        out = b.copy()
+        out *= float(a.components[0][0])
+        return out
+    if b.degree() == 0:
+        out = a.copy()
+        out *= float(b.components[0][0])
+        return out
+    comps = [c.copy() for c in a.components] + [c.copy() for c in b.components]
+    out = type(a)._make(comps)
+    if a.is_operator:
+        # dimensions: outs of a, outs of b, ins of a, ins of b
+        na, nb = a.num_components(), b.num_components()
+        out.dimensions = (a.dimensions[:na] + b.dimensions[:nb]
+                          + a.dimensions[na:] + b.dimensions[nb:])
+    return out
+
+
+def apply_operator(op: TTOperator, x: TTNetwork, transposed: bool = False) -> TTNetwork:
+    """Exact zip application op @ x, rank-multiplying (the TTStack contraction,
+    src/xerus/ttStack.cpp:197).  ``x`` may be a TTTensor or TTOperator."""
+    num = op.num_components()
+    require(num == x.num_components(), "operator/operand length mismatch")
+    comps = []
+    for i in range(num):
+        o = op.components[i].to_jax()
+        if transposed:
+            o = jnp.transpose(o, (0, 2, 1, 3))
+        xc = x.components[i].to_jax()
+        if x.is_operator:
+            # contract op's in-mode with x-op's out-mode; rank grouping
+            # (l,a) left / (r,c) right so adjacent sites stay consistent
+            new = jnp.einsum("lmnr,anbc->lambrc", o, xc)
+            new = new.reshape(o.shape[0] * xc.shape[0], o.shape[1], xc.shape[2],
+                              o.shape[3] * xc.shape[3])
+        else:
+            new = jnp.einsum("lmnr,anb->lamrb", o, xc)
+            new = new.reshape(o.shape[0] * xc.shape[0], o.shape[1],
+                              o.shape[3] * xc.shape[2])
+        comps.append(Tensor.from_jax(new))
+    return type(x)._make(comps)
