@@ -1,0 +1,126 @@
+"""ALS/DMRG/ASD tests (intent of als.cxx: identity-operator oracle, Poisson
+solve, convergence of all preset variants)."""
+
+import numpy as np
+import pytest
+
+import xerus_tpu as xe
+from xerus_tpu import Tensor, TTTensor, TTOperator
+from xerus_tpu.examples import laplace_operator, poisson_rhs
+
+
+def test_als_identity_operator():
+    """ALS on the identity operator must reproduce b (als.cxx:28-61)."""
+    dims = [2] * 5
+    A = TTOperator.identity(dims + dims)
+    b = TTTensor.random(dims, 2)
+    b /= b.frob_norm()
+    x = TTTensor.random(dims, 2)
+    resid = xe.ALS_SPD(A, x, b, 1e-10)
+    assert resid < 1e-8
+    assert np.allclose(x.to_tensor().to_ndarray(), b.to_tensor().to_ndarray(),
+                       atol=1e-7)
+
+
+def test_als_without_operator():
+    dims = [3] * 4
+    b = TTTensor.random(dims, 3)
+    x = TTTensor.random(dims, 3)
+    resid = xe.ALS(x, b, 1e-10)
+    assert resid < 1e-8
+
+
+def test_als_spd_poisson():
+    dims = [4] * 6
+    A = laplace_operator(dims)
+    b = poisson_rhs(dims)
+    b /= b.frob_norm()
+    x = TTTensor.random(dims, 4)
+    resid = xe.ALS_SPD(A, x, b, 1e-12)
+    # check true residual against dense solve
+    A_mat = A.to_tensor().to_ndarray().reshape(4 ** 6, 4 ** 6)
+    x_vec = x.to_tensor().to_ndarray().reshape(-1)
+    b_vec = b.to_tensor().to_ndarray().reshape(-1)
+    true_resid = np.linalg.norm(A_mat @ x_vec - b_vec) / np.linalg.norm(b_vec)
+    assert true_resid < 1e-8
+    assert abs(resid - true_resid) < 1e-8
+
+
+def test_als_nonspd_matches():
+    """Non-SPD path (normal equations) on an unsymmetric operator."""
+    dims = [3] * 3
+    rng = xe.misc.randomEngine
+    A = TTOperator.random(dims + dims, 2)
+    # make it well conditioned: A + 5*I
+    ident = TTOperator.identity(dims + dims)
+    A += 5.0 * ident
+    b = TTTensor.random(dims, 2)
+    x = TTTensor.random(dims, 4)
+    resid = xe.ALS(A, x, b, 1e-12)
+    A_mat = A.to_tensor().to_ndarray().reshape(27, 27)
+    x_vec = x.to_tensor().to_ndarray().reshape(-1)
+    b_vec = b.to_tensor().to_ndarray().reshape(-1)
+    assert np.linalg.norm(A_mat @ x_vec - b_vec) / np.linalg.norm(b_vec) < 1e-6
+
+
+def test_dmrg_adapts_rank():
+    """DMRG with rank-deficient start must reach the solution by adapting
+    within targetRank."""
+    dims = [2] * 6
+    A = TTOperator.identity(dims + dims)
+    b = TTTensor.random(dims, 3)
+    b /= b.frob_norm()
+    x = TTTensor.random(dims, 3)
+    resid = xe.DMRG_SPD(A, x, b, 1e-10)
+    assert resid < 1e-8
+
+
+def test_asd_descends():
+    dims = [3] * 4
+    A = laplace_operator(dims)
+    b = poisson_rhs(dims)
+    b /= b.frob_norm()
+    x = TTTensor.random(dims, 3)
+    start_resid = (xe.apply_operator(A, x) - b).frob_norm()
+    variant = xe.ALSVariant(1, 40, "asd", assume_spd=True)
+    resid = variant(A, x, b, 40)
+    end_resid = (xe.apply_operator(A, x) - b).frob_norm()
+    assert end_resid < start_resid * 0.5
+
+
+def test_als_perfdata():
+    dims = [3] * 3
+    A = TTOperator.identity(dims + dims)
+    b = TTTensor.random(dims, 2)
+    x = TTTensor.random(dims, 2)
+    perf = xe.PerformanceData()
+    xe.ALS_SPD(A, x, b, 1e-10, perf)
+    assert len(perf.data) > 0
+    assert perf.data[-1].residual < 1e-8
+    assert any(p.flags for p in perf.data)
+
+
+def test_als_preserves_core_position():
+    dims = [3] * 4
+    A = TTOperator.identity(dims + dims)
+    b = TTTensor.random(dims, 2)
+    x = TTTensor.random(dims, 2)
+    x.move_core(2)
+    xe.ALS_SPD(A, x, b, 1e-10)
+    assert x.canonicalized and x.corePosition == 2
+
+
+def test_als_quickstart_qtt_poisson():
+    """The quickstart problem: 2^9 QTT Poisson solve, checked against a dense
+    solve (doc/jekyll/_posts/1000-12-10-quickstart.md)."""
+    d = 9
+    dims = [2] * d
+    A = xe.examples.laplace_operator(dims)
+    b = TTTensor.ones(dims)
+    x = TTTensor.random(dims, 4)
+    xe.ALS_SPD(A, x, b, 1e-12)
+    n = 2 ** d
+    A_mat = A.to_tensor().to_ndarray().reshape(n, n)
+    ref = np.linalg.solve(A_mat, np.ones(n))
+    got = x.to_tensor().to_ndarray().reshape(n)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-6

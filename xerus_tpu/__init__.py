@@ -34,6 +34,10 @@ from .misc import (FileFormat, save_to_file, load_from_file, LogHistogram,
                    set_seed)
 from .core import serialization as _serialization  # registers Tensor I/O
 
+from .algorithms import (PerformanceData, NoPerfData, ALSVariant, ALS,
+                         ALS_SPD, DMRG, DMRG_SPD, ASD, ASD_SPD)
+from . import examples
+
 from .core.tensor import Tensor as _T
 
 

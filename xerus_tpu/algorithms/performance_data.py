@@ -1,0 +1,101 @@
+"""Per-iteration solver tracing.
+
+Re-design of xerus::PerformanceData (include/xerus/performanceData.h:43-157,
+src/xerus/performanceData.cpp): data points carry (iteration, elapsed time,
+residual, error, ranks, flags); residual evaluation can be excluded from the
+clock via stop/continue (used by check_for_end_of_sweep, als.cpp:440-442).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Callable, List, Optional
+
+from ..misc.histogram import LogHistogram
+
+
+class DataPoint:
+    __slots__ = ("iteration", "elapsed_time", "residual", "error", "ranks", "flags")
+
+    def __init__(self, iteration, elapsed_time, residual, error, ranks, flags):
+        self.iteration = iteration
+        self.elapsed_time = elapsed_time
+        self.residual = residual
+        self.error = error
+        self.ranks = ranks
+        self.flags = flags
+
+
+class PerformanceData:
+    def __init__(self, active: bool = True, print_progress: bool = False,
+                 error_function: Optional[Callable] = None):
+        self.active = active
+        self.print_progress = print_progress
+        self.error_function = error_function
+        self.data: List[DataPoint] = []
+        self.start_time = None
+        self._stop_time = None
+        self.additional_information = ""
+
+    def __bool__(self) -> bool:
+        return self.active
+
+    def start(self) -> None:
+        self.start_time = time.perf_counter()
+        self.data = []
+
+    def stop_timer(self) -> None:
+        self._stop_time = time.perf_counter()
+
+    def continue_timer(self) -> None:
+        if self._stop_time is not None and self.start_time is not None:
+            self.start_time += time.perf_counter() - self._stop_time
+        self._stop_time = None
+
+    def get_elapsed_time(self) -> float:
+        if self.start_time is None:
+            return 0.0
+        return time.perf_counter() - self.start_time
+
+    def add(self, residual: float, x=None, flags: int = 0,
+            iteration: Optional[int] = None) -> None:
+        if not self.active:
+            return
+        if self.start_time is None:
+            self.start()
+        error = self.error_function(x) if (self.error_function and x is not None) else 0.0
+        ranks = list(x.ranks()) if (x is not None and hasattr(x, "ranks")) else []
+        it = iteration if iteration is not None else (
+            self.data[-1].iteration + 1 if self.data else 0)
+        self.data.append(DataPoint(it, self.get_elapsed_time(), float(residual),
+                                   float(error), ranks, flags))
+        if self.print_progress:
+            print(f"[perf] iter {it}: residual {residual:.3e} ranks {ranks}")
+
+    def dump_to_file(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write("# iteration\ttime\tresidual\terror\tflags\tranks\n")
+            if self.additional_information:
+                for line in self.additional_information.splitlines():
+                    f.write(f"# {line}\n")
+            for p in self.data:
+                f.write(f"{p.iteration}\t{p.elapsed_time}\t{p.residual}\t"
+                        f"{p.error}\t{p.flags}\t{','.join(map(str, p.ranks))}\n")
+
+    def get_histogram(self, base: float, assume_linear_time: bool = False) -> LogHistogram:
+        """Convergence-rate histogram (performanceData.cpp:~100-143)."""
+        hist = LogHistogram(base)
+        for prev, cur in zip(self.data, self.data[1:]):
+            if prev.residual <= 0 or cur.residual <= 0:
+                continue
+            dt = cur.elapsed_time - prev.elapsed_time if not assume_linear_time else 1.0
+            if dt <= 0:
+                continue
+            rate = (cur.residual / prev.residual) ** (1.0 / dt)
+            if 0 < rate and math.isfinite(rate):
+                hist.add(rate)
+        return hist
+
+
+NoPerfData = PerformanceData(active=False)

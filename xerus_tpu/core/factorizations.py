@@ -181,7 +181,8 @@ def _solve_matrix(a, b):
     m, n = a.shape
     if m == n:
         a_host = np.asarray(a)
-        symmetric = np.allclose(a_host, a_host.T, rtol=0, atol=0)
+        scale = float(np.abs(a_host).max()) or 1.0
+        symmetric = np.allclose(a_host, a_host.T, rtol=0, atol=1e-13 * scale)
         if symmetric:
             x = _solve_sym_psd(a, b)
             if bool(jnp.all(jnp.isfinite(x))):

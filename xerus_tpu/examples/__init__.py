@@ -1,0 +1,3 @@
+from .generators import (laplace_operator, poisson_rhs, peaking_diagonals,
+                         random_low_rank)
+from .completion import inverse_index_norm, inverse_index_ratio

@@ -596,7 +596,11 @@ class TTNetwork:
     def frob_norm(self) -> float:
         if self.canonicalized:
             return self.components[self.corePosition].frob_norm()
-        return math.sqrt(max(inner(self, self), 0.0))
+        # canonicalize a copy: the <v,v> route cancels catastrophically for
+        # near-zero differences (Ax-b), a QR sweep is backward stable
+        cp = self.copy()
+        cp.canonicalize_left()
+        return cp.components[0].frob_norm()
 
     # ------------------------------------------------------------------
     # Conversion / element access
