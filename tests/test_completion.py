@@ -1,0 +1,99 @@
+"""Measurement / ADF / IHT tests (intent of ttCompletion.cxx)."""
+
+import numpy as np
+import pytest
+
+import xerus_tpu as xe
+from xerus_tpu import (Tensor, TTTensor, SinglePointMeasurementSet,
+                       RankOneMeasurementSet)
+
+
+def test_single_point_measurement_set_basics():
+    dims = [4, 4, 4]
+    ms = SinglePointMeasurementSet.random(20, dims)
+    assert ms.size() == 20
+    assert ms.degree() == 3
+    tt = TTTensor.random(dims, 2)
+    ms.measure(tt)
+    arr = tt.to_tensor().to_ndarray()
+    for i in range(20):
+        p = ms.positions[i]
+        assert np.isclose(ms.measuredValues[i], arr[tuple(p)])
+    assert ms.test(tt) < 1e-12
+
+
+def test_measurement_measure_dense_and_callback():
+    dims = [3, 3]
+    ms = SinglePointMeasurementSet.random(5, dims)
+    t = Tensor.random(dims)
+    ms.measure(t)
+    assert ms.test(t) < 1e-12
+    ms.measure(lambda p: float(p[0] + p[1]))
+    for i in range(5):
+        assert np.isclose(ms.measuredValues[i], sum(ms.positions[i]))
+
+
+def test_rank_one_measurement_set():
+    dims = [3, 4, 3]
+    ms = RankOneMeasurementSet.random(10, dims)
+    tt = TTTensor.random(dims, 2)
+    ms.measure(tt)
+    arr = tt.to_tensor().to_ndarray()
+    for i in range(10):
+        w = [ms.positions[k][i] for k in range(3)]
+        ref = np.einsum('abc,a,b,c->', arr, w[0], w[1], w[2])
+        assert np.isclose(ms.measuredValues[i], ref, atol=1e-10)
+    assert ms.test(tt) < 1e-12
+
+
+def test_adf_completes_low_rank():
+    """ADF must recover a rank-2 TT from sufficiently many point samples
+    (ttCompletion.cxx oracle)."""
+    dims = [4] * 4
+    target = TTTensor.random(dims, 2)
+    target /= target.frob_norm()
+    ms = SinglePointMeasurementSet.random(150, dims)
+    ms.measure(target)
+    x = TTTensor.random(dims, 2)
+    variant = xe.ADFVariant(300, 1e-8, 0.999)
+    resid = variant(x, ms)
+    assert resid < 1e-6
+    assert ms.test(x) < 1e-5
+
+
+def test_adf_rank_one_measurements():
+    dims = [3] * 3
+    target = TTTensor.random(dims, 2)
+    target /= target.frob_norm()
+    ms = RankOneMeasurementSet.random(60, dims)
+    ms.measure(target)
+    x = TTTensor.random(dims, 2)
+    variant = xe.ADFVariant(300, 1e-8, 0.999)
+    resid = variant(x, ms)
+    assert resid < 1e-5
+
+
+def test_adf_rank_adaptation():
+    dims = [4] * 4
+    target = TTTensor.random(dims, 3)
+    target /= target.frob_norm()
+    ms = SinglePointMeasurementSet.random(200, dims)
+    ms.measure(target)
+    x = TTTensor.random(dims, 1)   # start rank-1; allow growth to 3
+    variant = xe.ADFVariant(400, 1e-7, 0.9999)
+    resid = variant(x, ms, max_ranks=[3, 3, 3])
+    assert max(x.ranks()) >= 2  # rank was adapted upward
+
+
+def test_iht_runs_and_stays_bounded():
+    """IHT sanity (the reference ships no IHT unit test; its acceptance rule
+    allows temporary residual increase, iht.cpp:70-71)."""
+    dims = [3] * 3
+    target = TTTensor.random(dims, 2)
+    target /= target.frob_norm()
+    ms = SinglePointMeasurementSet.random(25, dims)
+    ms.measure(target)
+    x = target.copy()  # start at the solution: residual must stay tiny
+    resid = xe.IHT(x, ms, max_iterations=3)
+    assert np.isfinite(resid)
+    assert resid < 1e-8

@@ -35,7 +35,16 @@ from .misc import (FileFormat, save_to_file, load_from_file, LogHistogram,
 from .core import serialization as _serialization  # registers Tensor I/O
 
 from .algorithms import (PerformanceData, NoPerfData, ALSVariant, ALS,
-                         ALS_SPD, DMRG, DMRG_SPD, ASD, ASD_SPD)
+                         ALS_SPD, DMRG, DMRG_SPD, ASD, ASD_SPD,
+                         SinglePointMeasurementSet, RankOneMeasurementSet,
+                         ADFVariant, ADF, TTTangentVector,
+                         HOSVDRetractionI, HOSVDRetractionII, ALSRetractionI,
+                         ALSRetractionII, SubmanifoldRetractionI,
+                         SubmanifoldRetractionII, ProjectiveVectorTransport,
+                         SteepestDescentVariant, SteepestDescent,
+                         GeometricCGVariant, GeometricCG, IHT,
+                         decomposition_als, find_largest_entry,
+                         UQMeasurementSet, uq_adf, uq_avg, uq_mc)
 from . import examples
 
 from .core.tensor import Tensor as _T

@@ -1,2 +1,15 @@
 from .performance_data import PerformanceData, NoPerfData, DataPoint
 from .als import (ALSVariant, ALS, ALS_SPD, DMRG, DMRG_SPD, ASD, ASD_SPD)
+from .measurements import SinglePointMeasurementSet, RankOneMeasurementSet
+from .adf import ADFVariant, ADF
+from .retractions import (TTTangentVector, HOSVDRetractionI, HOSVDRetractionII,
+                          ALSRetractionI, ALSRetractionII,
+                          SubmanifoldRetractionI, SubmanifoldRetractionII,
+                          ProjectiveVectorTransport)
+from .steepest_descent import SteepestDescentVariant, SteepestDescent, line_search
+from .cg import GeometricCGVariant, GeometricCG
+from .iht import IHT
+from .decomposition_als import decomposition_als
+from .largest_entry import find_largest_entry
+from .uq_adf import (UQMeasurementSet, uq_adf, uq_avg, uq_mc,
+                     randvar_to_position)

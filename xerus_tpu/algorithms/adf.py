@@ -1,0 +1,180 @@
+"""ADF — alternating directional fitting for tensor completion.
+
+Re-design of include/xerus/algorithms/adf.h:39-270,
+src/xerus/algorithms/adf.cpp.  The reference builds per-measurement
+forward/backward contraction stacks with sort+dedup prefix sharing
+(adf.cpp:103-193) and OpenMP loops; the TPU-native formulation keeps the
+stacks as (M, rank) batched arrays updated by gather-matmuls, the projected
+gradient as a segment-sum over measurements, and the slice-wise optimal step
+as a second segment-sum — all XLA ops that shard over the measurement axis.
+
+Algorithm semantics match adf.cpp exactly: per sweep left->right, per core
+compute the projected gradient E(A^T(b-Ax)), take the slice-wise optimal step
+(PyR/|A P_j y|^2, update_x adf.cpp:468-487), move the core; terminate on
+target residual or stagnating residual decrease (solve_with_current_ranks
+adf.cpp:541-566); then bump ranks by a small random rank-1 perturbation and
+re-solve until maxRanks (adf.cpp:589-601).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import config, require
+from ..core.tensor import Tensor
+from ..tt.ttnetwork import TTTensor
+from .measurements import SinglePointMeasurementSet, RankOneMeasurementSet
+from .performance_data import PerformanceData, NoPerfData
+
+
+class ADFVariant:
+    def __init__(self, max_iterations: int, target_residual: float,
+                 minimal_residual_decrease: float):
+        self.maxIterations = max_iterations
+        self.targetResidualNorm = target_residual
+        self.minimalResidualNormDecrease = minimal_residual_decrease
+
+    def __call__(self, x: TTTensor, measurements,
+                 max_ranks: Optional[Sequence[int]] = None,
+                 perf_data: PerformanceData = NoPerfData) -> float:
+        solver = _InternalSolver(self, x,
+                                 list(max_ranks) if max_ranks is not None
+                                 else list(x.ranks()),
+                                 measurements, perf_data)
+        return solver.solve()
+
+
+class _InternalSolver:
+    def __init__(self, variant: ADFVariant, x: TTTensor, max_ranks: List[int],
+                 measurements, perf: PerformanceData):
+        self.v = variant
+        self.x = x
+        self.max_ranks = TTTensor.reduce_to_maximal_ranks(max_ranks, x.dimensions)
+        self.meas = measurements
+        self.rank_one = isinstance(measurements, RankOneMeasurementSet)
+        self.perf = perf
+        self.M = measurements.size()
+        self.d = x.degree()
+        require(self.d == measurements.degree(),
+                "measurement degree does not match x")
+        require(self.M > 0, "no measurements given")
+        self.values = jnp.asarray(measurements.measuredValues)
+        self.norm_values = float(np.linalg.norm(measurements.measuredValues)) or 1.0
+        if self.rank_one:
+            self.W = [jnp.asarray(w) for w in measurements.positions]
+        else:
+            self.P = jnp.asarray(measurements.positions)
+        self.iteration = 0
+        self.residual_norm = 1.0
+        self.last_residual = 1.0
+        # stacks: forward[k] covers components < k; backward[k] covers > k-2
+        self.forward: List = [None] * (self.d + 1)
+        self.backward: List = [None] * (self.d + 1)
+        self.forward[0] = jnp.ones((self.M, 1), dtype=config.value_dtype)
+        self.backward[self.d] = jnp.ones((self.M, 1), dtype=config.value_dtype)
+
+    # -- stack updates (adf.cpp:255-290) --------------------------------
+    def _site_matrix(self, k: int, comp) -> jnp.ndarray:
+        """(M, rl, rr) view of component k selected per measurement."""
+        C = comp.to_jax() if isinstance(comp, Tensor) else comp
+        if self.rank_one:
+            return jnp.einsum("anb,mn->mab", C, self.W[k])
+        return jnp.transpose(jnp.take(C, self.P[:, k], axis=1), (1, 0, 2))
+
+    def update_forward(self, k: int, comp) -> None:
+        site = self._site_matrix(k, comp)
+        self.forward[k + 1] = jnp.einsum("ma,mab->mb", self.forward[k], site)
+
+    def update_backward(self, k: int, comp) -> None:
+        site = self._site_matrix(k, comp)
+        self.backward[k] = jnp.einsum("mab,mb->ma", site, self.backward[k + 1])
+
+    # -- residual (adf.cpp:290-313) -------------------------------------
+    def calc_residual(self, cp: int) -> jnp.ndarray:
+        self.update_forward(cp, self.x.components[cp])
+        pred = jnp.einsum("ma,ma->m", self.forward[cp + 1], self.backward[cp + 1])
+        return self.values - pred
+
+    # -- one sweep core step --------------------------------------------
+    def _core_step(self, cp: int, residual: jnp.ndarray) -> None:
+        comp = self.x.components[cp]
+        rl, n, rr = comp.dimensions[0], comp.dimensions[1], comp.dimensions[2]
+        F = self.forward[cp]          # (M, rl)
+        B = self.backward[cp + 1]     # (M, rr)
+        outer = jnp.einsum("m,ma,mb->mab", residual, F, B)
+        if self.rank_one:
+            # gradient (rl, n, rr) = sum_m outer x w
+            grad = jnp.einsum("mab,mn->anb", outer, self.W[cp])
+            # norm of A applied to grad (slot 0 only, adf.cpp:404-408)
+            site = self._site_matrix(cp, Tensor.from_jax(grad))
+            val = jnp.einsum("ma,mab,mb->m", F, site, B)
+            denom = float(jnp.sum(val * val))
+            PyR = float(jnp.sum(grad * grad))
+            alpha = PyR / denom if denom > 0 else 0.0
+            new = comp.to_jax() + alpha * grad
+        else:
+            idx = self.P[:, cp]
+            grad_by_slice = jnp.zeros((n, rl, rr), dtype=config.value_dtype
+                                      ).at[idx].add(outer)      # (n, rl, rr)
+            grad = jnp.transpose(grad_by_slice, (1, 0, 2))       # (rl, n, rr)
+            # slicewise |A P_j y|^2 (adf.cpp:415-466)
+            Ggath = grad_by_slice[idx]                           # (M, rl, rr)
+            val = jnp.einsum("ma,mab,mb->m", F, Ggath, B)
+            norms = jnp.zeros((n,), dtype=config.value_dtype).at[idx].add(val * val)
+            PyR = jnp.sum(grad_by_slice * grad_by_slice, axis=(1, 2))  # (n,)
+            alpha = jnp.where(norms > 0, PyR / norms, 0.0)
+            new = comp.to_jax() + alpha[None, :, None] * grad
+        self.x.components[cp] = Tensor.from_jax(new)
+        self.x.assume_core_position(cp)
+
+    # -- main loop (adf.cpp:541-566) ------------------------------------
+    def solve_with_current_ranks(self) -> None:
+        res_dec = [0.0, 0.0, 0.0, 0.0]
+        while self.v.maxIterations == 0 or self.iteration < self.v.maxIterations:
+            self.iteration += 1
+            self.x.move_core(0, keep_rank=True)
+            for cp in range(self.d - 1, 0, -1):
+                self.update_backward(cp, self.x.components[cp])
+            residual = self.calc_residual(0)
+            self.last_residual = self.residual_norm
+            self.residual_norm = float(jnp.linalg.norm(residual)) / self.norm_values
+            self.perf.add(self.residual_norm, self.x, 0, iteration=self.iteration)
+            res_dec = [self.residual_norm / (self.last_residual or 1.0)] + res_dec[:3]
+            if (self.residual_norm < self.v.targetResidualNorm
+                    or np.prod(res_dec) > self.v.minimalResidualNormDecrease ** 4):
+                return
+            for cp in range(self.d):
+                if cp > 0:
+                    residual = self.calc_residual(cp)
+                self._core_step(cp, residual)
+                if cp + 1 < self.d:
+                    self.x.move_core(cp + 1, keep_rank=True)
+                    self.update_forward(cp, self.x.components[cp])
+
+    def solve(self) -> float:
+        self.perf.start()
+        self.x.canonicalize_left()
+        self.solve_with_current_ranks()
+        while (self.residual_norm > self.v.targetResidualNorm
+               and self.x.ranks() != self.max_ranks
+               and (self.v.maxIterations == 0
+                    or self.iteration < self.v.maxIterations)):
+            # rank bump: add a tiny random rank-1 term, re-round, re-solve
+            self.x.move_core(0, keep_rank=True)
+            rnd = TTTensor.random(self.x.dimensions, [1] * (self.d - 1))
+            scale = 1e-6 * self.x.frob_norm() / (rnd.frob_norm() or 1.0)
+            bumped = self.x + scale * rnd
+            bumped.round(self.max_ranks)
+            self.x.components = bumped.components
+            self.x.canonicalized = bumped.canonicalized
+            self.x.corePosition = bumped.corePosition
+            self.x.dimensions = bumped.dimensions
+            self.solve_with_current_ranks()
+        return self.residual_norm
+
+
+ADF = ADFVariant(0, 1e-8, 0.999)
