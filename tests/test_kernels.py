@@ -1,0 +1,61 @@
+"""Jitted hot-path kernels vs the object layer (consistency oracles)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import xerus_tpu as xe
+from xerus_tpu import TTTensor
+from xerus_tpu.ops.tt_kernels import tt_round_sweep, round_flops, _als_half_sweep
+
+
+def test_round_sweep_matches_object_layer():
+    tt = TTTensor.random([3] * 6, 8)
+    target = 4
+    cores = [c.to_jax() for c in tt.components]
+    out = tt_round_sweep(cores, target)
+    fast = TTTensor._make([xe.Tensor.from_jax(c) for c in out])
+    obj = tt.copy()
+    obj.round(target)
+    # both are quasi-best rank-4 approximations; norms of difference to the
+    # original must agree closely
+    orig = tt.to_tensor().to_ndarray()
+    err_fast = np.linalg.norm(fast.to_tensor().to_ndarray() - orig)
+    err_obj = np.linalg.norm(obj.to_tensor().to_ndarray() - orig)
+    assert np.isclose(err_fast, err_obj, rtol=1e-8)
+
+
+def test_round_sweep_exact_when_rank_sufficient():
+    tt = TTTensor.random([2] * 8, 4)
+    cores = [c.to_jax() for c in tt.components]
+    out = tt_round_sweep(cores, 8)  # target above actual rank: exact
+    fast = TTTensor._make([xe.Tensor.from_jax(c) for c in out])
+    assert np.allclose(fast.to_tensor().to_ndarray(),
+                       tt.to_tensor().to_ndarray(), atol=1e-10)
+
+
+def test_round_flops_positive_and_scales():
+    shapes_small = [(1, 2, 4)] + [(4, 2, 4)] * 4 + [(4, 2, 1)]
+    shapes_big = [(1, 2, 8)] + [(8, 2, 8)] * 4 + [(8, 2, 1)]
+    f_small = round_flops(shapes_small, 2)
+    f_big = round_flops(shapes_big, 4)
+    assert 0 < f_small < f_big
+
+
+def test_als_half_sweep_reduces_residual():
+    from xerus_tpu.examples import laplace_operator
+    dims = [2] * 6
+    A = laplace_operator(dims)
+    b = TTTensor.ones(dims)
+    x = TTTensor.random(dims, 4)
+    x.canonicalize_left()
+    x_cores = tuple(c.to_jax() for c in x.components)
+    A_cores = tuple(c.to_jax() for c in A.components)
+    b_cores = tuple(c.to_jax() for c in b.components)
+    out = _als_half_sweep(x_cores, A_cores, b_cores)
+    new_x = TTTensor._make([xe.Tensor.from_jax(c) for c in out])
+    A_mat = A.to_tensor().to_ndarray().reshape(64, 64)
+    b_vec = np.ones(64)
+    start = np.linalg.norm(A_mat @ x.to_tensor().to_ndarray().reshape(-1) - b_vec)
+    end = np.linalg.norm(A_mat @ new_x.to_tensor().to_ndarray().reshape(-1) - b_vec)
+    assert end < 0.1 * start

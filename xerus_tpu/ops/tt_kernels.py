@@ -1,0 +1,172 @@
+"""Fully-jitted TT hot-path kernels (the bench-critical compute chains).
+
+These are the TPU fast paths for the operations behind the north-star
+metric (BASELINE.md): the TT-rounding QR+SVD chain
+(reference: ttNetwork.cpp:644 + tensorNetwork.cpp:678) and the ALS sweep
+(als.cpp:483-564).  Unlike the generic object layer (tt/ttnetwork.py), which
+dispatches op-by-op through Tensor objects, each function here compiles the
+ENTIRE sweep into one XLA program: static shapes, no host sync, MXU-friendly
+matricizations.
+
+Truncation ranks are static (compiled into the program); rank-adaptive paths
+re-jit per rank tuple, cached by shape signature.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# TT rounding: left-orthogonalize (QR sweep), then truncate (SVD sweep)
+# ---------------------------------------------------------------------------
+
+def _round_sweep(cores: Tuple[jnp.ndarray, ...], target_rank: int):
+    """cores[i]: (r_l, n, r_r); returns truncated cores, core at 0."""
+    d = len(cores)
+    cores = list(cores)
+    # QR sweep left -> right (canonicalize_right, ttNetwork.cpp:638)
+    for i in range(d - 1):
+        rl, n, rr = cores[i].shape
+        q, r = jnp.linalg.qr(cores[i].reshape(rl * n, rr))
+        k = q.shape[1]
+        cores[i] = q.reshape(rl, n, k)
+        nxt = cores[i + 1]
+        cores[i + 1] = jnp.einsum(
+            "ab,bnc->anc", r, nxt,
+            preferred_element_type=nxt.dtype)
+    # SVD sweep right -> left (round_edge chain, tensorNetwork.cpp:678)
+    for i in range(d - 1, 0, -1):
+        rl, n, rr = cores[i].shape
+        mat = cores[i].reshape(rl, n * rr)
+        u, s, vt = jnp.linalg.svd(mat, full_matrices=False)
+        k = min(target_rank, u.shape[1])
+        u = u[:, :k] * s[None, :k]
+        cores[i] = vt[:k, :].reshape(k, n, rr)
+        prev = cores[i - 1]
+        cores[i - 1] = jnp.einsum(
+            "anb,bk->ank", prev, u, preferred_element_type=prev.dtype)
+    return tuple(cores)
+
+
+@lru_cache(maxsize=64)
+def make_round_sweep(shapes: Tuple[Tuple[int, ...], ...], target_rank: int,
+                     dtype_str: str):
+    """Compiled rounding sweep for the given core shapes."""
+    fn = jax.jit(partial(_round_sweep, target_rank=target_rank))
+    return fn
+
+
+def tt_round_sweep(cores: Sequence[jnp.ndarray], target_rank: int):
+    shapes = tuple(tuple(c.shape) for c in cores)
+    fn = make_round_sweep(shapes, int(target_rank), str(cores[0].dtype))
+    return fn(tuple(cores))
+
+
+def _qr_flops(m: int, n: int) -> float:
+    """Householder QR + explicit Q formation (dgeqrf + dorgqr)."""
+    k = min(m, n)
+    return 2.0 * m * n * k - (2.0 / 3.0) * k ** 3 + 2.0 * m * k * k
+
+
+def _svd_flops(m: int, n: int) -> float:
+    """gesdd-style estimate: bidiagonalization + D&C + back-transform."""
+    a, b = max(m, n), min(m, n)
+    return 8.0 * a * b * b + (20.0 / 3.0) * b ** 3
+
+
+def round_flops(shapes: Sequence[Tuple[int, int, int]], target_rank: int) -> float:
+    """Analytic FLOP count of one _round_sweep over the given core shapes."""
+    shapes = [tuple(s) for s in shapes]
+    total = 0.0
+    cur = list(shapes)
+    # QR sweep
+    for i in range(len(cur) - 1):
+        rl, n, rr = cur[i]
+        k = min(rl * n, rr)
+        total += _qr_flops(rl * n, rr)
+        rl2, n2, rr2 = cur[i + 1]
+        total += 2.0 * k * rl2 * n2 * rr2  # R @ next-core matricization
+        cur[i] = (rl, n, k)
+        cur[i + 1] = (k, n2, rr2)
+    # SVD sweep
+    for i in range(len(cur) - 1, 0, -1):
+        rl, n, rr = cur[i]
+        total += _svd_flops(rl, n * rr)
+        k = min(target_rank, min(rl, n * rr))
+        rl2, n2, rr2 = cur[i - 1]
+        total += 2.0 * rl2 * n2 * rr2 * k
+        cur[i] = (k, n, rr)
+        cur[i - 1] = (rl2, n2, k)
+    return total
+
+
+# ---------------------------------------------------------------------------
+# ALS sweep (SPD): one full left->right half-sweep in a single XLA program
+# ---------------------------------------------------------------------------
+
+def _als_half_sweep(x_cores, A_cores, b_cores):
+    """Single-site SPD ALS half-sweep; x assumed canonicalized at 0.
+    Returns updated x cores (core at d-1)."""
+    d = len(x_cores)
+    dtype = x_cores[0].dtype
+    # right environments
+    op_right = [None] * (d + 1)
+    rhs_right = [None] * (d + 1)
+    op_right[d] = jnp.ones((1, 1, 1), dtype=dtype)
+    rhs_right[d] = jnp.ones((1, 1), dtype=dtype)
+    for k in range(d - 1, 0, -1):
+        xc, Ac, bc = x_cores[k], A_cores[k], b_cores[k]
+        op_right[k] = jnp.einsum("umU,amnb,vnV,UbV->uav", xc, Ac, xc,
+                                 op_right[k + 1])
+        rhs_right[k] = jnp.einsum("umU,bmB,UB->ub", xc, bc, rhs_right[k + 1])
+
+    x_cores = list(x_cores)
+    op_left = jnp.ones((1, 1, 1), dtype=dtype)
+    rhs_left = jnp.ones((1, 1), dtype=dtype)
+    for k in range(d):
+        Ac, bc = A_cores[k], b_cores[k]
+        Aloc = jnp.einsum("uav,amnb,UbV->umUvnV", op_left, Ac, op_right[k + 1])
+        bloc = jnp.einsum("ub,bmB,UB->umU", rhs_left, bc, rhs_right[k + 1])
+        shape = bloc.shape
+        nn = shape[0] * shape[1] * shape[2]
+        sol = jax.scipy.linalg.solve(
+            Aloc.reshape(nn, nn), bloc.reshape(nn), assume_a="pos")
+        core = sol.reshape(shape)
+        if k < d - 1:
+            rl, n, rr = core.shape
+            q, r = jnp.linalg.qr(core.reshape(rl * n, rr))
+            kk = q.shape[1]
+            x_cores[k] = q.reshape(rl, n, kk)
+            x_cores[k + 1] = jnp.einsum("ab,bnc->anc", r, x_cores[k + 1])
+            op_left = jnp.einsum("uav,umU,amnb,vnV->UbV", op_left,
+                                 x_cores[k], Ac, x_cores[k])
+            rhs_left = jnp.einsum("ub,umU,bmB->UB", rhs_left, x_cores[k], bc)
+        else:
+            x_cores[k] = core
+    return tuple(x_cores)
+
+
+@lru_cache(maxsize=64)
+def make_als_sweep(shapes_key: Tuple, dtype_str: str):
+    return jax.jit(_als_half_sweep)
+
+
+def als_sweep_flops(x_shapes, A_shapes) -> float:
+    """Rough FLOP count of one half-sweep (envs + local solves)."""
+    d = len(x_shapes)
+    total = 0.0
+    for k in range(d):
+        rl, n, rr = x_shapes[k]
+        al, m, m2, ar = A_shapes[k]
+        # env update (two sides amortized): ~ 2 * (r^2 a n^2 r + ...)
+        total += 4.0 * rl * rr * al * ar * n * n
+        # local operator assembly + solve
+        loc = rl * n * rr
+        total += 2.0 * loc * loc * max(al, ar) + (2.0 / 3.0) * loc ** 3
+    return total
