@@ -166,6 +166,14 @@ def best_contraction_order(network, ids: Set[int]) -> List[Tuple[int, int]]:
     if cached is not None:
         return cached
 
+    from .native import native_best_order
+    native = native_best_order(network, ids)
+    if native is not None:
+        if len(_PATH_CACHE) >= _MAX_CACHE:
+            _PATH_CACHE.clear()
+        _PATH_CACHE[key] = native
+        return native
+
     graph = _Graph(network, ids)
     best_cost = _INF
     best_order: List[Tuple[int, int]] = []
