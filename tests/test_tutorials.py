@@ -1,0 +1,66 @@
+"""Doc-example tests (intent of tutorials.cxx and strassen.cxx)."""
+
+import numpy as np
+import pytest
+
+import xerus_tpu as xe
+from xerus_tpu import Tensor, TTTensor, TTOperator
+
+
+def _dense_laplace(n):
+    A = Tensor([n, n], xe.Representation.Sparse)
+    for i in range(n):
+        A[[i, i]] = 2.0
+        if i + 1 < n:
+            A[[i + 1, i]] = -1.0
+            A[[i, i + 1]] = -1.0
+    return A
+
+
+def test_quickstart_qtt_poisson():
+    """The quickstart flow (doc/jekyll/_posts/1000-12-10-quickstart.md;
+    tested in tutorials.cxx:20-43) at 256 = 2^8 grid points."""
+    n = 256
+    q = 8
+    A = _dense_laplace(n)
+    A *= float(n * n)
+    A.use_dense_representation()
+    A.reinterpret_dimensions([2] * (2 * q))
+    # reorder (row-bits, col-bits) -> operator layout expects (out.., in..):
+    # after reinterpret, modes alternate? No: row-major (row, col) split into
+    # bits gives modes (r1..rq, c1..cq) which IS the (out.., in..) layout.
+    ttA = TTOperator(A, eps=1e-14)
+    assert max(ttA.ranks()) <= 4  # QTT Laplace has low exact rank
+
+    b = Tensor.ones([2] * q)
+    ttb = TTTensor(b)
+    ttx = TTTensor.random([2] * q, 3)
+    xe.ALS_SPD(ttA, ttx, ttb, 1e-12)
+
+    A_mat = A.to_ndarray().reshape(n, n)
+    x_ref = np.linalg.solve(A_mat, np.ones(n))
+    x_got = ttx.to_tensor().to_ndarray().reshape(n)
+    assert np.linalg.norm(x_got - x_ref) / np.linalg.norm(x_ref) < 1e-8
+
+
+def test_strassen_matmul_tensor():
+    """strassen.cxx TTRanks: the matmul tensor T[i,j,j,k,i,k]=1 reproduces
+    A@B, and its TT rounding has bounded ranks."""
+    for n in (2, 3):
+        T = Tensor([n] * 6, xe.Representation.Sparse)
+        for i in range(n):
+            for j in range(n):
+                for k in range(n):
+                    T[[i, j, j, k, i, k]] = 1.0
+        A = Tensor.random([n, n])
+        B = Tensor.random([n, n])
+        i1, i2, i3, i4, i5, i6 = xe.indices(6)
+        C1 = Tensor(); C2 = Tensor()
+        C1(i1, i3) << A(i1, i2) * B(i2, i3)
+        C2(i5, i6) << T(i1, i2, i3, i4, i5, i6) * A(i1, i2) * B(i3, i4)
+        assert xe.approx_equal(C1, C2, 1e-12)
+
+        ttT = TTTensor(T.dense_copy())
+        ttT.round(1e-12)
+        # the TT-rank of the matmul tensor is bounded by n^2
+        assert max(ttT.ranks()) <= n * n

@@ -64,7 +64,29 @@ class Expression:
         from .evaluate import evaluate_to_tensor
         return evaluate_to_tensor(self, None)
 
+    def _try_tt(self):
+        """Attempt structured TT evaluation of this expression (returns a
+        TTNetwork or None).  Keeps frob_norm(A(..)*x(..) - b(..)) in TT form
+        instead of densifying (the reference's TTStack lazy path)."""
+        try:
+            from ..tt.ttnetwork import TTTensor, TTOperator
+            from ..tt.dsl import _try_tt_eval
+            from .evaluate import _rhs_open_count, _resolve_lhs_labels
+            labels = _open_label_order(self)
+            if labels is None:
+                return None
+            for cls in (TTTensor, TTOperator):
+                out = _try_tt_eval(cls, labels, self)
+                if out is not None:
+                    return out
+        except Exception:
+            return None
+        return None
+
     def frob_norm(self) -> float:
+        tt = self._try_tt()
+        if tt is not None:
+            return tt.frob_norm()
         return self._to_tensor().frob_norm()
 
     def __float__(self) -> float:
@@ -75,6 +97,21 @@ class Expression:
     @property
     def value(self) -> float:
         return float(self)
+
+
+def _open_label_order(expr: "Expression"):
+    """Open labels of an expression in appearance order, or None."""
+    from .evaluate import _resolve_term, _open_labels
+    if isinstance(expr, Sum):
+        return _open_label_order(expr.terms[0][1])
+    if isinstance(expr, IndexedTensor):
+        expr = Product([expr])
+    if not isinstance(expr, Product):
+        return None
+    terms = []
+    for f in expr.factors:
+        terms.extend(_resolve_term(f))
+    return _open_labels(terms)
 
 
 def _scaled(expr: "Expression", s: float) -> "Expression":
