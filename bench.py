@@ -74,6 +74,8 @@ def main() -> None:
     # NOTE: do NOT enable x64 for the bench path: TPU f64 is emulated.
     os.environ.setdefault("XERUS_TPU_NO_X64", "1")
     from xerus_tpu.ops.tt_kernels import (tt_round_sweep, round_flops,
+                                          tt_round_randomized,
+                                          randomized_round_flops,
                                           make_als_sweep)
 
     rng = np.random.Generator(np.random.PCG64(0xBAADF00D))
@@ -94,6 +96,16 @@ def main() -> None:
 
     flops = round_flops(shapes, TARGET)
     tflops = flops / tpu_time / 1e12
+
+    # randomized (GEMM-dominated) rounding — TPU-first alternative
+    out_r = tt_round_randomized(dev_cores, TARGET)
+    jax.block_until_ready(out_r)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        out_r = tt_round_randomized(dev_cores, TARGET)
+        jax.block_until_ready(out_r)
+    rnd_time = (time.perf_counter() - t0) / REPS
+    rnd_tflops = randomized_round_flops(shapes, TARGET, 8) / rnd_time / 1e12
 
     # CPU float64 LAPACK baseline (reference kernel chain)
     t0 = time.perf_counter()
@@ -160,6 +172,8 @@ def main() -> None:
         "unit": "TFLOP/s",
         "vs_baseline": round(cpu_time / tpu_time, 2),
         "tt_round_time_s": round(tpu_time, 5),
+        "randomized_round_time_s": round(rnd_time, 5),
+        "randomized_round_tflops": round(rnd_tflops, 4),
         "cpu_f64_lapack_time_s": round(cpu_time, 5),
         "als_halfsweep_d32_poisson_r30_time_s": round(als_time, 5),
         "f32_vs_f64_rel_err": f"{rel_err:.2e}",

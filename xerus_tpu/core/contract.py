@@ -91,6 +91,30 @@ def _contract_sparse(lhs: Tensor, rhs: Tensor, lhs_trans: bool, rhs_trans: bool,
     factor = lhs.factor * rhs.factor
 
     both_sparse = lhs.is_sparse() and rhs.is_sparse()
+
+    # Large mixed sparse x dense products run on device (gather + segment-sum,
+    # ops/sparse_kernels.py) — the sparseTimesFullContraction equivalent.
+    from ..ops.sparse_kernels import (DEVICE_SPARSE_THRESHOLD,
+                                      sparse_times_dense, dense_times_sparse)
+    if not both_sparse and m * n >= DEVICE_SPARSE_THRESHOLD:
+        if lhs.is_sparse() and not lhs_trans:
+            pos, val = lhs.sparse_coo()
+            dense = rhs.to_jax(apply_factor=False).reshape(
+                (n, k) if rhs_trans else (k, n))
+            dense = dense.T if rhs_trans else dense
+            out = sparse_times_dense(pos, val, (m, k), dense)
+            res = Tensor.from_jax(out.reshape(out_dims) if out_dims else out.reshape(()))
+            res.factor = factor
+            return res
+        if rhs.is_sparse() and not rhs_trans:
+            pos, val = rhs.sparse_coo()
+            dense = lhs.to_jax(apply_factor=False).reshape(
+                (k, m) if lhs_trans else (m, k))
+            dense = dense.T if lhs_trans else dense
+            out = dense_times_sparse(dense, pos, val, (k, n))
+            res = Tensor.from_jax(out.reshape(out_dims) if out_dims else out.reshape(()))
+            res.factor = factor
+            return res
     if lhs.is_sparse():
         a = _to_csr(lhs, m, k, lhs_trans)
     else:

@@ -107,6 +107,100 @@ def round_flops(shapes: Sequence[Tuple[int, int, int]], target_rank: int) -> flo
 
 
 # ---------------------------------------------------------------------------
+# Randomized TT rounding (GEMM-dominated, MXU-friendly)
+# ---------------------------------------------------------------------------
+
+def _round_randomized(cores: Tuple[jnp.ndarray, ...], seeds: jnp.ndarray,
+                      target_rank: int, oversample: int):
+    """Randomized rounding to fixed target rank (Al Daas/Ballard-style
+    'randomize-then-orthogonalize').
+
+    All heavy work is GEMM: right-to-left sketch build W_i = G_i (x) R_i
+    (random rank-l TT), then left-to-right QR of (M_i W_i) with the small
+    (r n x l) panels.  No SVD sweep; error is quasi-optimal in expectation.
+    This is a NEW TPU-first design — the reference only has the
+    deterministic QR+SVD chain (tensorNetwork.cpp:678).
+    """
+    d = len(cores)
+    l = target_rank + oversample
+    dtype = cores[0].dtype
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(jax.random.fold_in(key, 0), d)
+
+    # random TT cores R_i: (l, n, l) (boundaries 1)
+    # sketches W[i]: (r_i, l) = contraction of G_{i+1..d-1} with R_{i+1..d-1}
+    W = [None] * d
+    W[d - 1] = jnp.ones((cores[d - 1].shape[2], 1), dtype=dtype)
+    for i in range(d - 2, -1, -1):
+        rl, n, rr = cores[i + 1].shape
+        lw = W[i + 1].shape[1]
+        l_left = l if i > -1 else 1
+        R = jax.random.normal(keys[i], (l_left, n, lw), dtype=dtype) \
+            / jnp.sqrt(jnp.asarray(l, dtype=dtype))
+        # W[i][a, p] = sum_{n, b, q} G[a n b] W[i+1][b q] R[p n q]
+        GW = jnp.einsum("anb,bq->anq", cores[i + 1], W[i + 1])
+        W[i] = jnp.einsum("anq,pnq->ap", GW, R)
+
+    out = list(cores)
+    carry = None  # (k, r) projection to apply to the next core
+    for i in range(d - 1):
+        G = out[i] if carry is None else jnp.einsum("ka,anb->knb", carry, out[i])
+        rl, n, rr = G.shape
+        Y = jnp.einsum("anb,bl->anl", G, W[i]).reshape(rl * n, -1)
+        q, _ = jnp.linalg.qr(Y)
+        k = min(target_rank, q.shape[1])
+        q = q[:, :k]
+        out[i] = q.reshape(rl, n, k)
+        carry = jnp.einsum("ank,anb->kb", out[i].reshape(rl, n, k), G)
+    out[d - 1] = jnp.einsum("ka,anb->knb", carry, out[d - 1])
+    return tuple(out)
+
+
+@lru_cache(maxsize=64)
+def make_randomized_round(shapes: Tuple[Tuple[int, ...], ...], target_rank: int,
+                          oversample: int, dtype_str: str):
+    return jax.jit(partial(_round_randomized, target_rank=target_rank,
+                           oversample=oversample))
+
+
+def tt_round_randomized(cores: Sequence[jnp.ndarray], target_rank: int,
+                        oversample: int = 8):
+    shapes = tuple(tuple(c.shape) for c in cores)
+    fn = make_randomized_round(shapes, int(target_rank), int(oversample),
+                               str(cores[0].dtype))
+    return fn(tuple(cores), jnp.zeros((1,), dtype=jnp.int32))
+
+
+def randomized_round_flops(shapes, target_rank: int, oversample: int) -> float:
+    l = target_rank + oversample
+    shapes = [tuple(s) for s in shapes]
+    d = len(shapes)
+    total = 0.0
+    # sketch build
+    w = 1
+    for i in range(d - 2, -1, -1):
+        rl, n, rr = shapes[i + 1]
+        total += 2.0 * rl * n * rr * w      # GW
+        total += 2.0 * rl * n * w * l       # contraction with R
+        w = l
+    # sweep
+    carry = None
+    for i in range(d - 1):
+        rl, n, rr = shapes[i]
+        if carry is not None:
+            total += 2.0 * carry * rl * n * rr
+            rl = carry
+        total += 2.0 * rl * n * rr * l      # Y = G W
+        total += _qr_flops(rl * n, l)
+        k = min(target_rank, rl * n, l)
+        total += 2.0 * k * rl * n * rr      # carry update
+        carry = k
+    rl, n, rr = shapes[d - 1]
+    total += 2.0 * carry * rl * n * rr
+    return total
+
+
+# ---------------------------------------------------------------------------
 # ALS sweep (SPD): one full left->right half-sweep in a single XLA program
 # ---------------------------------------------------------------------------
 
