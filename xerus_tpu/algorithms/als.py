@@ -76,6 +76,9 @@ class ALSVariant:
     def solve(self, A: Optional[TTOperator], x: TTTensor, b: TTTensor,
               num_half_sweeps: int, conv_eps: float,
               perf: PerformanceData = NoPerfData) -> float:
+        if (self.sites == 1 and self.local_solver == "lapack"
+                and self.assumeSPD and A is not None):
+            return self._solve_fast(A, x, b, num_half_sweeps, conv_eps, perf)
         data = _ALSData(self, A, x, b)
         perf.start()
         while True:
@@ -91,6 +94,51 @@ class ALSVariant:
         if data.canonicalize_at_end and self.preserveCorePosition:
             x.move_core(data.core_pos_at_end, keep_rank=True)
         return data.residual()
+
+    def _solve_fast(self, A: TTOperator, x: TTTensor, b: TTTensor,
+                    num_half_sweeps: int, conv_eps: float,
+                    perf: PerformanceData) -> float:
+        """Whole-halfsweep jitted path for single-site SPD ALS: each
+        half-sweep is ONE XLA program (ops/tt_kernels.py); the convergence
+        loop stays on host (SURVEY.md §7 design stance)."""
+        from ..ops.tt_kernels import make_als_sweep
+        initial_canon = x.canonicalized
+        initial_core = x.corePosition if x.canonicalized else 0
+        x.move_core(0)
+        A_cores = tuple(c.to_jax() for c in A.components)
+        b_cores = tuple(c.to_jax() for c in b.components)
+        cores = tuple(c.to_jax() for c in x.components)
+        norm_b = b.frob_norm() or 1.0
+
+        def residual_of(cores_now) -> float:
+            x.components = [Tensor.from_jax(c) for c in cores_now]
+            return ((apply_operator(A, x) - b).frob_norm()) / norm_b
+
+        perf.start()
+        energy = last = last2 = math.inf
+        half_sweeps = 0
+        direction = "lr"
+        while True:
+            shapes_key = tuple(tuple(c.shape) for c in cores)
+            fn = make_als_sweep(shapes_key, str(cores[0].dtype), direction)
+            cores = fn(cores, A_cores, b_cores)
+            half_sweeps += 1
+            last2, last = last, energy
+            energy = residual_of(cores)
+            if perf:
+                flags = FLAG_FINISHED_HALFSWEEP if direction == "lr" \
+                    else FLAG_FINISHED_FULLSWEEP
+                perf.add(energy, x, flags)
+            if (half_sweeps == num_half_sweeps
+                    or abs(last - energy) < conv_eps
+                    or abs(last2 - energy) < conv_eps):
+                break
+            direction = "rl" if direction == "lr" else "lr"
+        x.components = [Tensor.from_jax(c) for c in cores]
+        x.assume_core_position(x.num_components() - 1 if direction == "lr" else 0)
+        if initial_canon and self.preserveCorePosition:
+            x.move_core(initial_core, keep_rank=True)
+        return energy
 
 
 class _ALSData:

@@ -318,6 +318,30 @@ class TensorNetwork:
                 cnt += 1
         self.reshuffle_nodes(lambda i: id_map.get(i, i))
 
+    def stripped_subnet(self, predicate=None) -> "TensorNetwork":
+        """Copy containing only nodes passing ``predicate`` with all other
+        links degraded to external (tensorNetwork.h:209)."""
+        predicate = predicate or (lambda _nid: True)
+        out = TensorNetwork.__new__(TensorNetwork)
+        TensorNetwork._copy_into(self, out)
+        ext_count = len(out.external_links)
+        for nid, node in enumerate(out.nodes):
+            if node.erased:
+                continue
+            if not predicate(nid):
+                node.erase()
+                continue
+        for nid, node in enumerate(out.nodes):
+            if node.erased:
+                continue
+            for pos, link in enumerate(node.neighbors):
+                if not link.external and out.nodes[link.other].erased:
+                    out.external_links.append(Link(nid, pos, link.dimension, False))
+                    out.dimensions.append(link.dimension)
+                    node.neighbors[pos] = Link(len(out.external_links) - 1,
+                                               pos, link.dimension, True)
+        return out
+
     # ------------------------------------------------------------------
     # Traces and pairwise contraction (the hot graph ops)
     # ------------------------------------------------------------------

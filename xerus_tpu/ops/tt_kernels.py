@@ -107,6 +107,34 @@ def round_flops(shapes: Sequence[Tuple[int, int, int]], target_rank: int) -> flo
 
 
 # ---------------------------------------------------------------------------
+# Honest on-device timing: N chained iterations inside ONE XLA program.
+# Remote/tunnelled dispatch (axon) has ~150ms RTT and block_until_ready does
+# not reliably sync, so per-call wall timing lies; a fori_loop with a data
+# dependency defeats both dispatch overhead and CSE.
+# ---------------------------------------------------------------------------
+
+def make_timed_loop(kernel, iters: int):
+    """Returns jitted fn(inputs)->scalar running `kernel` iters times with a
+    serial data dependency. kernel: (cores_tuple) -> cores_tuple."""
+
+    def loop(cores):
+        def body(_, carry):
+            cores_c, acc = carry
+            # perturb input by acc*0-like epsilon to create the dependency
+            # without changing values meaningfully
+            first = cores_c[0] + acc * 1e-30
+            out = kernel((first,) + tuple(cores_c[1:]))
+            acc2 = jnp.sum(out[-1]).astype(cores_c[0].dtype)
+            return (cores_c, acc2)
+
+        _, acc = jax.lax.fori_loop(
+            0, iters, body, (tuple(cores), jnp.zeros((), cores[0].dtype)))
+        return acc
+
+    return jax.jit(loop)
+
+
+# ---------------------------------------------------------------------------
 # Randomized TT rounding (GEMM-dominated, MXU-friendly)
 # ---------------------------------------------------------------------------
 
@@ -246,9 +274,52 @@ def _als_half_sweep(x_cores, A_cores, b_cores):
     return tuple(x_cores)
 
 
+def _als_half_sweep_rl(x_cores, A_cores, b_cores):
+    """Right-to-left SPD half-sweep; x assumed canonicalized at d-1.
+    Returns updated cores with the core at 0 (mirror of _als_half_sweep)."""
+    d = len(x_cores)
+    dtype = x_cores[0].dtype
+    op_left = [None] * d
+    rhs_left = [None] * d
+    op_left[0] = jnp.ones((1, 1, 1), dtype=dtype)
+    rhs_left[0] = jnp.ones((1, 1), dtype=dtype)
+    for k in range(0, d - 1):
+        xc, Ac, bc = x_cores[k], A_cores[k], b_cores[k]
+        op_left[k + 1] = jnp.einsum("uav,umU,amnb,vnV->UbV", op_left[k],
+                                    xc, Ac, xc)
+        rhs_left[k + 1] = jnp.einsum("ub,umU,bmB->UB", rhs_left[k], xc, bc)
+
+    x_cores = list(x_cores)
+    op_right = jnp.ones((1, 1, 1), dtype=dtype)
+    rhs_right = jnp.ones((1, 1), dtype=dtype)
+    for k in range(d - 1, -1, -1):
+        Ac, bc = A_cores[k], b_cores[k]
+        Aloc = jnp.einsum("uav,amnb,UbV->umUvnV", op_left[k], Ac, op_right)
+        bloc = jnp.einsum("ub,bmB,UB->umU", rhs_left[k], bc, rhs_right)
+        shape = bloc.shape
+        nn = shape[0] * shape[1] * shape[2]
+        sol = jax.scipy.linalg.solve(
+            Aloc.reshape(nn, nn), bloc.reshape(nn), assume_a="pos")
+        core = sol.reshape(shape)
+        if k > 0:
+            rl, n, rr = core.shape
+            # RQ via QR of transposed matricization: rows orthonormal
+            q, r = jnp.linalg.qr(core.reshape(rl, n * rr).T)
+            kk = q.shape[1]
+            x_cores[k] = q.T.reshape(kk, n, rr)
+            x_cores[k - 1] = jnp.einsum("anb,bc->anc", x_cores[k - 1], r.T)
+            op_right = jnp.einsum("umU,amnb,vnV,UbV->uav", x_cores[k],
+                                  A_cores[k], x_cores[k], op_right)
+            rhs_right = jnp.einsum("umU,bmB,UB->ub", x_cores[k], b_cores[k],
+                                   rhs_right)
+        else:
+            x_cores[k] = core
+    return tuple(x_cores)
+
+
 @lru_cache(maxsize=64)
-def make_als_sweep(shapes_key: Tuple, dtype_str: str):
-    return jax.jit(_als_half_sweep)
+def make_als_sweep(shapes_key: Tuple, dtype_str: str, direction: str = "lr"):
+    return jax.jit(_als_half_sweep if direction == "lr" else _als_half_sweep_rl)
 
 
 def als_sweep_flops(x_shapes, A_shapes) -> float:
