@@ -74,3 +74,17 @@ def test_deterministic_seed():
     xe.set_seed(123)
     b = Tensor.random([3, 3]).to_ndarray()
     assert np.array_equal(a, b)
+
+
+def test_tensor_network_save_load(tmp_path):
+    import xerus_tpu as xe
+    A = Tensor.random([3, 4]); B = Tensor.random([4, 5])
+    i, j, k = xe.indices(3)
+    net = xe.TensorNetwork()
+    net(i, k) << A(i, j) * B(j, k)
+    p = str(tmp_path / "net.xtpu")
+    xe.save_to_file(net, p)
+    back = xe.load_from_file(p)
+    assert isinstance(back, xe.TensorNetwork)
+    back.require_valid_network()
+    assert np.allclose(back.to_tensor().to_ndarray(), net.to_tensor().to_ndarray())

@@ -22,9 +22,17 @@ from .. import misc as _misc
 
 
 def _evaluate_tt_at_points(tt, positions: np.ndarray) -> np.ndarray:
-    """values[m] = tt[positions[m]] via batched per-site gather-matmul."""
-    P = jnp.asarray(positions)
+    """values[m] = tt[positions[m]] via batched per-site gather-matmul; on
+    TPU with many measurements the fused Pallas sweep takes over
+    (ops/pallas_tt_eval.py)."""
+    import jax
     M = positions.shape[0]
+    if jax.devices()[0].platform == "tpu" and M >= 512:
+        from ..ops.pallas_tt_eval import tt_eval_at_points_pallas
+        vals = tt_eval_at_points_pallas(
+            [c.to_jax() for c in tt.components], np.asarray(positions))
+        return np.asarray(vals)
+    P = jnp.asarray(positions)
     F = jnp.ones((M, 1), dtype=config.value_dtype)
     for k, comp in enumerate(tt.components):
         C = comp.to_jax()                       # (rl, n, rr)

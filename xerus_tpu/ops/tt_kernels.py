@@ -27,18 +27,27 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 def _round_sweep(cores: Tuple[jnp.ndarray, ...], target_rank: int):
-    """cores[i]: (r_l, n, r_r); returns truncated cores, core at 0."""
+    """cores[i]: (r_l, n, r_r); returns truncated cores, core at 0.
+
+    The carried R/US factors are renormalized per step with the log-scale
+    accumulated separately, then redistributed evenly — in float32 the raw
+    chain overflows once the TT norm exceeds ~1e38 (which a d=32 random TT
+    easily does)."""
     d = len(cores)
     cores = list(cores)
+    dtype = cores[0].dtype
+    log_scale = jnp.zeros((), dtype=dtype)
     # QR sweep left -> right (canonicalize_right, ttNetwork.cpp:638)
     for i in range(d - 1):
         rl, n, rr = cores[i].shape
         q, r = jnp.linalg.qr(cores[i].reshape(rl * n, rr))
         k = q.shape[1]
         cores[i] = q.reshape(rl, n, k)
+        nrm = jnp.linalg.norm(r) + jnp.asarray(1e-30, dtype)
+        log_scale = log_scale + jnp.log(nrm)
         nxt = cores[i + 1]
         cores[i + 1] = jnp.einsum(
-            "ab,bnc->anc", r, nxt,
+            "ab,bnc->anc", r / nrm, nxt,
             preferred_element_type=nxt.dtype)
     # SVD sweep right -> left (round_edge chain, tensorNetwork.cpp:678)
     for i in range(d - 1, 0, -1):
@@ -48,10 +57,14 @@ def _round_sweep(cores: Tuple[jnp.ndarray, ...], target_rank: int):
         k = min(target_rank, u.shape[1])
         u = u[:, :k] * s[None, :k]
         cores[i] = vt[:k, :].reshape(k, n, rr)
+        nrm = jnp.linalg.norm(u) + jnp.asarray(1e-30, dtype)
+        log_scale = log_scale + jnp.log(nrm)
         prev = cores[i - 1]
         cores[i - 1] = jnp.einsum(
-            "anb,bk->ank", prev, u, preferred_element_type=prev.dtype)
-    return tuple(cores)
+            "anb,bk->ank", prev, u / nrm, preferred_element_type=prev.dtype)
+    # redistribute the accumulated scale evenly over all cores
+    per_core = jnp.exp(log_scale / d)
+    return tuple(c * per_core for c in cores)
 
 
 @lru_cache(maxsize=64)
@@ -167,9 +180,12 @@ def _round_randomized(cores: Tuple[jnp.ndarray, ...], seeds: jnp.ndarray,
             / jnp.sqrt(jnp.asarray(l, dtype=dtype))
         # W[i][a, p] = sum_{n, b, q} G[a n b] W[i+1][b q] R[p n q]
         GW = jnp.einsum("anb,bq->anq", cores[i + 1], W[i + 1])
-        W[i] = jnp.einsum("anq,pnq->ap", GW, R)
+        Wi = jnp.einsum("anq,pnq->ap", GW, R)
+        # only the column span of W matters -> safe to renormalize
+        W[i] = Wi / (jnp.linalg.norm(Wi) + jnp.asarray(1e-30, dtype))
 
     out = list(cores)
+    log_scale = jnp.zeros((), dtype=dtype)
     carry = None  # (k, r) projection to apply to the next core
     for i in range(d - 1):
         G = out[i] if carry is None else jnp.einsum("ka,anb->knb", carry, out[i])
@@ -180,8 +196,12 @@ def _round_randomized(cores: Tuple[jnp.ndarray, ...], seeds: jnp.ndarray,
         q = q[:, :k]
         out[i] = q.reshape(rl, n, k)
         carry = jnp.einsum("ank,anb->kb", out[i].reshape(rl, n, k), G)
-    out[d - 1] = jnp.einsum("ka,anb->knb", carry, out[d - 1])
-    return tuple(out)
+        nrm = jnp.linalg.norm(carry) + jnp.asarray(1e-30, dtype)
+        log_scale = log_scale + jnp.log(nrm)
+        carry = carry / nrm
+    final = jnp.einsum("ka,anb->knb", carry, out[d - 1])
+    per_core = jnp.exp(log_scale / d)
+    return tuple(c * per_core for c in out[:d - 1]) + (final * per_core,)
 
 
 @lru_cache(maxsize=64)
