@@ -1,0 +1,68 @@
+"""DMRG/ALS ground-state eigensolver tests (BASELINE.json config 4)."""
+
+import numpy as np
+import pytest
+
+import xerus_tpu as xe
+from xerus_tpu import TTTensor
+from xerus_tpu.examples import heisenberg_mpo, laplace_operator
+from xerus_tpu.algorithms import smallest_eigenvalue
+
+
+def test_heisenberg_mpo_structure():
+    d = 6
+    H = heisenberg_mpo(d)
+    assert H.ranks() == [5] * (d - 1)
+    Hm = H.to_tensor().to_ndarray().reshape(2 ** d, 2 ** d)
+    assert np.allclose(Hm, Hm.T, atol=1e-14)
+    # two-site check: H for d=2 is Jx/2(S+S- + S-S+) + Jz SzSz
+    H2 = heisenberg_mpo(2).to_tensor().to_ndarray().reshape(4, 4)
+    Sp = np.array([[0, 1], [0, 0.]]); Sm = Sp.T
+    Sz = 0.5 * np.diag([1, -1.])
+    ref = 0.5 * (np.kron(Sp, Sm) + np.kron(Sm, Sp)) + np.kron(Sz, Sz)
+    assert np.allclose(H2, ref, atol=1e-14)
+
+
+def test_dmrg_ground_state_matches_exact():
+    d = 8
+    H = heisenberg_mpo(d)
+    Hm = H.to_tensor().to_ndarray().reshape(2 ** d, 2 ** d)
+    exact = np.linalg.eigvalsh(Hm)[0]
+    x = TTTensor.random([2] * d, 4)
+    lam = smallest_eigenvalue(H, x, sites=2, max_rank=16)
+    assert abs(lam - exact) < 1e-10
+    xv = x.to_tensor().to_ndarray().reshape(-1)
+    assert np.linalg.norm(Hm @ xv - lam * xv) < 1e-9
+    assert np.isclose(np.linalg.norm(xv), 1.0, atol=1e-10)
+
+
+def test_single_site_eigensolver():
+    d = 6
+    H = heisenberg_mpo(d)
+    Hm = H.to_tensor().to_ndarray().reshape(2 ** d, 2 ** d)
+    exact = np.linalg.eigvalsh(Hm)[0]
+    # single-site cannot adapt rank: give it enough to represent the state
+    x = TTTensor.random([2] * d, 8)
+    lam = smallest_eigenvalue(H, x, sites=1, num_sweeps=30)
+    assert abs(lam - exact) < 1e-8
+
+
+def test_dmrg_adaptive_rank_grows():
+    d = 10
+    H = heisenberg_mpo(d)
+    x = TTTensor.random([2] * d, 2)
+    lam = smallest_eigenvalue(H, x, sites=2, max_rank=12, num_sweeps=6)
+    assert max(x.ranks()) > 2  # rank adapted upward
+    assert np.isfinite(lam)
+
+
+def test_laplace_smallest_eigenvalue():
+    """Laplace MPO smallest eigenvalue: known 1D spectrum composition."""
+    d = 4
+    n = 3
+    A = laplace_operator([n] * d)
+    Am = A.to_tensor().to_ndarray().reshape(n ** d, n ** d)
+    exact = np.linalg.eigvalsh(Am)[0]
+    x = TTTensor.random([n] * d, 4)
+    lam = smallest_eigenvalue(A, x, sites=2, max_rank=8)
+    assert abs(lam - exact) < 1e-9

@@ -44,7 +44,9 @@ from .algorithms import (PerformanceData, NoPerfData, ALSVariant, ALS,
                          SteepestDescentVariant, SteepestDescent,
                          GeometricCGVariant, GeometricCG, IHT,
                          decomposition_als, find_largest_entry,
-                         UQMeasurementSet, uq_adf, uq_avg, uq_mc)
+                         UQMeasurementSet, uq_adf, uq_avg, uq_mc,
+                         EigenALSVariant, DMRG_groundstate, ALS_groundstate,
+                         smallest_eigenvalue)
 from . import examples
 
 from .core.tensor import Tensor as _T

@@ -13,3 +13,5 @@ from .decomposition_als import decomposition_als
 from .largest_entry import find_largest_entry
 from .uq_adf import (UQMeasurementSet, uq_adf, uq_avg, uq_mc,
                      randvar_to_position)
+from .eigensolver import (EigenALSVariant, DMRG_groundstate, ALS_groundstate,
+                          smallest_eigenvalue)

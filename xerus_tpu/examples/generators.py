@@ -65,6 +65,49 @@ def random_low_rank(dimensions: Sequence[int], ranks, generator=None) -> TTTenso
     return t
 
 
+def heisenberg_mpo(d: int, Jx: float = 1.0, Jz: float = 1.0,
+                   h: float = 0.0) -> TTOperator:
+    """Rank-5 MPO of the spin-1/2 XXZ Heisenberg chain
+    H = sum_i Jx/2 (S+_i S-_{i+1} + S-_i S+_{i+1}) + Jz Sz_i Sz_{i+1}
+        - h sum_i Sz_i
+    (BASELINE.json config 4's model; no reference counterpart)."""
+    I = np.eye(2, dtype=config.value_dtype)
+    Sp = np.array([[0, 1], [0, 0]], dtype=config.value_dtype)
+    Sm = Sp.T.copy()
+    Sz = 0.5 * np.array([[1, 0], [0, -1]], dtype=config.value_dtype)
+
+    # W = [[I,          0,    0,    0,   0],
+    #      [S+,         0,    0,    0,   0],
+    #      [S-,         0,    0,    0,   0],
+    #      [Sz,         0,    0,    0,   0],
+    #      [-h Sz, Jx/2 S-, Jx/2 S+, Jz Sz, I]]
+    W = np.zeros((5, 2, 2, 5), dtype=config.value_dtype)
+    W[0, :, :, 0] = I
+    W[1, :, :, 0] = Sp
+    W[2, :, :, 0] = Sm
+    W[3, :, :, 0] = Sz
+    W[4, :, :, 0] = -h * Sz
+    W[4, :, :, 1] = (Jx / 2.0) * Sm
+    W[4, :, :, 2] = (Jx / 2.0) * Sp
+    W[4, :, :, 3] = Jz * Sz
+    W[4, :, :, 4] = I
+
+    comps: List[Tensor] = []
+    first = W[4:5, :, :, :]          # row vector: (1,2,2,5)
+    last = W[:, :, :, 0:1]           # column vector: (5,2,2,1)
+    for i in range(d):
+        if d == 1:
+            core = (-h * Sz).reshape(1, 2, 2, 1)
+        elif i == 0:
+            core = first
+        elif i == d - 1:
+            core = last
+        else:
+            core = W
+        comps.append(Tensor.from_ndarray(core))
+    return TTOperator._make(comps)
+
+
 def peaking_diagonals(degree: int, n: int, alpha: float = 0.1) -> TTTensor:
     """Low-rank tensor with peaks along diagonals
     (specificLowRankTensors.cpp:30-48)."""
