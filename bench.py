@@ -36,7 +36,7 @@ N_PHYS = 2
 RANK = 256
 TARGET = 128
 ALS_RANK = 30
-ITERS = 32
+ITERS = 16
 
 
 def _make_cores(rng, d, n, rank, dtype):
@@ -112,9 +112,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
     from functools import partial
-    from xerus_tpu.ops.tt_kernels import (_round_sweep, _round_randomized,
+    from xerus_tpu.ops.tt_kernels import (_round_sweep_scan, _round_randomized,
                                           round_flops, randomized_round_flops,
                                           _als_half_sweep)
+    from xerus_tpu.ops.pallas_tt_eval import pad_cores
 
     rng = np.random.Generator(np.random.PCG64(0xBAADF00D))
     dtype = np.float32
@@ -124,9 +125,15 @@ def main() -> None:
     shapes = [c.shape for c in host_cores]
     dev_cores = tuple(jnp.asarray(c) for c in host_cores)
 
-    det_kernel = partial(_round_sweep, target_rank=TARGET)
-    tpu_time = _time_looped(det_kernel, dev_cores, ITERS)
-    flops = round_flops(shapes, TARGET)
+    # deterministic sweep: scan-based uniform-rank kernel (one compiled
+    # QR + one SVD body; pad-to-max-rank per SURVEY.md §7)
+    stacked, _r = pad_cores(host_cores)
+
+    def det_kernel(inputs):
+        return (_round_sweep_scan(inputs[0], target_rank=TARGET),)
+
+    tpu_time = _time_looped(det_kernel, (stacked,), ITERS)
+    flops = round_flops(shapes, TARGET)   # useful (unpadded) flops
     tflops = flops / tpu_time / 1e12
 
     rnd_kernel = partial(_round_randomized, seeds=None, target_rank=TARGET,
@@ -170,8 +177,8 @@ def main() -> None:
     als_time = _time_looped(als_kernel, x_cores, 8)
 
     # correctness: f32 TPU deterministic sweep vs f64 CPU (total norm match)
-    from xerus_tpu.ops.tt_kernels import tt_round_sweep
-    out = tt_round_sweep(list(dev_cores), TARGET)
+    from xerus_tpu.ops.tt_kernels import tt_round_sweep_uniform
+    out = tt_round_sweep_uniform(list(dev_cores), TARGET)
     tpu_norm = float(np.linalg.norm(np.asarray(out[0])))
     cpu_norm = float(np.linalg.norm(cpu_out[0]))
     rel_err = abs(tpu_norm - cpu_norm) / max(cpu_norm, 1e-30)

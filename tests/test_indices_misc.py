@@ -70,3 +70,17 @@ def test_performance_analysis_counters():
     report = perf.get_analysis()
     perf.enable(False)
     assert "Dense" in report and "GEMM(64x64): 2 calls" in report
+
+
+def test_nan_guard():
+    from xerus_tpu.misc.profiling import guard_finite
+    from xerus_tpu.config import config
+    import jax.numpy as jnp
+    old = config.nan_checks
+    config.nan_checks = True
+    try:
+        guard_finite(jnp.ones((3,)))  # fine
+        with pytest.raises(FloatingPointError):
+            guard_finite(jnp.array([1.0, float("nan")]), "test")
+    finally:
+        config.nan_checks = old

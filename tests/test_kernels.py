@@ -59,3 +59,28 @@ def test_als_half_sweep_reduces_residual():
     start = np.linalg.norm(A_mat @ x.to_tensor().to_ndarray().reshape(-1) - b_vec)
     end = np.linalg.norm(A_mat @ new_x.to_tensor().to_ndarray().reshape(-1) - b_vec)
     assert end < 0.1 * start
+
+
+def test_scan_round_matches_unrolled():
+    from xerus_tpu.ops.tt_kernels import tt_round_sweep_uniform
+    tt = TTTensor.random([2] * 10, 8)
+    cores = [c.to_jax() for c in tt.components]
+    orig = tt.to_tensor().to_ndarray()
+    det = tt_round_sweep(cores, 4)
+    uni = tt_round_sweep_uniform(cores, 4)
+    det_tt = TTTensor._make([xe.Tensor.from_jax(c) for c in det])
+    uni_tt = TTTensor._make([xe.Tensor.from_jax(c) for c in uni])
+    uni_tt.require_correct_format()
+    err_det = np.linalg.norm(det_tt.to_tensor().to_ndarray() - orig)
+    err_uni = np.linalg.norm(uni_tt.to_tensor().to_ndarray() - orig)
+    assert np.isclose(err_det, err_uni, rtol=1e-8)
+
+
+def test_scan_round_exact_when_rank_sufficient():
+    from xerus_tpu.ops.tt_kernels import tt_round_sweep_uniform
+    tt = TTTensor.random([2] * 8, 4)
+    cores = [c.to_jax() for c in tt.components]
+    out = tt_round_sweep_uniform(cores, 8)
+    fast = TTTensor._make([xe.Tensor.from_jax(c) for c in out])
+    assert np.allclose(fast.to_tensor().to_ndarray(),
+                       tt.to_tensor().to_ndarray(), atol=1e-9)

@@ -140,6 +140,8 @@ class _InternalSolver:
             for cp in range(self.d - 1, 0, -1):
                 self.update_backward(cp, self.x.components[cp])
             residual = self.calc_residual(0)
+            from ..misc.profiling import guard_finite
+            guard_finite(residual, f"ADF iteration {self.iteration}")
             self.last_residual = self.residual_norm
             self.residual_norm = float(jnp.linalg.norm(residual)) / self.norm_values
             self.perf.add(self.residual_norm, self.x, 0, iteration=self.iteration)

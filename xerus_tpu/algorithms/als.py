@@ -122,6 +122,8 @@ class ALSVariant:
             shapes_key = tuple(tuple(c.shape) for c in cores)
             fn = make_als_sweep(shapes_key, str(cores[0].dtype), direction)
             cores = fn(cores, A_cores, b_cores)
+            from ..misc.profiling import guard_finite
+            guard_finite(cores[0], f"ALS half-sweep {half_sweeps}")
             half_sweeps += 1
             last2, last = last, energy
             energy = residual_of(cores)

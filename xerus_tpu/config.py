@@ -34,6 +34,10 @@ class _Config:
         self.runtime_checks = os.environ.get("XERUS_TPU_DISABLE_CHECKS", "0") != "1"
         # Dense<->sparse auto-switch heuristic factor (tensor.h:72 sparsityFactor).
         self.sparsity_factor = 4
+        # NaN/Inf guards in solver loops (the reference's closest analogue is
+        # all_entries_valid + the FAILTEST machinery, SURVEY.md §5.3; this is
+        # the checkify-style new design).
+        self.nan_checks = os.environ.get("XERUS_TPU_NAN_CHECKS", "0") == "1"
 
     @property
     def epsilon(self) -> float:

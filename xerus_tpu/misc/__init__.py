@@ -9,3 +9,4 @@ from .io import FileFormat, save_to_file, load_from_file  # noqa: F401
 from .histogram import LogHistogram  # noqa: F401
 from .log import get_logger, set_log_level  # noqa: F401
 from .performance import pa_start, pa_section, get_analysis, clear_analysis  # noqa: F401
+from .profiling import profile_trace  # noqa: F401

@@ -120,6 +120,91 @@ def round_flops(shapes: Sequence[Tuple[int, int, int]], target_rank: int) -> flo
 
 
 # ---------------------------------------------------------------------------
+# Scan-based uniform-rank rounding: cores padded to one (d, r, n, r) stack,
+# both sweeps are lax.scan's — the QR and the (expensive-to-compile) SVD are
+# each compiled ONCE instead of per-site, and every matmul is MXU-aligned.
+# Truncation to `target_rank` is a static mask on the singular values, so
+# shapes stay uniform (the pad-to-max-rank strategy of SURVEY.md §7).
+# ---------------------------------------------------------------------------
+
+def _round_sweep_scan(stacked: jnp.ndarray, target_rank: int):
+    """stacked: (d, r, n, r) zero-padded cores (boundary ranks padded).
+    Returns (stacked_out, log_scale): rounded cores, still (d, r, n, r) with
+    bonds beyond target_rank exactly zero; the total scale is returned
+    separately (f32 overflow protection)."""
+    d, r, n, _ = stacked.shape
+    dtype = stacked.dtype
+    eye = jnp.eye(r, dtype=dtype)
+    tiny = jnp.asarray(1e-30, dtype)
+
+    def qr_body(carry, core):
+        R, logs = carry
+        cur = jnp.einsum("ab,bnc->anc", R, core,
+                         preferred_element_type=dtype).reshape(r * n, r)
+        q, R2 = jnp.linalg.qr(cur)
+        nrm = jnp.linalg.norm(R2) + tiny
+        return (R2 / nrm, logs + jnp.log(nrm)), q.reshape(r, n, r)
+
+    (Rlast, logs), qs = jax.lax.scan(
+        qr_body, (eye, jnp.zeros((), dtype)), stacked)
+    # Rlast carries the trailing boundary bond (logical dim 1): fold into
+    # the last core
+    qs = qs.at[d - 1].set(jnp.einsum("anb,bc->anc", qs[d - 1], Rlast))
+
+    mask = (jnp.arange(r) < target_rank).astype(dtype)
+
+    def svd_body(carry, core):
+        US, logs = carry
+        cur = jnp.einsum("anb,bc->anc", core, US,
+                         preferred_element_type=dtype).reshape(r, n * r)
+        u, s, vt = jnp.linalg.svd(cur, full_matrices=False)
+        s = s * mask
+        new_core = vt.reshape(r, n, r)
+        US2 = u * s[None, :]
+        nrm = jnp.linalg.norm(US2) + tiny
+        return (US2 / nrm, logs + jnp.log(nrm)), new_core
+
+    rest = stacked[1:][::-1]  # cores d-1 .. 1 (sweep right to left)
+    (USfinal, logs2), new_rest = jax.lax.scan(
+        svd_body, (eye, jnp.zeros((), dtype)), qs[1:][::-1])
+    first = jnp.einsum("anb,bc->anc", qs[0], USfinal)
+    out = jnp.concatenate([first[None], new_rest[::-1]], axis=0)
+    log_scale = logs + logs2
+    # distribute the scale evenly
+    out = out * jnp.exp(log_scale / d)
+    return out
+
+
+@lru_cache(maxsize=32)
+def make_round_sweep_scan(shape: Tuple[int, ...], target_rank: int,
+                          dtype_str: str):
+    return jax.jit(partial(_round_sweep_scan, target_rank=target_rank))
+
+
+def tt_round_sweep_uniform(cores: Sequence[jnp.ndarray], target_rank: int):
+    """Pad to uniform rank, run the scan kernel, unpad to logical ranks."""
+    from .pallas_tt_eval import pad_cores
+    stacked, r = pad_cores([np.asarray(c) for c in cores])
+    fn = make_round_sweep_scan(tuple(stacked.shape), int(target_rank),
+                               str(stacked.dtype))
+    out = fn(stacked)
+    d = stacked.shape[0]
+    n = stacked.shape[2]
+    # logical output ranks: min(target, maximal TT rank at that bond)
+    res = []
+    for i in range(d):
+        rl = 1 if i == 0 else res_rank(i, d, n, target_rank)
+        rr = 1 if i == d - 1 else res_rank(i + 1, d, n, target_rank)
+        core = out[i][:rl, :cores[i].shape[1], :rr]
+        res.append(core)
+    return res
+
+
+def res_rank(bond: int, d: int, n: int, target: int) -> int:
+    return min(target, n ** bond, n ** (d - bond))
+
+
+# ---------------------------------------------------------------------------
 # Honest on-device timing: N chained iterations inside ONE XLA program.
 # Remote/tunnelled dispatch (axon) has ~150ms RTT and block_until_ready does
 # not reliably sync, so per-call wall timing lies; a fori_loop with a data
