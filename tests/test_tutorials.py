@@ -64,3 +64,14 @@ def test_strassen_matmul_tensor():
         ttT.round(1e-12)
         # the TT-rank of the matmul tensor is bounded by n^2
         assert max(ttT.ranks()) <= n * n
+
+
+def test_models_package():
+    from xerus_tpu import models
+    A, b, x0 = models.poisson_problem(6)
+    assert A.num_components() == 6 and b.dimensions == x0.dimensions
+    H, g0 = models.heisenberg_groundstate_problem(5)
+    assert H.ranks() == [5] * 4
+    truth, ms, x1 = models.completion_problem([4, 4, 4], 2, 30)
+    assert ms.size() == 30
+    assert ms.test(truth) < 1e-12

@@ -61,3 +61,4 @@ def one_norm(x) -> float:
 
 
 __version__ = "0.1.0"
+from . import models
