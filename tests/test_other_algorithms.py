@@ -90,3 +90,36 @@ def test_uq_mc_and_avg():
     assert sols[0].dimensions == [4]
     avg = xe.uq_avg(tt, 50)
     assert avg.dimensions == [4]
+
+
+def test_uq_adf_measurement_set_with_initial():
+    """uq_adf(UQMeasurementSet, guess) with axis-aligned initial samples
+    (uqAdf.cpp:334-407)."""
+    dims = [3, 3, 3]
+    truth = TTTensor.random(dims, 2)
+    truth /= truth.frob_norm()
+    rng = xe.misc.randomEngine
+    ms = xe.UQMeasurementSet()
+    arr = truth.to_tensor().to_ndarray()
+
+    def sample(rv):
+        w1 = xe.algorithms.randvar_to_position(rv[0], 3)
+        w2 = xe.algorithms.randvar_to_position(rv[1], 3)
+        return np.einsum('abc,b,c->a', arr, w1, w2)
+
+    # axis-aligned initial samples (rv[m][m] > 0, zeros elsewhere)
+    ms.add_initial([1.0, 0.0], xe.Tensor.from_ndarray(sample([1.0, 0.0])))
+    ms.add_initial([0.0, 1.0], xe.Tensor.from_ndarray(sample([0.0, 1.0])))
+    for _ in range(80):
+        rv = [float(rng.normal()), float(rng.normal())]
+        ms.add(rv, xe.Tensor.from_ndarray(sample(rv)))
+    guess = TTTensor.random(dims, 2)
+    x = xe.uq_adf(ms, guess)
+    errs = []
+    for _ in range(10):
+        rv = [float(rng.normal()), float(rng.normal())]
+        w1 = xe.algorithms.randvar_to_position(rv[0], 3)
+        w2 = xe.algorithms.randvar_to_position(rv[1], 3)
+        pred = np.einsum('abc,b,c->a', x.to_tensor().to_ndarray(), w1, w2)
+        errs.append(np.linalg.norm(pred - sample(rv)))
+    assert np.mean(errs) < 1e-2

@@ -177,14 +177,46 @@ def uq_adf(arg1, arg2, solutions=None, max_iterations: int = 1000):
     uq_adf(measurement_set, guess) (uqAdf.h:54-56)."""
     if isinstance(arg1, UQMeasurementSet):
         ms, guess = arg1, arg2
-        x = guess.copy()
-        rvs = list(ms.initialRandomVectors) + list(ms.randomVectors)
-        sols = list(ms.initialSolutions) + list(ms.solutions)
+        if ms.initialRandomVectors:
+            x = _initial_guess_from_special_samples(ms, guess)
+            rvs = list(ms.randomVectors) + list(ms.initialRandomVectors)
+            sols = list(ms.solutions) + list(ms.initialSolutions)
+        else:
+            x = guess.copy()
+            rvs, sols = list(ms.randomVectors), list(ms.solutions)
         _UQInternalSolver(x, rvs, sols).solve(max_iterations)
         return x
     x, random_variables = arg1, arg2
     _UQInternalSolver(x, random_variables, solutions).solve(max_iterations)
     return None
+
+
+def _initial_guess_from_special_samples(ms: UQMeasurementSet,
+                                        guess: TTTensor) -> TTTensor:
+    """Mean + per-direction linear terms from axis-aligned initial samples
+    (uqAdf.cpp:334-407)."""
+    dims = list(guess.dimensions)
+    sols = [s.to_ndarray() if isinstance(s, Tensor) else np.asarray(s)
+            for s in ms.solutions]
+    mean = np.mean(np.stack(sols), axis=0)
+
+    def term(first_vec, active: int = -1) -> TTTensor:
+        comps = [Tensor.from_ndarray(first_vec.reshape(1, dims[0], 1))]
+        for k in range(1, len(dims)):
+            pos = 0 if (active < 0 or k - 1 == active) else 1
+            comps.append(Tensor.dirac([1, dims[k], 1], [0, pos, 0]))
+        out = TTTensor._make(comps)
+        out.assume_core_position(0)
+        return out
+
+    new_x = term(mean)
+    for m, rv in enumerate(ms.initialRandomVectors):
+        init_sol = (ms.initialSolutions[m].to_ndarray()
+                    if isinstance(ms.initialSolutions[m], Tensor)
+                    else np.asarray(ms.initialSolutions[m]))
+        new_x += term(init_sol - mean, active=m)
+    new_x.round(0.00025)
+    return new_x
 
 
 def uq_mc(x: TTTensor, N: int, num_special: int = 0
