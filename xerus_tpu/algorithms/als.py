@@ -77,7 +77,7 @@ class ALSVariant:
               num_half_sweeps: int, conv_eps: float,
               perf: PerformanceData = NoPerfData) -> float:
         if (self.sites == 1 and self.local_solver == "lapack"
-                and self.assumeSPD and A is not None):
+                and A is not None):
             return self._solve_fast(A, x, b, num_half_sweeps, conv_eps, perf)
         data = _ALSData(self, A, x, b)
         perf.start()
@@ -114,19 +114,42 @@ class ALSVariant:
             x.components = [Tensor.from_jax(c) for c in cores_now]
             return ((apply_operator(A, x) - b).frob_norm()) / norm_b
 
+        import jax.numpy as jnp
+
+        def reverse_tt(cs):
+            return tuple(jnp.transpose(c, (2, 1, 0)) for c in reversed(cs))
+
+        def reverse_op(cs):
+            return tuple(jnp.transpose(c, (3, 1, 2, 0)) for c in reversed(cs))
+
         perf.start()
         energy = last = last2 = math.inf
         half_sweeps = 0
         direction = "lr"
+        spd = self.assumeSPD
+        reversed_state = False
         while True:
             shapes_key = tuple(tuple(c.shape) for c in cores)
-            fn = make_als_sweep(shapes_key, str(cores[0].dtype), direction)
-            cores = fn(cores, A_cores, b_cores)
+            if spd:
+                fn = make_als_sweep(shapes_key, str(cores[0].dtype), direction)
+                cores = fn(cores, A_cores, b_cores)
+            else:
+                # non-SPD: lr kernel only; odd half-sweeps run on the
+                # site-reversed system (equivalent to an rl sweep)
+                if (direction == "rl") != reversed_state:
+                    cores = reverse_tt(cores)
+                    A_cores = reverse_op(A_cores)
+                    b_cores = reverse_tt(b_cores)
+                    reversed_state = not reversed_state
+                shapes_key = tuple(tuple(c.shape) for c in cores)
+                fn = make_als_sweep(shapes_key, str(cores[0].dtype), "lr",
+                                    spd=False)
+                cores = fn(cores, A_cores, b_cores)
             from ..misc.profiling import guard_finite
             guard_finite(cores[0], f"ALS half-sweep {half_sweeps}")
             half_sweeps += 1
             last2, last = last, energy
-            energy = residual_of(cores)
+            energy = residual_of(reverse_tt(cores) if reversed_state else cores)
             if perf:
                 flags = FLAG_FINISHED_HALFSWEEP if direction == "lr" \
                     else FLAG_FINISHED_FULLSWEEP
@@ -136,8 +159,15 @@ class ALSVariant:
                     or abs(last2 - energy) < conv_eps):
                 break
             direction = "rl" if direction == "lr" else "lr"
+        if reversed_state:
+            cores = reverse_tt(cores)
         x.components = [Tensor.from_jax(c) for c in cores]
-        x.assume_core_position(x.num_components() - 1 if direction == "lr" else 0)
+        if spd:
+            x.assume_core_position(
+                x.num_components() - 1 if direction == "lr" else 0)
+        else:
+            x.assume_core_position(0 if reversed_state else
+                                   x.num_components() - 1)
         if initial_canon and self.preserveCorePosition:
             x.move_core(initial_core, keep_rank=True)
         return energy

@@ -41,6 +41,13 @@ class PerformanceData:
     def __bool__(self) -> bool:
         return self.active
 
+    def __lshift__(self, text) -> "PerformanceData":
+        """Append free-form text to the header block (the reference's
+        ``perfData << "..."`` stream syntax, performanceData.h)."""
+        if self.active:
+            self.additional_information += str(text)
+        return self
+
     def start(self) -> None:
         self.start_time = time.perf_counter()
         self.data = []

@@ -422,8 +422,56 @@ def _als_half_sweep_rl(x_cores, A_cores, b_cores):
     return tuple(x_cores)
 
 
+def _als_half_sweep_nonspd(x_cores, A_cores, b_cores):
+    """Normal-equations (A^T A x = A^T b) left->right half-sweep for
+    unsymmetric operators (als.cpp choose_energy_functional non-SPD path);
+    x assumed canonicalized at 0."""
+    d = len(x_cores)
+    dtype = x_cores[0].dtype
+    op_right = [None] * (d + 1)
+    rhs_right = [None] * (d + 1)
+    op_right[d] = jnp.ones((1, 1, 1, 1), dtype=dtype)
+    rhs_right[d] = jnp.ones((1, 1, 1), dtype=dtype)
+    for k in range(d - 1, 0, -1):
+        xc, Ac, bc = x_cores[k], A_cores[k], b_cores[k]
+        op_right[k] = jnp.einsum("umU,pzmq,rznt,vnV,UqtV->uprv", xc, Ac, Ac,
+                                 xc, op_right[k + 1])
+        rhs_right[k] = jnp.einsum("bzB,azmq,umU,BqU->bau", bc, Ac, xc,
+                                  rhs_right[k + 1])
+
+    x_cores = list(x_cores)
+    op_left = jnp.ones((1, 1, 1, 1), dtype=dtype)
+    rhs_left = jnp.ones((1, 1, 1), dtype=dtype)
+    for k in range(d):
+        Ac, bc = A_cores[k], b_cores[k]
+        Aloc = jnp.einsum("uprv,pzmq,rznt,UqtV->umUvnV", op_left, Ac, Ac,
+                          op_right[k + 1])
+        bloc = jnp.einsum("bau,bzB,azmq,BqU->umU", rhs_left, bc, Ac,
+                          rhs_right[k + 1])
+        shape = bloc.shape
+        nn = shape[0] * shape[1] * shape[2]
+        sol = jax.scipy.linalg.solve(
+            Aloc.reshape(nn, nn), bloc.reshape(nn), assume_a="pos")
+        core = sol.reshape(shape)
+        if k < d - 1:
+            rl, n, rr = core.shape
+            q, r = jnp.linalg.qr(core.reshape(rl * n, rr))
+            x_cores[k] = q.reshape(rl, n, q.shape[1])
+            x_cores[k + 1] = jnp.einsum("ab,bnc->anc", r, x_cores[k + 1])
+            op_left = jnp.einsum("uprv,umU,pzmq,rznt,vnV->UqtV", op_left,
+                                 x_cores[k], Ac, Ac, x_cores[k])
+            rhs_left = jnp.einsum("bau,bzB,azmq,umU->BqU", rhs_left, bc, Ac,
+                                  x_cores[k])
+        else:
+            x_cores[k] = core
+    return tuple(x_cores)
+
+
 @lru_cache(maxsize=64)
-def make_als_sweep(shapes_key: Tuple, dtype_str: str, direction: str = "lr"):
+def make_als_sweep(shapes_key: Tuple, dtype_str: str, direction: str = "lr",
+                   spd: bool = True):
+    if not spd:
+        return jax.jit(_als_half_sweep_nonspd)
     return jax.jit(_als_half_sweep if direction == "lr" else _als_half_sweep_rl)
 
 
