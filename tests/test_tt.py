@@ -288,3 +288,19 @@ def test_degree_zero_tt():
     tt = TTTensor(t)
     assert tt.degree() == 0
     assert np.isclose(tt.to_tensor()[0], 3.5)
+
+
+def test_ttstack_lazy_application():
+    """TTStack parity class (ttStack.h): deferred chained applications."""
+    from xerus_tpu.tt.stack import TTStack
+    A = xe.TTOperator.random([3, 3, 3, 3], 2)
+    B = xe.TTOperator.random([3, 3, 3, 3], 2)
+    x = TTTensor.random([3, 3], 2)
+    stack = TTStack(x)
+    stack.apply(A).apply(B)
+    assert stack.ranks_upper_bound() == [8]
+    result = stack.contract()
+    ref = (B.to_tensor().to_ndarray().reshape(9, 9)
+           @ A.to_tensor().to_ndarray().reshape(9, 9)
+           @ x.to_tensor().to_ndarray().reshape(9))
+    assert np.allclose(result.to_tensor().to_ndarray().reshape(9), ref, atol=1e-12)
