@@ -110,6 +110,15 @@ def _time_looped(kernel, cores, iters):
 def main() -> None:
     os.environ.setdefault("XERUS_TPU_NO_X64", "1")
     import jax
+    # persistent compilation cache: compiles through the tunnel are slow
+    # (minutes); cache them across bench runs
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from functools import partial
     from xerus_tpu.ops.tt_kernels import (_round_sweep_scan, _round_randomized,
@@ -136,9 +145,14 @@ def main() -> None:
     flops = round_flops(shapes, TARGET)   # useful (unpadded) flops
     tflops = flops / tpu_time / 1e12
 
-    rnd_kernel = partial(_round_randomized, seeds=None, target_rank=TARGET,
-                         oversample=8)
-    rnd_time = _time_looped(lambda cs: rnd_kernel(cs), dev_cores, ITERS)
+    from xerus_tpu.ops.tt_kernels import _round_randomized_scan
+
+    def rnd_kernel(inputs):
+        out = _round_randomized_scan(inputs[0], target_rank=TARGET,
+                                     oversample=8)
+        return (out[0], out[1])
+
+    rnd_time = _time_looped(rnd_kernel, (stacked,), ITERS)
     rnd_tflops = randomized_round_flops(shapes, TARGET, 8) / rnd_time / 1e12
 
     # CPU float64 LAPACK baseline

@@ -84,3 +84,22 @@ def test_scan_round_exact_when_rank_sufficient():
     fast = TTTensor._make([xe.Tensor.from_jax(c) for c in out])
     assert np.allclose(fast.to_tensor().to_ndarray(),
                        tt.to_tensor().to_ndarray(), atol=1e-9)
+
+
+def test_scan_randomized_round():
+    from xerus_tpu.ops.tt_kernels import tt_round_randomized_uniform
+    tt = TTTensor.random([2] * 10, 8)
+    cores = [c.to_jax() for c in tt.components]
+    orig = tt.to_tensor().to_ndarray()
+    out = tt_round_randomized_uniform(cores, 8, oversample=4)  # rank suffices
+    got = TTTensor._make([xe.Tensor.from_jax(c) for c in out])
+    got.require_correct_format()
+    assert np.allclose(got.to_tensor().to_ndarray(), orig, atol=1e-8)
+    # truncating case: quasi-optimal (within 4x of deterministic)
+    det = tt_round_sweep(cores, 4)
+    err_det = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_jax(c) for c in det]).to_tensor().to_ndarray() - orig)
+    rnd = tt_round_randomized_uniform(cores, 4, oversample=4)
+    err_rnd = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_jax(c) for c in rnd]).to_tensor().to_ndarray() - orig)
+    assert err_rnd < 4 * err_det

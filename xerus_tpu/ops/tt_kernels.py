@@ -289,6 +289,84 @@ def _round_randomized(cores: Tuple[jnp.ndarray, ...], seeds: jnp.ndarray,
     return tuple(c * per_core for c in out[:d - 1]) + (final * per_core,)
 
 
+def _round_randomized_scan(stacked: jnp.ndarray, target_rank: int,
+                           oversample: int):
+    """Scan-uniform randomized rounding: padded (d, r, n, r) stack, sketch
+    build and orthogonalization sweep are both lax.scan's (one compiled QR).
+    Bond dims stay l = target+oversample padded; columns >= target_rank are
+    masked to zero (pad-to-max-rank discipline)."""
+    d, r, n, _ = stacked.shape
+    dtype = stacked.dtype
+    l = target_rank + oversample
+    tiny = jnp.asarray(1e-30, dtype)
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, d)
+
+    # sketches W[i] (r, l): right-to-left scan over cores d-1..1
+    def sketch_body(W, inp):
+        core, k = inp
+        R = jax.random.normal(k, (l, n, l), dtype=dtype)
+        GW = jnp.einsum("anb,bq->anq", core, W)
+        Wn = jnp.einsum("anq,pnq->ap", GW, R)
+        Wn = Wn / (jnp.linalg.norm(Wn) + tiny)
+        return Wn, Wn
+
+    W_init = jnp.zeros((r, l), dtype=dtype).at[:, 0].set(
+        jnp.zeros((r,), dtype).at[0].set(1.0))
+    # W for the LAST bond: only lane 0 active (boundary rank 1)
+    _, Ws = jax.lax.scan(sketch_body, W_init, (stacked[1:][::-1], keys[1:]))
+    Ws = Ws[::-1]  # Ws[i] pairs with core i (bond i -> right)
+
+    col_mask = (jnp.arange(l) < target_rank).astype(dtype)
+
+    def sweep_body(carry, inp):
+        C, logs = carry          # C: (l, r) projection
+        core, W = inp
+        G = jnp.einsum("ka,anb->knb", C, core)          # (l, n, r)
+        Y = jnp.einsum("anb,bl->anl", G, W).reshape(l * n, l)
+        q, _ = jnp.linalg.qr(Y)
+        q = q * col_mask[None, :]
+        Q = q.reshape(l, n, l)
+        C2 = jnp.einsum("ank,anb->kb", Q, G)            # (l, r)
+        nrm = jnp.linalg.norm(C2) + tiny
+        return (C2 / nrm, logs + jnp.log(nrm)), Q
+
+    C0 = jnp.zeros((l, r), dtype=dtype).at[0, 0].set(1.0)
+    (Cfin, logs), Qs = jax.lax.scan(
+        sweep_body, (C0, jnp.zeros((), dtype)), (stacked[:-1], Ws))
+    final = jnp.einsum("ka,anb->knb", Cfin, stacked[d - 1])  # (l, n, r)
+    scale = jnp.exp(logs / d)
+    return Qs * scale, final * scale
+
+
+@lru_cache(maxsize=32)
+def make_randomized_round_scan(shape: Tuple[int, ...], target_rank: int,
+                               oversample: int, dtype_str: str):
+    return jax.jit(partial(_round_randomized_scan, target_rank=target_rank,
+                           oversample=oversample))
+
+
+def tt_round_randomized_uniform(cores: Sequence[jnp.ndarray], target_rank: int,
+                                oversample: int = 8):
+    """Pad, run the scan kernel, unpad to logical ranks (<= target)."""
+    from .pallas_tt_eval import pad_cores
+    stacked, r = pad_cores([np.asarray(c) for c in cores])
+    d, _, n, _ = stacked.shape
+    fn = make_randomized_round_scan(tuple(stacked.shape), int(target_rank),
+                                    int(oversample), str(stacked.dtype))
+    Qs, final = fn(stacked)
+    res = []
+    for i in range(d):
+        rl = 1 if i == 0 else res_rank(i, d, n, target_rank)
+        rr = 1 if i == d - 1 else res_rank(i + 1, d, n, target_rank)
+        if i < d - 1:
+            core = Qs[i][:rl, :cores[i].shape[1], :rr]
+        else:
+            core = final[:rl, :cores[i].shape[1], :rr]
+        res.append(core)
+    return res
+
+
 @lru_cache(maxsize=64)
 def make_randomized_round(shapes: Tuple[Tuple[int, ...], ...], target_rank: int,
                           oversample: int, dtype_str: str):
