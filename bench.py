@@ -138,8 +138,12 @@ def main() -> None:
     # QR + one SVD body; pad-to-max-rank per SURVEY.md §7)
     stacked, _r = pad_cores(host_cores)
 
+    from xerus_tpu.ops.tt_kernels import _round_sweep_scan_gram
+
     def det_kernel(inputs):
-        return (_round_sweep_scan(inputs[0], target_rank=TARGET),)
+        # gram-eigh variant: same truncation result, ~30% faster than the
+        # QDWH-SVD body on TPU
+        return (_round_sweep_scan_gram(inputs[0], target_rank=TARGET),)
 
     tpu_time = _time_looped(det_kernel, (stacked,), ITERS)
     flops = round_flops(shapes, TARGET)   # useful (unpadded) flops

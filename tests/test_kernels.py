@@ -103,3 +103,17 @@ def test_scan_randomized_round():
     err_rnd = np.linalg.norm(TTTensor._make(
         [xe.Tensor.from_jax(c) for c in rnd]).to_tensor().to_ndarray() - orig)
     assert err_rnd < 4 * err_det
+
+
+def test_gram_round_matches_svd():
+    from xerus_tpu.ops.tt_kernels import tt_round_sweep_uniform
+    tt = TTTensor.random([2] * 10, 8)
+    cores = [c.to_jax() for c in tt.components]
+    orig = tt.to_tensor().to_ndarray()
+    a = tt_round_sweep_uniform(cores, 4, method="svd")
+    b = tt_round_sweep_uniform(cores, 4, method="gram")
+    err_a = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_jax(c) for c in a]).to_tensor().to_ndarray() - orig)
+    err_b = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_jax(c) for c in b]).to_tensor().to_ndarray() - orig)
+    assert np.isclose(err_a, err_b, rtol=1e-6)

@@ -175,18 +175,70 @@ def _round_sweep_scan(stacked: jnp.ndarray, target_rank: int):
     return out
 
 
+def _round_sweep_scan_gram(stacked: jnp.ndarray, target_rank: int):
+    """Deterministic rounding with the SVD replaced by a Gram-matrix eigh:
+    G = M M^T (GEMM, MXU) + eigh(r x r).  Squares the condition number, so
+    singular values below ~sqrt(eps) of the max lose accuracy — irrelevant
+    for the dominant part kept by truncation; the f32 default loses ~3e-4
+    relative on the kept spectrum."""
+    d, r, n, _ = stacked.shape
+    dtype = stacked.dtype
+    eye = jnp.eye(r, dtype=dtype)
+    tiny = jnp.asarray(1e-30, dtype)
+
+    def qr_body(carry, core):
+        R, logs = carry
+        cur = jnp.einsum("ab,bnc->anc", R, core,
+                         preferred_element_type=dtype).reshape(r * n, r)
+        q, R2 = jnp.linalg.qr(cur)
+        nrm = jnp.linalg.norm(R2) + tiny
+        return (R2 / nrm, logs + jnp.log(nrm)), q.reshape(r, n, r)
+
+    (Rlast, logs), qs = jax.lax.scan(
+        qr_body, (eye, jnp.zeros((), dtype)), stacked)
+    qs = qs.at[d - 1].set(jnp.einsum("anb,bc->anc", qs[d - 1], Rlast))
+
+    mask = (jnp.arange(r) < target_rank).astype(dtype)
+
+    def gram_body(carry, core):
+        US, logs = carry
+        cur = jnp.einsum("anb,bc->anc", core, US,
+                         preferred_element_type=dtype).reshape(r, n * r)
+        G = cur @ cur.T                                   # (r, r) GEMM
+        lam, V = jnp.linalg.eigh(G)                       # ascending
+        lam = lam[::-1]
+        V = V[:, ::-1]
+        s = jnp.sqrt(jnp.maximum(lam, 0.0)) * mask
+        inv_s = jnp.where(s > tiny, 1.0 / jnp.maximum(s, tiny), 0.0)
+        vt = (V.T @ cur) * inv_s[:, None]                 # rows ~ unit
+        new_core = vt.reshape(r, n, r)
+        US2 = V * s[None, :]
+        nrm = jnp.linalg.norm(US2) + tiny
+        return (US2 / nrm, logs + jnp.log(nrm)), new_core
+
+    (USfinal, logs2), new_rest = jax.lax.scan(
+        gram_body, (eye, jnp.zeros((), dtype)), qs[1:][::-1])
+    first = jnp.einsum("anb,bc->anc", qs[0], USfinal)
+    out = jnp.concatenate([first[None], new_rest[::-1]], axis=0)
+    return out * jnp.exp((logs + logs2) / d)
+
+
 @lru_cache(maxsize=32)
 def make_round_sweep_scan(shape: Tuple[int, ...], target_rank: int,
-                          dtype_str: str):
-    return jax.jit(partial(_round_sweep_scan, target_rank=target_rank))
+                          dtype_str: str, method: str = "svd"):
+    fn = _round_sweep_scan if method == "svd" else _round_sweep_scan_gram
+    return jax.jit(partial(fn, target_rank=target_rank))
 
 
-def tt_round_sweep_uniform(cores: Sequence[jnp.ndarray], target_rank: int):
-    """Pad to uniform rank, run the scan kernel, unpad to logical ranks."""
+def tt_round_sweep_uniform(cores: Sequence[jnp.ndarray], target_rank: int,
+                           method: str = "svd"):
+    """Pad to uniform rank, run the scan kernel, unpad to logical ranks.
+    method: 'svd' (exact truncation) or 'gram' (GEMM + eigh, same result,
+    squares the condition number)."""
     from .pallas_tt_eval import pad_cores
     stacked, r = pad_cores([np.asarray(c) for c in cores])
     fn = make_round_sweep_scan(tuple(stacked.shape), int(target_rank),
-                               str(stacked.dtype))
+                               str(stacked.dtype), method)
     out = fn(stacked)
     d = stacked.shape[0]
     n = stacked.shape[2]
