@@ -105,14 +105,15 @@ def main() -> None:
     truth /= truth.frob_norm()
     ms = xe.SinglePointMeasurementSet.random(400, dims)
     ms.measure(truth)
-    xc = TTTensor.random(dims, 3)
-    variant = xe.ADFVariant(250, 1e-8, 0.9995)
-    resid = variant(xc, ms)
+    xc = TTTensor.random(dims, 1)  # rank-adaptive start (adf.cpp:589-601)
+    variant = xe.ADFVariant(400, 1e-8, 0.9999)
+    resid = variant(xc, ms, max_ranks=[3] * 4)
     pos = xe.find_largest_entry(xc, accuracy=0.05)
-    arr = np.abs(truth.to_tensor().to_ndarray()).reshape(-1)
+    arr = np.abs(xc.to_tensor().to_ndarray()).reshape(-1)
     results.append({"workload": "adf_completion_largest_entry",
                     "seconds": round(time.perf_counter() - t0, 3),
                     "sample_residual": f"{resid:.3e}",
+                    "recovery_err_vs_truth": f"{ms.test(xc):.3e}",
                     "found_entry_frac_of_max": round(
                         float(arr[pos] / arr.max()), 4)})
 

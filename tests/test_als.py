@@ -124,3 +124,19 @@ def test_als_quickstart_qtt_poisson():
     ref = np.linalg.solve(A_mat, np.ones(n))
     got = x.to_tensor().to_ndarray().reshape(n)
     assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-6
+
+
+@pytest.mark.slow
+def test_north_star_d32_poisson_rank30():
+    """The BASELINE.json target problem: d=32 QTT Poisson at rank 30,
+    relative residual at 1e-10 level (f64 CPU validation of the TPU
+    kernel path — ALS fast path runs the same _als_half_sweep).
+    Takes minutes on CPU; run with `pytest -m slow`."""
+    d = 32
+    dims = [2] * d
+    A = laplace_operator(dims)
+    b = poisson_rhs(dims)
+    b /= b.frob_norm()
+    x = TTTensor.random(dims, 30)
+    resid = xe.ALS_SPD(A, x, b, 1e-14)
+    assert resid < 1e-10

@@ -145,7 +145,11 @@ class _InternalSolver:
             self.last_residual = self.residual_norm
             self.residual_norm = float(jnp.linalg.norm(residual)) / self.norm_values
             self.perf.add(self.residual_norm, self.x, 0, iteration=self.iteration)
-            res_dec = [self.residual_norm / (self.last_residual or 1.0)] + res_dec[:3]
+            # ratios > 1 clamp to 1: an early residual jump must not inflate
+            # the stagnation product into a spurious stop (the reference has
+            # this failure mode for badly-scaled initial guesses)
+            ratio = min(self.residual_norm / (self.last_residual or 1.0), 1.0)
+            res_dec = [ratio] + res_dec[:3]
             if (self.residual_norm < self.v.targetResidualNorm
                     or np.prod(res_dec) > self.v.minimalResidualNormDecrease ** 4):
                 return
