@@ -304,3 +304,27 @@ def test_ttstack_lazy_application():
            @ A.to_tensor().to_ndarray().reshape(9, 9)
            @ x.to_tensor().to_ndarray().reshape(9))
     assert np.allclose(result.to_tensor().to_ndarray().reshape(9), ref, atol=1e-12)
+
+
+def test_random_with_prescribed_singular_values():
+    """ttNetwork.h:178-205 singular-value-callback random."""
+    decay = lambda r: [2.0 ** (-i) for i in range(r)]
+    tt = TTTensor.random([4] * 4, 3, singular_values=decay)
+    tt.require_correct_format()
+    # last bond spectrum must match the prescription
+    tt.move_core(2)
+    from xerus_tpu.core import factorizations as fact
+    from xerus_tpu.core.contract import contract as cc
+    merged = cc(tt.components[2], tt.components[3], 1)
+    U, S, Vt = fact.calculate_svd(merged, 2, 0, 0.0)
+    s = np.diag(S.to_ndarray())
+    expect = np.array(decay(len(s)))
+    assert np.allclose(s, expect, atol=1e-10)
+
+
+def test_tensor_float_cast():
+    t = Tensor([], xe.Representation.Dense)
+    t._dense = np.array(2.5)
+    assert float(t) == 2.5
+    with pytest.raises(Exception):
+        float(Tensor.random([3, 3]))

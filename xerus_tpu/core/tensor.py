@@ -660,6 +660,11 @@ class Tensor:
             position //= dim
         return tuple(reversed(out))
 
+    def __float__(self) -> float:
+        require(self.degree() == 0 or self.size == 1,
+                "cannot cast non-scalar Tensor to float")
+        return float(self[0])
+
     def __repr__(self) -> str:
         return f"Tensor(dims={self.dimensions}, rep={self.representation.name}, factor={self.factor})"
 

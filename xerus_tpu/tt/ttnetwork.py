@@ -143,9 +143,17 @@ class TTNetwork:
     # -- random / special constructors ---------------------------------
     @classmethod
     def random(cls, dimensions: Sequence[int],
-               ranks: Union[int, Sequence[int]], generator=None) -> "TTNetwork":
+               ranks: Union[int, Sequence[int]], generator=None,
+               singular_values=None) -> "TTNetwork":
         """Random TT with given ranks, canonicalized to 0
-        (ttNetwork.h:129-154)."""
+        (ttNetwork.h:129-154).  With ``singular_values`` (a callable
+        rank->list or an explicit per-bond list of lists), the bond spectra
+        are prescribed (the reference's singular-value-callback random,
+        ttNetwork.h:178-205)."""
+        if singular_values is not None:
+            base = cls.random(dimensions, ranks, generator)
+            base._prescribe_singular_values(singular_values)
+            return base
         dims = [int(d) for d in dimensions]
         num = len(dims) // cls.N
         if isinstance(ranks, int):
@@ -169,6 +177,26 @@ class TTNetwork:
         out.move_core(0)
         # normalize like the reference's random (unit-ish scale)
         return out
+
+    def _prescribe_singular_values(self, singular_values) -> None:
+        """Rewrite each bond's singular spectrum in place."""
+        num = self.num_components()
+        for bond in range(num - 1):
+            self.move_core(bond)
+            merged = core_contract(self.components[bond],
+                                   self.components[bond + 1], 1)
+            split = self.components[bond].degree() - 1
+            U, S, Vt = fact.calculate_svd(merged, split, 0, 0.0)
+            r = S.dimensions[0]
+            sv = (singular_values(r) if callable(singular_values)
+                  else singular_values[bond])
+            sv = [float(s) for s in sv][:r]
+            newS = Tensor([r, r], Representation.Sparse)
+            for i, s in enumerate(sv):
+                newS._sparse[i * r + i] = s
+            self.components[bond] = core_contract(U, newS, 1)
+            self.components[bond + 1] = Vt
+            self.assume_core_position(bond)
 
     @classmethod
     def ones(cls, dimensions: Sequence[int]) -> "TTNetwork":
