@@ -1,0 +1,103 @@
+"""Double-word float32 arithmetic tests (accuracy vs float64)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import xerus_tpu  # configures x64 for the f64 references
+from xerus_tpu.ops import df32
+
+
+def _rand(shape, seed=0, scale=1.0):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.normal(size=shape) * scale
+
+
+def test_two_sum_exact():
+    a = jnp.asarray(np.float32(1.0))
+    b = jnp.asarray(np.float32(1e-8))
+    s, e = df32.two_sum(a, b)
+    assert float(s) + float(e) == pytest.approx(1.0 + 1e-8, abs=0)
+    assert float(e) != 0.0  # the error term captures the lost bits
+
+
+def test_two_prod_exact():
+    rng = np.random.Generator(np.random.PCG64(1))
+    a = jnp.asarray(rng.normal(size=100).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=100).astype(np.float32))
+    p, e = df32.two_prod(a, b)
+    exact = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+    got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+    assert np.array_equal(got, exact)  # two_prod is error-free
+
+
+def test_df_roundtrip():
+    x = _rand((50,), 2)
+    hi, lo = df32.df_from_f64(x)
+    back = df32.df_to_f64(hi, lo)
+    assert np.max(np.abs(back - x)) < 1e-14
+
+
+def test_df_add_mul_accuracy():
+    x = _rand((1000,), 3)
+    y = _rand((1000,), 4)
+    xh, xl = df32.df_from_f64(x)
+    yh, yl = df32.df_from_f64(y)
+    sh, sl = df32.df_add(xh, xl, yh, yl)
+    assert np.max(np.abs(df32.df_to_f64(sh, sl) - (x + y))) < 1e-13
+    ph, pl = df32.df_mul(xh, xl, yh, yl)
+    assert np.max(np.abs(df32.df_to_f64(ph, pl) - (x * y))
+                  / np.maximum(np.abs(x * y), 1e-30)) < 1e-13
+
+
+def test_df_reduce_sum_beats_f32():
+    x = _rand((4097,), 5)
+    xh, xl = df32.df_from_f64(x)
+    sh, sl = df32.df_reduce_sum(xh, xl, 0)
+    exact = np.sum(x)
+    df_err = abs(float(df32.df_to_f64(sh, sl)) - exact)
+    f32_err = abs(float(np.sum(x.astype(np.float32))) - exact)
+    assert df_err < 1e-11
+    assert df_err < f32_err / 10
+
+
+def test_df_matvec_accuracy():
+    A = _rand((200, 300), 6)
+    x = _rand((300,), 7)
+    Ah, Al = df32.df_from_f64(A)
+    xh, xl = df32.df_from_f64(x)
+    yh, yl = df32.df_matvec(Ah, Al, xh, xl)
+    exact = A @ x
+    rel = np.linalg.norm(df32.df_to_f64(yh, yl) - exact) / np.linalg.norm(exact)
+    assert rel < 1e-12
+
+
+def test_df_matmul_accuracy():
+    A = _rand((60, 80), 8)
+    B = _rand((80, 40), 9)
+    Ah, Al = df32.df_from_f64(A)
+    Bh, Bl = df32.df_from_f64(B)
+    Ch, Cl = df32.df_matmul(Ah, Al, Bh, Bl)
+    exact = A @ B
+    rel = np.linalg.norm(df32.df_to_f64(Ch, Cl) - exact) / np.linalg.norm(exact)
+    assert rel < 1e-12
+
+
+def test_refined_spd_solve_hits_1e10():
+    """f32 Cholesky + df refinement must reach ~1e-12 relative residual on a
+    moderately conditioned SPD system — the accuracy the f32-only solve
+    cannot reach (~1e-6)."""
+    n = 300
+    g = _rand((n, n), 10)
+    A = g @ g.T + n * np.eye(n)
+    b = _rand((n,), 11)
+    Ah, Al = df32.df_from_f64(A)
+    bh, bl = df32.df_from_f64(b)
+    xh, xl = df32.df_solve_spd_refined(Ah, Al, bh, bl, iterations=3)
+    x = df32.df_to_f64(xh, xl)
+    resid = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+    assert resid < 1e-10
+    # f32-only baseline for contrast
+    x32 = np.linalg.solve(A.astype(np.float32), b.astype(np.float32))
+    resid32 = np.linalg.norm(A @ x32.astype(np.float64) - b) / np.linalg.norm(b)
+    assert resid < resid32 / 100

@@ -1,0 +1,174 @@
+"""Double-word float32 ("double-float") arithmetic on TPU.
+
+TPUs have no practical float64 (measured: x64 programs do not compile in
+reasonable time through this stack — doc/performance.md), but the north-star
+workloads need 1e-10-level residuals ON DEVICE.  A double-word number is an
+unevaluated sum hi + lo of two float32s with |lo| <= ulp(hi)/2, giving
+~49 bits of significand — enough for 1e-12-level linear-algebra residuals.
+
+Primitives use error-free transformations that need only IEEE round-to-
+nearest f32 add/mul (XLA does not reassociate floating-point math):
+  two_sum   — Knuth 2Sum
+  two_prod  — Dekker/Veltkamp split product (no FMA required)
+Reductions are pairwise trees of df_add, so accumulation error stays
+O(log K) in df precision instead of O(sqrt K) in f32.
+
+This is a new TPU-first design (the reference simply links double-precision
+LAPACK, SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_SPLITTER = 4097.0  # 2^12 + 1 (Veltkamp split for f32: 24 = 12 + 12 bits)
+
+
+def two_sum(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def fast_two_sum(a, b):
+    """Requires |a| >= |b| (or a == 0)."""
+    s = a + b
+    err = b - (s - a)
+    return s, err
+
+
+def _split(a):
+    c = a * jnp.asarray(_SPLITTER, a.dtype)
+    hi = c - (c - a)
+    lo = a - hi
+    return hi, lo
+
+
+def two_prod(a, b):
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+# ---------------------------------------------------------------------------
+# df numbers: pairs (hi, lo) of equal-shape f32 arrays
+# ---------------------------------------------------------------------------
+
+def df_from_f64(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split host float64 data into (hi, lo) float32 pairs."""
+    x = np.asarray(x, dtype=np.float64)
+    hi = x.astype(np.float32)
+    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def df_to_f64(hi, lo) -> np.ndarray:
+    return np.asarray(hi, dtype=np.float64) + np.asarray(lo, dtype=np.float64)
+
+
+def df_add(xh, xl, yh, yl):
+    sh, se = two_sum(xh, yh)
+    te = se + (xl + yl)
+    return fast_two_sum(sh, te)
+
+
+def df_neg(xh, xl):
+    return -xh, -xl
+
+
+def df_sub(xh, xl, yh, yl):
+    return df_add(xh, xl, -yh, -yl)
+
+
+def df_mul(xh, xl, yh, yl):
+    ph, pe = two_prod(xh, yh)
+    pe = pe + (xh * yl + xl * yh)
+    return fast_two_sum(ph, pe)
+
+
+def df_scale(xh, xl, s):
+    """Multiply by an exact f32 scalar."""
+    ph, pe = two_prod(xh, s)
+    pe = pe + xl * s
+    return fast_two_sum(ph, pe)
+
+
+def df_reduce_sum(xh, xl, axis: int):
+    """Pairwise-tree sum along one axis in df precision."""
+    n = xh.shape[axis]
+    # pad to a power of two with zeros
+    p = 1
+    while p < n:
+        p *= 2
+    if p != n:
+        pad = [(0, 0)] * xh.ndim
+        pad[axis] = (0, p - n)
+        xh = jnp.pad(xh, pad)
+        xl = jnp.pad(xl, pad)
+    while xh.shape[axis] > 1:
+        m = xh.shape[axis] // 2
+        a_h = jax.lax.slice_in_dim(xh, 0, m, axis=axis)
+        b_h = jax.lax.slice_in_dim(xh, m, 2 * m, axis=axis)
+        a_l = jax.lax.slice_in_dim(xl, 0, m, axis=axis)
+        b_l = jax.lax.slice_in_dim(xl, m, 2 * m, axis=axis)
+        xh, xl = df_add(a_h, a_l, b_h, b_l)
+    return jnp.squeeze(xh, axis), jnp.squeeze(xl, axis)
+
+
+def df_matvec(Ah, Al, xh, xl):
+    """df matrix (m,k) @ df vector (k,) -> df (m,)."""
+    ph, pl = df_mul(Ah, Al, xh[None, :], xl[None, :])
+    return df_reduce_sum(ph, pl, axis=1)
+
+
+def df_matmul(Ah, Al, Bh, Bl, block_k: int = 0):
+    """df (m,k) @ df (k,n) -> df (m,n) via broadcast products + tree sum.
+    Memory O(m*k*n); for large k use df_matmul_blocked."""
+    ph, pl = df_mul(Ah[:, :, None], Al[:, :, None], Bh[None, :, :],
+                    Bl[None, :, :])
+    return df_reduce_sum(ph, pl, axis=1)
+
+
+def df_contract_last_first(Ah, Al, Bh, Bl):
+    """Contract last axis of A with first axis of B (general tensordot-1)."""
+    ash = Ah.shape
+    bsh = Bh.shape
+    k = ash[-1]
+    a2h = Ah.reshape(-1, k)
+    a2l = Al.reshape(-1, k)
+    b2h = Bh.reshape(k, -1)
+    b2l = Bl.reshape(k, -1)
+    oh, ol = df_matmul(a2h, a2l, b2h, b2l)
+    out_shape = ash[:-1] + bsh[1:]
+    return oh.reshape(out_shape), ol.reshape(out_shape)
+
+
+# ---------------------------------------------------------------------------
+# Refined linear solve: f32 Cholesky + df iterative refinement
+# ---------------------------------------------------------------------------
+
+def df_solve_spd_refined(Ah, Al, bh, bl, iterations: int = 3):
+    """Solve A x = b (SPD) to ~df accuracy: factorize hi in f32 (MXU), then
+    refine with df residuals.  Converges when kappa(A) * 2^-24 < 1."""
+    cf = jax.scipy.linalg.cho_factor(Ah)
+
+    def body(_, x):
+        xh, xl = x
+        # r = b - A x  in df
+        axh, axl = df_matvec(Ah, Al, xh, xl)
+        rh, rl = df_sub(bh, bl, axh, axl)
+        # correction in f32 from the hi residual
+        d = jax.scipy.linalg.cho_solve(cf, rh + rl)
+        return df_add(xh, xl, d, jnp.zeros_like(d))
+
+    x0 = jax.scipy.linalg.cho_solve(cf, bh)
+    x = (x0, jnp.zeros_like(x0))
+    return jax.lax.fori_loop(0, iterations, body, x)
