@@ -1,0 +1,273 @@
+"""Mixed-precision (double-word f32) TT operations: the on-device path to
+1e-10 residuals.
+
+Builds on ops/df32.py: tensor contractions, thin QR (CGS2) and a full SPD
+ALS half-sweep carried out entirely in double-word precision, with the only
+f32-approximate step being the Cholesky factorization used as a
+preconditioner inside the refined local solves.  Everything jit-compiles to
+one XLA program per half-sweep, like the f32 kernels in tt_kernels.py.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .df32 import (df_add, df_sub, df_mul, df_scale, df_reduce_sum,
+                   df_matvec, df_matmul, df_solve_spd_refined, fast_two_sum,
+                   two_prod, df_from_f64, df_to_f64)
+
+DF = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# scalar helpers
+# ---------------------------------------------------------------------------
+
+def df_div(xh, xl, yh, yl):
+    q1 = xh / yh
+    # r = x - q1*y in df
+    ph, pe = two_prod(q1, yh)
+    pe = pe + q1 * yl
+    rh, rl = df_sub(xh, xl, *fast_two_sum(ph, pe))
+    q2 = rh / yh
+    return fast_two_sum(q1, q2)
+
+
+def df_sqrt(xh, xl):
+    s = jnp.sqrt(jnp.maximum(xh, 0.0))
+    ph, pe = two_prod(s, s)
+    rh, rl = df_sub(xh, xl, ph, pe)
+    e = jnp.where(s > 0, rh / jnp.maximum(2.0 * s, 1e-38), 0.0)
+    return fast_two_sum(s, e)
+
+
+def df_dot_vec(xh, xl, yh, yl):
+    ph, pl = df_mul(xh, xl, yh, yl)
+    return df_reduce_sum(ph, pl, axis=0)
+
+
+def df_norm_vec(xh, xl):
+    sh, sl = df_dot_vec(xh, xl, xh, xl)
+    return df_sqrt(sh, sl)
+
+
+# ---------------------------------------------------------------------------
+# df tensordot (mirrors np.tensordot axes semantics)
+# ---------------------------------------------------------------------------
+
+def df_tensordot(a: DF, b: DF, axes) -> DF:
+    ah, al = a
+    bh, bl = b
+    if isinstance(axes, int):
+        a_axes = list(range(ah.ndim - axes, ah.ndim))
+        b_axes = list(range(axes))
+    else:
+        a_axes = [ax % ah.ndim for ax in np.atleast_1d(axes[0])]
+        b_axes = [ax % bh.ndim for ax in np.atleast_1d(axes[1])]
+    a_free = [i for i in range(ah.ndim) if i not in a_axes]
+    b_free = [i for i in range(bh.ndim) if i not in b_axes]
+    at = jnp.transpose(ah, a_free + a_axes)
+    alt = jnp.transpose(al, a_free + a_axes)
+    bt = jnp.transpose(bh, b_axes + b_free)
+    blt = jnp.transpose(bl, b_axes + b_free)
+    k = int(np.prod([ah.shape[i] for i in a_axes])) if a_axes else 1
+    m = int(np.prod([ah.shape[i] for i in a_free])) if a_free else 1
+    n = int(np.prod([bh.shape[i] for i in b_free])) if b_free else 1
+    oh, ol = df_matmul(at.reshape(m, k), alt.reshape(m, k),
+                       bt.reshape(k, n), blt.reshape(k, n))
+    shape = tuple(ah.shape[i] for i in a_free) + tuple(bh.shape[i] for i in b_free)
+    return oh.reshape(shape), ol.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# df thin QR via twice-reorthogonalized classical Gram-Schmidt (CGS2)
+# ---------------------------------------------------------------------------
+
+def df_qr(ah: jnp.ndarray, al: jnp.ndarray) -> Tuple[DF, DF]:
+    """Thin QR of an (m, r) df matrix, m >= r.  Returns (Q, R) as df pairs.
+    Sequential over columns; each step is df matvecs (CGS2)."""
+    m, r = ah.shape
+    dtype = ah.dtype
+
+    def body(j, state):
+        qh, ql, rh_, rl_ = state
+        vh = jax.lax.dynamic_slice(ah, (0, j), (m, 1))[:, 0]
+        vl = jax.lax.dynamic_slice(al, (0, j), (m, 1))[:, 0]
+        orig_norm = jnp.sqrt(jnp.sum(vh * vh)) + 1e-38
+        # two rounds of projection against the (zero-padded) current Q
+        coefh = jnp.zeros((r,), dtype)
+        coefl = jnp.zeros((r,), dtype)
+        for _ in range(2):
+            ch, cl = df_matvec(qh.T, ql.T, vh, vl)           # (r,)
+            pjh, pjl = df_matvec(qh, ql, ch, cl)             # (m,)
+            vh, vl = df_sub(vh, vl, pjh, pjl)
+            coefh, coefl = df_add(coefh, coefl, ch, cl)
+        nh, nl = df_norm_vec(vh, vl)
+        # rank-deficient column: fall back to a projected canonical vector so
+        # the frame stays orthonormal (the local problems need full rank)
+        deficient = nh < 1e-12 * orig_norm
+        eh = jnp.zeros((m,), dtype).at[j % m].set(1.0)
+        fch, fcl = df_matvec(qh.T, ql.T, eh, jnp.zeros_like(eh))
+        fph, fpl = df_matvec(qh, ql, fch, fcl)
+        fvh, fvl = df_sub(eh, jnp.zeros_like(eh), fph, fpl)
+        fnh, fnl = df_norm_vec(fvh, fvl)
+        vh = jnp.where(deficient, fvh, vh)
+        vl = jnp.where(deficient, fvl, vl)
+        nh2 = jnp.where(deficient, fnh, nh)
+        nl2 = jnp.where(deficient, fnl, nl)
+        inv_h, inv_l = df_div(jnp.ones((), dtype), jnp.zeros((), dtype),
+                              jnp.maximum(nh2, 1e-38), nl2)
+        qcol_h, qcol_l = df_mul(vh, vl, inv_h, inv_l)
+        # R diagonal keeps the ORIGINAL (possibly ~0) norm
+        nh = jnp.where(deficient, jnp.zeros((), dtype), nh)
+        nl = jnp.where(deficient, jnp.zeros((), dtype), nl)
+        qh = jax.lax.dynamic_update_slice(qh, qcol_h[:, None], (0, j))
+        ql = jax.lax.dynamic_update_slice(ql, qcol_l[:, None], (0, j))
+        # R column: projections + norm on the diagonal
+        rcol_h = coefh.at[j].set(nh)
+        rcol_l = coefl.at[j].set(nl)
+        rh_ = jax.lax.dynamic_update_slice(rh_, rcol_h[:, None], (0, j))
+        rl_ = jax.lax.dynamic_update_slice(rl_, rcol_l[:, None], (0, j))
+        return qh, ql, rh_, rl_
+
+    q0 = jnp.zeros((m, r), dtype)
+    r0 = jnp.zeros((r, r), dtype)
+    qh, ql, rh_, rl_ = jax.lax.fori_loop(0, r, body,
+                                         (q0, jnp.zeros_like(q0),
+                                          r0, jnp.zeros_like(r0)))
+    return (qh, ql), (rh_, rl_)
+
+
+# ---------------------------------------------------------------------------
+# Mixed-precision SPD ALS half-sweep
+# ---------------------------------------------------------------------------
+
+def _als_half_sweep_df(x_cores: Sequence[DF], A_cores: Sequence[DF],
+                       b_cores: Sequence[DF], refine_iters: int = 3):
+    """Left->right single-site SPD half-sweep in df precision; x assumed
+    canonicalized at 0 (df-orthogonal).  Mirrors
+    tt_kernels._als_half_sweep."""
+    d = len(x_cores)
+    dtype = x_cores[0][0].dtype
+
+    def dfc(val):
+        return (jnp.asarray(val, dtype), jnp.zeros_like(jnp.asarray(val, dtype)))
+
+    def env_push_right(xc: DF, Ac: DF, env: DF) -> DF:
+        # env (u,a,v); out = einsum("umU,amnb,vnV,UbV->uav") pushed right:
+        # given env over the RIGHT part (U,b,V) produce (u,a,v)
+        t1 = df_tensordot(xc, env, axes=([2], [0]))          # (u,m,b,V)
+        t2 = df_tensordot(t1, Ac, axes=([1, 2], [1, 3]))     # (u,V,a,n)
+        t3 = df_tensordot(t2, xc, axes=([3, 1], [1, 2]))     # (u,a,v)
+        return t3
+
+    def rhs_push_right(xc: DF, bc: DF, env: DF) -> DF:
+        t1 = df_tensordot(xc, env, axes=([2], [0]))          # (u,m,B)
+        t2 = df_tensordot(t1, bc, axes=([1, 2], [1, 2]))     # (u,b)
+        return t2
+
+    one3 = dfc(jnp.ones((1, 1, 1), dtype))
+    one2 = dfc(jnp.ones((1, 1), dtype))
+    op_right: List[DF] = [one3]
+    rhs_right: List[DF] = [one2]
+    for k in range(d - 1, 0, -1):
+        op_right.append(env_push_right(x_cores[k], A_cores[k], op_right[-1]))
+        rhs_right.append(rhs_push_right(x_cores[k], b_cores[k], rhs_right[-1]))
+
+    x_out = list(x_cores)
+    op_left: DF = one3
+    rhs_left: DF = one2
+    for k in range(d):
+        Ac = A_cores[k]
+        bc = b_cores[k]
+        Renv = op_right[d - 1 - k]
+        Rrhs = rhs_right[d - 1 - k]
+        # Aloc[(u m U),(v n V)] = L[u,a,v] A[a,m,n,b] R[U,b,V]
+        t = df_tensordot(op_left, Ac, axes=([1], [0]))       # (u,v,m,n,b)
+        t = df_tensordot(t, Renv, axes=([4], [1]))           # (u,v,m,n,U,V)
+        th, tl = t
+        th = jnp.transpose(th, (0, 2, 4, 1, 3, 5))           # (u,m,U,v,n,V)
+        tl = jnp.transpose(tl, (0, 2, 4, 1, 3, 5))
+        u_, m_, U_ = th.shape[0], th.shape[1], th.shape[2]
+        nn = u_ * m_ * U_
+        Aloc = (th.reshape(nn, nn), tl.reshape(nn, nn))
+        # bloc[u m U] = Lb[u,b] b[b,m,B] Rb[U,B]
+        t = df_tensordot(rhs_left, bc, axes=([1], [0]))      # (u,m,B)
+        t = df_tensordot(t, Rrhs, axes=([2], [1]))           # (u,m,U)
+        bloc = (t[0].reshape(nn), t[1].reshape(nn))
+
+        xh, xl = df_solve_spd_refined(Aloc[0], Aloc[1], bloc[0], bloc[1],
+                                      iterations=refine_iters)
+        core = (xh.reshape(u_, m_, U_), xl.reshape(u_, m_, U_))
+        if k < d - 1:
+            (Qh, Ql), (Rh, Rl) = df_qr(core[0].reshape(u_ * m_, U_),
+                                       core[1].reshape(u_ * m_, U_))
+            kk = Qh.shape[1]
+            x_out[k] = (Qh.reshape(u_, m_, kk), Ql.reshape(u_, m_, kk))
+            nxt = x_out[k + 1]
+            x_out[k + 1] = df_tensordot((Rh, Rl), nxt, axes=([1], [0]))
+            op_left = _env_push_left(x_out[k], Ac, op_left)
+            rhs_left = _rhs_push_left(x_out[k], bc, rhs_left)
+        else:
+            x_out[k] = core
+    return tuple(x_out)
+
+
+def _env_push_left(xc: DF, Ac: DF, env: DF) -> DF:
+    t1 = df_tensordot(env, xc, axes=([0], [0]))          # (a,v,m,U)
+    t2 = df_tensordot(t1, Ac, axes=([0, 2], [0, 1]))     # (v,U,n,b)
+    t3 = df_tensordot(t2, xc, axes=([0, 2], [0, 1]))     # (U,b,V)
+    return t3
+
+
+def _rhs_push_left(xc: DF, bc: DF, env: DF) -> DF:
+    t1 = df_tensordot(env, xc, axes=([0], [0]))          # (b,m,U)
+    t2 = df_tensordot(t1, bc, axes=([0, 1], [0, 1]))     # (U,B)
+    return t2
+
+
+@lru_cache(maxsize=16)
+def make_df_als_sweep(shapes_key, dtype_str: str, refine_iters: int = 3):
+    return jax.jit(partial(_als_half_sweep_df, refine_iters=refine_iters))
+
+
+def als_spd_mixed(A, x, b, num_half_sweeps: int = 6):
+    """Mixed-precision single-site SPD ALS on TT objects: each half-sweep is
+    one jitted df program; direction alternates via site reversal (exact
+    transposes).  Residual verification stays in host float64 — the df
+    quadratic form would cancel below ~1e-7.  Returns (x_df64_cores,
+    residual)."""
+    x = x.copy()
+    x.move_core(0)
+    d = x.num_components()
+
+    def to_df_list(cores, is_op=False):
+        return tuple(df_from_f64(np.asarray(c.to_ndarray(), np.float64))
+                     for c in cores)
+
+    x_df = to_df_list(x.components)
+    A_df = to_df_list(A.components, True)
+    b_df = to_df_list(b.components)
+
+    def reverse(cores, op=False):
+        perm = (3, 1, 2, 0) if op else (2, 1, 0)
+        return tuple((jnp.transpose(h, perm), jnp.transpose(l, perm))
+                     for (h, l) in reversed(cores))
+
+    reversed_state = False
+    for sweep in range(num_half_sweeps):
+        shapes_key = tuple(tuple(h.shape) for h, _ in x_df)
+        fn = make_df_als_sweep(shapes_key, "float32")
+        x_df = fn(x_df, A_df, b_df)
+        x_df = reverse(x_df)
+        A_df = reverse(A_df, op=True)
+        b_df = reverse(b_df)
+        reversed_state = not reversed_state
+    if reversed_state:
+        x_df = reverse(x_df)
+    return [df_to_f64(h, l) for (h, l) in x_df]
