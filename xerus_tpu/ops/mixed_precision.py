@@ -109,8 +109,10 @@ def df_qr(ah: jnp.ndarray, al: jnp.ndarray) -> Tuple[DF, DF]:
             coefh, coefl = df_add(coefh, coefl, ch, cl)
         nh, nl = df_norm_vec(vh, vl)
         # rank-deficient column: fall back to a projected canonical vector so
-        # the frame stays orthonormal (the local problems need full rank)
-        deficient = nh < 1e-12 * orig_norm
+        # the frame stays orthonormal (the local problems need full rank).
+        # The absolute floor catches exactly-zero columns whose relative
+        # threshold underflows; without it 1/nh overflows the Veltkamp split.
+        deficient = nh <= 1e-12 * orig_norm + 1e-30
         eh = jnp.zeros((m,), dtype).at[j % m].set(1.0)
         fch, fcl = df_matvec(qh.T, ql.T, eh, jnp.zeros_like(eh))
         fph, fpl = df_matvec(qh, ql, fch, fcl)
@@ -121,7 +123,7 @@ def df_qr(ah: jnp.ndarray, al: jnp.ndarray) -> Tuple[DF, DF]:
         nh2 = jnp.where(deficient, fnh, nh)
         nl2 = jnp.where(deficient, fnl, nl)
         inv_h, inv_l = df_div(jnp.ones((), dtype), jnp.zeros((), dtype),
-                              jnp.maximum(nh2, 1e-38), nl2)
+                              jnp.maximum(nh2, 1e-20), nl2)
         qcol_h, qcol_l = df_mul(vh, vl, inv_h, inv_l)
         # R diagonal keeps the ORIGINAL (possibly ~0) norm
         nh = jnp.where(deficient, jnp.zeros((), dtype), nh)
