@@ -46,7 +46,7 @@ from .algorithms import (PerformanceData, NoPerfData, ALSVariant, ALS,
                          decomposition_als, find_largest_entry,
                          UQMeasurementSet, uq_adf, uq_avg, uq_mc,
                          EigenALSVariant, DMRG_groundstate, ALS_groundstate,
-                         smallest_eigenvalue)
+                         smallest_eigenvalue, als_spd_mixed)
 from . import examples
 
 from .core.tensor import Tensor as _T
