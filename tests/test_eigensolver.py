@@ -66,3 +66,17 @@ def test_laplace_smallest_eigenvalue():
     x = TTTensor.random([n] * d, 4)
     lam = smallest_eigenvalue(A, x, sites=2, max_rank=8)
     assert abs(lam - exact) < 1e-9
+
+
+def test_fast_dmrg_kernel_matches_exact():
+    """Whole-sweep jitted DMRG kernel (ops/dmrg_kernels.py)."""
+    from xerus_tpu.ops.dmrg_kernels import dmrg_groundstate_fast
+    d = 8
+    H = heisenberg_mpo(d)
+    Hm = H.to_tensor().to_ndarray().reshape(2 ** d, 2 ** d)
+    exact = np.linalg.eigvalsh(Hm)[0]
+    x = TTTensor.random([2] * d, 16)
+    lam = dmrg_groundstate_fast(H, x, num_half_sweeps=14, conv_eps=1e-13)
+    assert abs(lam - exact) < 1e-10
+    xv = x.to_tensor().to_ndarray().reshape(-1)
+    assert np.linalg.norm(Hm @ xv - lam * xv) < 1e-9
