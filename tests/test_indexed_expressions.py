@@ -178,3 +178,21 @@ def test_span_mismatch_raises():
     out = Tensor()
     with pytest.raises(Exception):
         out(i, j) << A(i, j)  # only 2 spans for order-3 tensor
+
+
+def test_sum_inside_product_materializes():
+    A = Tensor.random([3, 4]); B = Tensor.random([3, 4]); C = Tensor.random([4, 5])
+    i, j, k = xe.indices(3)
+    out = Tensor()
+    out(i, k) << (A(i, j) + B(i, j)) * C(j, k)
+    ref = (A.to_ndarray() + B.to_ndarray()) @ C.to_ndarray()
+    assert np.allclose(out.to_ndarray(), ref, atol=1e-12)
+
+
+def test_solve_inside_product_materializes():
+    M = Tensor.random([4, 4]); b = Tensor.random([4]); w = Tensor.random([4])
+    i, j = xe.indices(2)
+    out = Tensor()
+    out() << (b(j) / M(j, i)) * w(i)
+    x = np.linalg.solve(M.to_ndarray(), b.to_ndarray())
+    assert np.isclose(float(out[0]), float(x @ w.to_ndarray()))

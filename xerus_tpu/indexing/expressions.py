@@ -182,9 +182,31 @@ class Product(Expression):
     def of(a: Expression, b: Expression) -> "Product":
         fa, sa = (a.factors, a.scalar) if isinstance(a, Product) else ([a], 1.0)
         fb, sb = (b.factors, b.scalar) if isinstance(b, Product) else ([b], 1.0)
-        require(all(isinstance(f, IndexedTensor) for f in fa + fb),
-                "products of sums/solves must be parenthesised via temporaries")
-        return Product(fa + fb, sa * sb)
+        factors = [Product._materialize(f) for f in fa + fb]
+        return Product(factors, sa * sb)
+
+    @staticmethod
+    def _materialize(factor: Expression) -> "IndexedTensor":
+        """Sums/solves inside a product evaluate to a temporary first (the
+        reference handles this through IndexedTensorMoveable temporaries)."""
+        if isinstance(factor, IndexedTensor):
+            return factor
+        from .evaluate import _eval_expr
+        from .index import Index
+        tensor, labels = _eval_expr(factor, None)
+        idx_objs = []
+        seen = {}
+        for vid, _k in labels:
+            if vid not in seen:
+                seen[vid] = Index(_value_id=vid)
+                idx_objs.append(seen[vid])
+        # rebuild index list with spans matching consecutive label runs
+        spans = {}
+        for vid, _k in labels:
+            spans[vid] = spans.get(vid, 0) + 1
+        rebuilt = [seen[vid] ** spans[vid] if spans[vid] > 1 else seen[vid]
+                   for vid in seen]
+        return IndexedTensor(tensor, rebuilt)
 
 
 class Sum(Expression):
