@@ -133,6 +133,52 @@ class _InternalSolver:
 
     # -- main loop (adf.cpp:541-566) ------------------------------------
     def solve_with_current_ranks(self) -> None:
+        if not self.rank_one:
+            return self._solve_current_ranks_jitted()
+        return self._solve_current_ranks_host()
+
+    def _solve_current_ranks_jitted(self) -> None:
+        """Single-point fast path: each iteration is ONE XLA program
+        (ops/adf_kernels.py); host keeps only the stagnation logic."""
+        from ..ops.adf_kernels import make_adf_iteration, build_onehots
+        import jax
+
+        dims = [c.dimensions[1] for c in self.x.components]
+        onehots = build_onehots(np.asarray(self.meas.positions), dims,
+                                np.dtype(config.value_dtype))
+        self.x.move_core(0, keep_rank=True)
+        cores = tuple(c.to_jax() for c in self.x.components)
+
+        @jax.jit
+        def canonicalize_left(cs):
+            cs = list(cs)
+            for k in range(len(cs) - 1, 0, -1):
+                rl, n, rr = cs[k].shape
+                q, r = jnp.linalg.qr(cs[k].reshape(rl, n * rr).T)
+                cs[k] = q.T.reshape(q.shape[1], n, rr)
+                cs[k - 1] = jnp.einsum("anb,bk->ank", cs[k - 1], r.T)
+            return tuple(cs)
+
+        res_dec = [0.0, 0.0, 0.0, 0.0]
+        while self.v.maxIterations == 0 or self.iteration < self.v.maxIterations:
+            self.iteration += 1
+            shapes_key = tuple(tuple(c.shape) for c in cores)
+            fn = make_adf_iteration(shapes_key, str(cores[0].dtype))
+            new_cores, resid0 = fn(cores, onehots, jnp.asarray(self.values))
+            self.last_residual = self.residual_norm
+            self.residual_norm = float(resid0) / self.norm_values
+            self.perf.add(self.residual_norm, self.x, 0,
+                          iteration=self.iteration)
+            ratio = min(self.residual_norm / (self.last_residual or 1.0), 1.0)
+            res_dec = [ratio] + res_dec[:3]
+            cores = canonicalize_left(new_cores)
+            if (self.residual_norm < self.v.targetResidualNorm
+                    or np.prod(res_dec) > self.v.minimalResidualNormDecrease ** 4):
+                break
+        self.x.components = [Tensor.from_jax(c) for c in cores]
+        self.x.assume_core_position(0)
+
+    def _solve_current_ranks_host(self) -> None:
         res_dec = [0.0, 0.0, 0.0, 0.0]
         while self.v.maxIterations == 0 or self.iteration < self.v.maxIterations:
             self.iteration += 1

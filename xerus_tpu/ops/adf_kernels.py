@@ -1,0 +1,80 @@
+"""Whole-iteration jitted ADF kernel (single-point measurements).
+
+One full ADF iteration — backward-stack rebuild, residual, per-core
+projected-gradient steps with slice-wise optimal step sizes, and core moves —
+compiled into ONE XLA program.  Index selection uses one-hot matmuls instead
+of gathers (MXU/VPU-friendly; TPUs dislike scattered access), the projected
+gradient and the slice-wise norms are the same one-hot GEMMs transposed.
+Semantics match algorithms/adf.py's host-driven loop (itself a re-design of
+src/xerus/algorithms/adf.cpp).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _site(onehot, core):
+    """(M, n) x (rl, n, rr) -> (M, rl, rr) selected slices."""
+    return jnp.einsum("mn,anb->mab", onehot, core)
+
+
+def _adf_iteration(cores, onehots, values):
+    """Returns (new_cores, residual_norm_at_start)."""
+    d = len(cores)
+    M = values.shape[0]
+    dtype = cores[0].dtype
+
+    B = [None] * (d + 1)
+    B[d] = jnp.ones((M, 1), dtype=dtype)
+    for k in range(d - 1, 0, -1):
+        B[k] = jnp.einsum("mab,mb->ma", _site(onehots[k], cores[k]), B[k + 1])
+
+    F = jnp.ones((M, 1), dtype=dtype)
+    cores = list(cores)
+    residual0 = jnp.zeros((), dtype)
+    for cp in range(d):
+        pred = jnp.einsum("ma,mab,mb->m", F, _site(onehots[cp], cores[cp]),
+                          B[cp + 1])
+        res = values - pred
+        if cp == 0:
+            residual0 = jnp.linalg.norm(res)
+        outer = jnp.einsum("m,ma,mb->mab", res, F, B[cp + 1])
+        grad_by_slice = jnp.einsum("mn,mab->nab", onehots[cp], outer)
+        grad = jnp.transpose(grad_by_slice, (1, 0, 2))
+        Ggath = jnp.einsum("mn,nab->mab", onehots[cp], grad_by_slice)
+        val = jnp.einsum("ma,mab,mb->m", F, Ggath, B[cp + 1])
+        norms = jnp.einsum("mn,m->n", onehots[cp], val * val)
+        PyR = jnp.sum(grad_by_slice * grad_by_slice, axis=(1, 2))
+        alpha = jnp.where(norms > 0, PyR / jnp.maximum(norms, 1e-300), 0.0)
+        new_core = cores[cp] + alpha[None, :, None] * grad
+        if cp + 1 < d:
+            rl, n, rr = new_core.shape
+            q, r = jnp.linalg.qr(new_core.reshape(rl * n, rr))
+            cores[cp] = q.reshape(rl, n, q.shape[1])
+            cores[cp + 1] = jnp.einsum("ab,bnc->anc", r, cores[cp + 1])
+            F = jnp.einsum("ma,mab->mb", F, _site(onehots[cp], cores[cp]))
+        else:
+            cores[cp] = new_core
+    return tuple(cores), residual0
+
+
+@lru_cache(maxsize=32)
+def make_adf_iteration(shapes_key, dtype_str: str):
+    return jax.jit(_adf_iteration)
+
+
+def build_onehots(positions: np.ndarray, dims: Sequence[int], dtype):
+    """Per-mode one-hot matrices (M, n_k) from integer positions (M, d)."""
+    M, d = positions.shape
+    out = []
+    for k in range(d):
+        oh = np.zeros((M, int(dims[k])), dtype=dtype)
+        oh[np.arange(M), positions[:, k]] = 1.0
+        out.append(jnp.asarray(oh))
+    return tuple(out)
