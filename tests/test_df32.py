@@ -101,3 +101,30 @@ def test_refined_spd_solve_hits_1e10():
     x32 = np.linalg.solve(A.astype(np.float32), b.astype(np.float32))
     resid32 = np.linalg.norm(A @ x32.astype(np.float64) - b) / np.linalg.norm(b)
     assert resid < resid32 / 100
+
+
+def test_pallas_df_matvec():
+    """Single-HBM-pass Pallas df matvec (interpret mode on CPU)."""
+    from xerus_tpu.ops.pallas_df import pallas_df_matvec
+    A = _rand((200, 300), 20)
+    x = _rand((300,), 21)
+    Ah, Al = df32.df_from_f64(A)
+    xh, xl = df32.df_from_f64(x)
+    oh, ol = pallas_df_matvec(Ah, Al, xh, xl, block_m=64, block_k=128)
+    exact = A @ x
+    rel = np.linalg.norm(df32.df_to_f64(np.asarray(oh), np.asarray(ol)) - exact) \
+        / np.linalg.norm(exact)
+    assert rel < 1e-12
+
+
+def test_pallas_df_matvec_unaligned_sizes():
+    from xerus_tpu.ops.pallas_df import pallas_df_matvec
+    A = _rand((130, 190), 22)
+    x = _rand((190,), 23)
+    Ah, Al = df32.df_from_f64(A)
+    xh, xl = df32.df_from_f64(x)
+    oh, ol = pallas_df_matvec(Ah, Al, xh, xl, block_m=64, block_k=64)
+    exact = A @ x
+    rel = np.linalg.norm(df32.df_to_f64(np.asarray(oh), np.asarray(ol)) - exact) \
+        / np.linalg.norm(exact)
+    assert rel < 1e-12

@@ -1,0 +1,122 @@
+"""Pallas TPU kernel: double-word f32 matvec in one HBM pass.
+
+The jnp df_matvec (ops/df32.py) materializes the (m, k) product pair and
+tree-reduces it in log2(k) passes over HBM.  This kernel tiles the rows,
+keeps a df accumulator pair in VMEM, and walks k in chunks with compensated
+(TwoProd + TwoSum) accumulation — one read of A, no intermediate traffic.
+Used by the df iterative-refinement solves for large local systems.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SPLITTER = 4097.0
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _two_prod(a, b):
+    p = a * b
+    c = a * _SPLITTER
+    ah = c - (c - a)
+    al = a - ah
+    c = b * _SPLITTER
+    bh = c - (c - b)
+    bl = b - bh
+    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+
+def _fast_two_sum(a, b):
+    s = a + b
+    return s, b - (s - a)
+
+
+def _df_add(xh, xl, yh, yl):
+    s, e = _two_sum(xh, yh)
+    return _fast_two_sum(s, e + (xl + yl))
+
+
+def _df_matvec_kernel(ah_ref, al_ref, xh_ref, xl_ref, oh_ref, ol_ref, *,
+                      block_k: int, k_total: int):
+    """One grid step: (block_m, k) rows x (k,) vector -> (block_m,) df."""
+    acc_h = jnp.zeros((ah_ref.shape[0],), jnp.float32)
+    acc_l = jnp.zeros_like(acc_h)
+    num_chunks = k_total // block_k
+
+    def body(c, carry):
+        acc_h, acc_l = carry
+        sl = pl.ds(c * block_k, block_k)
+        a_h = ah_ref[:, sl]
+        a_l = al_ref[:, sl]
+        v_h = xh_ref[sl]
+        v_l = xl_ref[sl]
+        # df products for the chunk: (block_m, block_k), renormalized
+        p_h, p_e = _two_prod(a_h, v_h[None, :])
+        ch, cl = _fast_two_sum(p_h, p_e + (a_h * v_l[None, :]
+                                           + a_l * v_h[None, :]))
+        # pairwise-tree reduce the chunk (renormalizing df adds)
+        width = block_k
+        while width > 1:
+            half = width // 2
+            ch, cl = _df_add(ch[:, :half], cl[:, :half],
+                             ch[:, half:width], cl[:, half:width])
+            width = half
+        acc_h, acc_l = _df_add(acc_h, acc_l, ch[:, 0], cl[:, 0])
+        return acc_h, acc_l
+
+    acc_h, acc_l = jax.lax.fori_loop(0, num_chunks, body, (acc_h, acc_l))
+    oh_ref[:] = acc_h
+    ol_ref[:] = acc_l
+
+
+@lru_cache(maxsize=32)
+def _build(m: int, k: int, block_m: int, block_k: int, interpret: bool):
+    kernel = partial(_df_matvec_kernel, block_k=block_k, k_total=k)
+    return jax.jit(pl.pallas_call(
+        kernel,
+        grid=(m // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, k), lambda i: (i, 0)),
+            pl.BlockSpec((block_m, k), lambda i: (i, 0)),
+            pl.BlockSpec((k,), lambda i: (0,)),
+            pl.BlockSpec((k,), lambda i: (0,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_m,), lambda i: (i,)),
+            pl.BlockSpec((block_m,), lambda i: (i,)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((m,), jnp.float32),
+                   jax.ShapeDtypeStruct((m,), jnp.float32)],
+        interpret=interpret,
+    ))
+
+
+def pallas_df_matvec(Ah, Al, xh, xl, block_m: int = 128, block_k: int = 256,
+                     interpret: bool = None):
+    """df (m,k) @ df (k,) -> df (m,) in one HBM pass; pads to block sizes."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    m, k = Ah.shape
+    pad_m = (-m) % block_m
+    pad_k = (-k) % block_k
+    if pad_m or pad_k:
+        Ah = jnp.pad(Ah, ((0, pad_m), (0, pad_k)))
+        Al = jnp.pad(Al, ((0, pad_m), (0, pad_k)))
+        xh = jnp.pad(xh, (0, pad_k))
+        xl = jnp.pad(xl, (0, pad_k))
+    fn = _build(m + pad_m, k + pad_k, block_m, block_k, bool(interpret))
+    oh, ol = fn(Ah, Al, xh, xl)
+    return oh[:m], ol[:m]
