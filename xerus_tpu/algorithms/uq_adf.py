@@ -77,99 +77,102 @@ class _UQInternalSolver:
         self.left_is: List = [None] * self.d     # (N, r_k, r_k)
         self.left_ought: List = [None] * self.d  # (N, r_k)
 
-    def calc_right(self, k: int) -> None:
-        C = self.x.components[k].to_jax()         # (rl, n, rr)
-        if k < self.d - 1:
-            self.right[k] = jnp.einsum("mn,anb,mb->ma", self.pos[k], C,
-                                       self.right[k + 1])
-        else:
-            self.right[k] = jnp.einsum("mn,anb->ma", self.pos[k],
-                                       C)  # rr == 1 folded
-
-    def calc_left(self, k: int) -> None:
-        C = self.x.components[k].to_jax()
-        if k == 0:
-            X0 = C.reshape(C.shape[1], C.shape[2])   # (n0, r0)
-            self.left_ought[0] = jnp.einsum("mn,nb->mb", self.sols, X0)
-            self.left_is[0] = None  # identity
-        else:
-            meas = jnp.einsum("mn,anb->mab", self.pos[k], C)  # (N, rl, rr)
-            if k > 1:
-                self.left_is[k] = jnp.einsum("mab,mac,mcd->mbd", meas,
-                                             self.left_is[k - 1], meas)
-            else:
-                self.left_is[k] = jnp.einsum("mab,mac->mbc", meas, meas)
-            self.left_ought[k] = jnp.einsum("ma,mab->mb",
-                                            self.left_ought[k - 1], meas)
-
-    def calculate_delta(self, k: int):
-        C = self.x.components[k].to_jax()
-        if k == 0:
-            X0 = C.reshape(C.shape[1], C.shape[2])
-            pred = jnp.einsum("nb,mb->mn", X0, self.right[1])   # (N, n0)
-            delta = jnp.einsum("mn,mb->nb", pred - self.sols, self.right[1])
-            return delta.reshape(C.shape)
-        # dyadic part: pos_k (x) right_{k+1} (or pos_k alone at the end)
-        if k < self.d - 1:
-            is_part = jnp.einsum("mn,anb,mb->ma", self.pos[k], C,
-                                 self.right[k + 1])
-        else:
-            is_part = jnp.einsum("mn,anb->ma", self.pos[k], C)
-        if k > 1:
-            is_part = jnp.einsum("mab,mb->ma", self.left_is[k - 1], is_part)
-        diff = is_part - self.left_ought[k - 1]                  # (N, rl)
-        if k < self.d - 1:
-            delta = jnp.einsum("ma,mn,mb->anb", diff, self.pos[k],
-                               self.right[k + 1])
-        else:
-            delta = jnp.einsum("ma,mn->an", diff, self.pos[k])[:, :, None]
-        return delta
-
-    def norm_A_proj_grad(self, delta, k: int) -> float:
-        if k == 0:
-            tmp = jnp.einsum("anb,mb->mn", delta.reshape(delta.shape),
-                             self.right[1])
-            return float(jnp.sqrt(jnp.sum(tmp * tmp)))
-        if k < self.d - 1:
-            right_part = jnp.einsum("mn,anb,mb->ma", self.pos[k], delta,
-                                    self.right[k + 1])
-        else:
-            right_part = jnp.einsum("mn,anb->ma", self.pos[k], delta)
-        if k > 1:
-            val = jnp.einsum("ma,mab,mb->m", right_part, self.left_is[k - 1],
-                             right_part)
-        else:
-            val = jnp.einsum("ma,ma->m", right_part, right_part)
-        return float(jnp.sqrt(jnp.maximum(jnp.sum(val), 0.0)))
-
-    def residual_norm(self) -> float:
-        C = self.x.components[0].to_jax()
-        X0 = C.reshape(C.shape[1], C.shape[2])
-        pred = jnp.einsum("nb,mb->mn", X0, self.right[1])
-        return float(jnp.linalg.norm(pred - self.sols)) / self.sol_norm
-
     def solve(self, max_iterations: int = 1000) -> None:
+        """Outer loop on host; each full iteration (stacks + sweep) is ONE
+        jitted program (mirrors ops/adf_kernels.py's design)."""
+        import jax
+        from functools import partial
+
+        pos = tuple(self.pos[1:])  # (N, n_k) embeddings for modes 1..d-1
+        sols = self.sols
+        d = self.d
+
+        @jax.jit
+        def iteration(cores):
+            cores = list(cores)
+            # canonicalize to 0 (RQ sweep)
+            for k in range(d - 1, 0, -1):
+                rl, n, rr = cores[k].shape
+                q, r = jnp.linalg.qr(cores[k].reshape(rl, n * rr).T)
+                cores[k] = q.T.reshape(q.shape[1], n, rr)
+                cores[k - 1] = jnp.einsum("anb,bk->ank", cores[k - 1], r.T)
+            # right stacks
+            right = [None] * d
+            right[d - 1] = jnp.einsum("mn,anb->ma", pos[d - 2], cores[d - 1])
+            for k in range(d - 2, 0, -1):
+                right[k] = jnp.einsum("mn,anb,mb->ma", pos[k - 1], cores[k],
+                                      right[k + 1])
+            X0 = cores[0].reshape(cores[0].shape[1], cores[0].shape[2])
+            pred = jnp.einsum("nb,mb->mn", X0, right[1])
+            resid = jnp.linalg.norm(pred - sols)
+
+            left_is = [None] * d
+            left_ought = [None] * d
+            for k in range(d):
+                C = cores[k]
+                if k == 0:
+                    diff = pred - sols
+                    delta = jnp.einsum("mn,mb->nb", diff, right[1]
+                                       ).reshape(C.shape)
+                    tmp = jnp.einsum("anb,mb->mn", delta, right[1])
+                    norm2 = jnp.sum(tmp * tmp)
+                else:
+                    w = pos[k - 1]
+                    if k < d - 1:
+                        is_part = jnp.einsum("mn,anb,mb->ma", w, C, right[k + 1])
+                    else:
+                        is_part = jnp.einsum("mn,anb->ma", w, C)
+                    if k > 1:
+                        is_part = jnp.einsum("mab,mb->ma", left_is[k - 1], is_part)
+                    diff = is_part - left_ought[k - 1]
+                    if k < d - 1:
+                        delta = jnp.einsum("ma,mn,mb->anb", diff, w, right[k + 1])
+                        rp = jnp.einsum("mn,anb,mb->ma", w, delta, right[k + 1])
+                    else:
+                        delta = jnp.einsum("ma,mn->an", diff, w)[:, :, None]
+                        rp = jnp.einsum("mn,anb->ma", w, delta)
+                    if k > 1:
+                        val = jnp.einsum("ma,mab,mb->m", rp, left_is[k - 1], rp)
+                    else:
+                        val = jnp.einsum("ma,ma->m", rp, rp)
+                    norm2 = jnp.maximum(jnp.sum(val), 0.0)
+                pyr = jnp.sum(delta * delta)
+                step = jnp.where(norm2 > 0, pyr / jnp.maximum(norm2, 1e-300), 0.0)
+                new_core = cores[k] - step * delta
+                if k + 1 < d:
+                    rl, n, rr = new_core.shape
+                    q, r = jnp.linalg.qr(new_core.reshape(rl * n, rr))
+                    cores[k] = q.reshape(rl, n, q.shape[1])
+                    cores[k + 1] = jnp.einsum("ab,bnc->anc", r, cores[k + 1])
+                    # left stacks with the updated (orthogonal) core
+                    C2 = cores[k]
+                    if k == 0:
+                        X0n = C2.reshape(C2.shape[1], C2.shape[2])
+                        left_ought[0] = jnp.einsum("mn,nb->mb", sols, X0n)
+                        left_is[0] = None
+                    else:
+                        meas = jnp.einsum("mn,anb->mab", pos[k - 1], C2)
+                        if k > 1:
+                            left_is[k] = jnp.einsum("mab,mac,mcd->mbd", meas,
+                                                    left_is[k - 1], meas)
+                        else:
+                            left_is[k] = jnp.einsum("mab,mac->mbc", meas, meas)
+                        left_ought[k] = jnp.einsum("ma,mab->mb",
+                                                   left_ought[k - 1], meas)
+                else:
+                    cores[k] = new_core
+            return tuple(cores), resid
+
+        cores = tuple(c.to_jax() for c in self.x.components)
         residuals = [1000.0] * 10
         for _ in range(max_iterations):
-            self.x.move_core(0, keep_rank=True)
-            for k in range(self.d - 1, 0, -1):
-                self.calc_right(k)
-            for k in range(self.d):
-                if k == 0:
-                    residuals.append(self.residual_norm())
-                    if residuals[-1] / residuals[-10] > 0.99:
-                        return
-                delta = self.calculate_delta(k)
-                norm_grad = self.norm_A_proj_grad(delta, k)
-                pyr = float(jnp.sum(delta * delta))
-                if norm_grad > 0:
-                    step = pyr / (norm_grad * norm_grad)
-                    self.x.components[k] = Tensor.from_jax(
-                        self.x.components[k].to_jax() - step * delta)
-                    self.x.assume_core_position(k)
-                if k + 1 < self.d:
-                    self.x.move_core(k + 1, keep_rank=True)
-                    self.calc_left(k)
+            cores, resid = iteration(cores)
+            residuals.append(float(resid) / self.sol_norm)
+            if residuals[-1] / residuals[-10] > 0.99:
+                break
+        self.x.components = [Tensor.from_jax(c) for c in cores]
+        self.x.canonicalized = False
+        self.x.move_core(0, keep_rank=True)
 
 
 def uq_adf(arg1, arg2, solutions=None, max_iterations: int = 1000):

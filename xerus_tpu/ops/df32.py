@@ -155,15 +155,26 @@ def df_contract_last_first(Ah, Al, Bh, Bl):
 # Refined linear solve: f32 Cholesky + df iterative refinement
 # ---------------------------------------------------------------------------
 
+# above this size the single-pass Pallas matvec replaces the log(k)-pass
+# jnp reduction in the refinement residual (ops/pallas_df.py)
+PALLAS_MATVEC_THRESHOLD = 1 << 20
+
+
 def df_solve_spd_refined(Ah, Al, bh, bl, iterations: int = 3):
     """Solve A x = b (SPD) to ~df accuracy: factorize hi in f32 (MXU), then
     refine with df residuals.  Converges when kappa(A) * 2^-24 < 1."""
     cf = jax.scipy.linalg.cho_factor(Ah)
+    use_pallas = (Ah.shape[0] * Ah.shape[1] >= PALLAS_MATVEC_THRESHOLD)
+    if use_pallas:
+        from .pallas_df import pallas_df_matvec
 
     def body(_, x):
         xh, xl = x
         # r = b - A x  in df
-        axh, axl = df_matvec(Ah, Al, xh, xl)
+        if use_pallas:
+            axh, axl = pallas_df_matvec(Ah, Al, xh, xl)
+        else:
+            axh, axl = df_matvec(Ah, Al, xh, xl)
         rh, rl = df_sub(bh, bl, axh, axl)
         # correction in f32 from the hi residual
         d = jax.scipy.linalg.cho_solve(cf, rh + rl)
