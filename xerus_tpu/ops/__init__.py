@@ -5,3 +5,8 @@ from .tt_kernels import (tt_round_sweep, make_round_sweep, round_flops,
                          make_als_sweep, als_sweep_flops, make_timed_loop)
 from .sparse_kernels import sparse_times_dense, dense_times_sparse
 from .pallas_tt_eval import tt_eval_at_points_pallas, pad_cores
+from . import df32
+from . import mixed_precision
+from .dmrg_kernels import dmrg_groundstate_fast
+from .adf_kernels import make_adf_iteration
+from .pallas_df import pallas_df_matvec
