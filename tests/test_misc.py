@@ -88,3 +88,23 @@ def test_tensor_network_save_load(tmp_path):
     assert isinstance(back, xe.TensorNetwork)
     back.require_valid_network()
     assert np.allclose(back.to_tensor().to_ndarray(), net.to_tensor().to_ndarray())
+
+
+def test_solver_checkpointing(tmp_path):
+    """Checkpoint/resume: PerformanceData saves the iterate during a solve
+    (new design, SURVEY.md §5.4)."""
+    from xerus_tpu import TTTensor, TTOperator
+    p = str(tmp_path / "ckpt.xtpu")
+    dims = [3] * 3
+    A = TTOperator.identity(dims + dims)
+    b = TTTensor.random(dims, 2)
+    x = TTTensor.random(dims, 2)
+    perf = xe.PerformanceData(checkpoint_path=p, checkpoint_every=1)
+    xe.ALS_SPD(A, x, b, 1e-10, perf)
+    assert len(perf.data) > 0
+    restored = xe.load_from_file(p)
+    assert isinstance(restored, TTTensor)
+    restored.require_correct_format()
+    # resume: restored iterate continues the solve
+    resid = xe.ALS_SPD(A, restored, b, 1e-12)
+    assert resid < 1e-8

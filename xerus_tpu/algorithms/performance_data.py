@@ -29,7 +29,9 @@ class DataPoint:
 
 class PerformanceData:
     def __init__(self, active: bool = True, print_progress: bool = False,
-                 error_function: Optional[Callable] = None):
+                 error_function: Optional[Callable] = None,
+                 checkpoint_path: Optional[str] = None,
+                 checkpoint_every: int = 1):
         self.active = active
         self.print_progress = print_progress
         self.error_function = error_function
@@ -37,6 +39,11 @@ class PerformanceData:
         self.start_time = None
         self._stop_time = None
         self.additional_information = ""
+        # solver checkpointing (new design; the reference only has generic
+        # object persistence, SURVEY.md §5.4): every `checkpoint_every`
+        # recorded points, the current iterate is saved to checkpoint_path.
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = max(int(checkpoint_every), 1)
 
     def __bool__(self) -> bool:
         return self.active
@@ -79,6 +86,15 @@ class PerformanceData:
                                    float(error), ranks, flags))
         if self.print_progress:
             print(f"[perf] iter {it}: residual {residual:.3e} ranks {ranks}")
+        if (self.checkpoint_path and x is not None
+                and len(self.data) % self.checkpoint_every == 0):
+            try:
+                from ..misc.io import save_to_file
+                self.stop_timer()
+                save_to_file(x, self.checkpoint_path)
+                self.continue_timer()
+            except Exception:
+                pass  # checkpointing must never kill a solve
 
     def dump_to_file(self, path: str) -> None:
         with open(path, "w") as f:
