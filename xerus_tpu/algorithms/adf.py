@@ -18,7 +18,6 @@ re-solve until maxRanks (adf.cpp:589-601).
 
 from __future__ import annotations
 
-import math
 from typing import List, Optional, Sequence, Union
 
 import numpy as np
@@ -27,7 +26,7 @@ import jax.numpy as jnp
 from ..config import config, require
 from ..core.tensor import Tensor
 from ..tt.ttnetwork import TTTensor
-from .measurements import SinglePointMeasurementSet, RankOneMeasurementSet
+from .measurements import RankOneMeasurementSet
 from .performance_data import PerformanceData, NoPerfData
 
 

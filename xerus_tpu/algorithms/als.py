@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..config import config, require
 from ..core.tensor import Tensor
 from ..core import factorizations as fact
-from ..tt.ttnetwork import TTTensor, TTOperator, TTNetwork, apply_operator
+from ..tt.ttnetwork import TTTensor, TTOperator, apply_operator
 from .performance_data import PerformanceData, NoPerfData
 
 FLAG_FINISHED_HALFSWEEP = 1

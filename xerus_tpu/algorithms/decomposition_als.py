@@ -6,7 +6,6 @@ project the dense target onto the orthogonal frame around the core.
 
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 
 from ..config import config

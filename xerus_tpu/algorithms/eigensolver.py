@@ -15,7 +15,6 @@ import math
 from typing import List, Optional, Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..config import config, require

@@ -14,7 +14,7 @@ from typing import List
 import numpy as np
 import jax.numpy as jnp
 
-from ..config import config, require
+from ..config import config
 from ..core.tensor import Tensor
 from ..tt.ttnetwork import TTTensor
 from .measurements import SinglePointMeasurementSet, _evaluate_tt_at_points

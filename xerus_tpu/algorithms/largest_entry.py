@@ -10,8 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..config import require
-from ..tt.ttnetwork import TTNetwork, TTTensor, entrywise_product
+from ..tt.ttnetwork import TTNetwork, entrywise_product
 
 
 def find_largest_entry(T: TTNetwork, accuracy: float = 0.0,

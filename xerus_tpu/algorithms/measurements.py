@@ -10,7 +10,6 @@ shards trivially over the measurement axis (SURVEY.md §2.6a).
 
 from __future__ import annotations
 
-import math
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 from ..config import config, require
 from ..core.tensor import Tensor
 from ..core import factorizations as fact
-from ..core.contract import contract as core_contract
 from ..tt.ttnetwork import TTTensor
 
 

@@ -9,9 +9,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
-import numpy as np
 
-from ..config import require
 from ..tt.ttnetwork import TTTensor, TTOperator, apply_operator
 from .performance_data import PerformanceData, NoPerfData
 from .retractions import (TTTangentVector, SubmanifoldRetractionII,

@@ -10,7 +10,6 @@ shard over the sample axis (SURVEY.md §2.6a).
 
 from __future__ import annotations
 
-import math
 from typing import List, Sequence, Tuple
 
 import numpy as np

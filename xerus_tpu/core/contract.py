@@ -18,9 +18,8 @@ from typing import Optional
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
-from ..config import config, require
+from ..config import require
 from .tensor import Tensor, Representation, _prod
 
 

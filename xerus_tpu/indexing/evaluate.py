@@ -18,12 +18,11 @@ from __future__ import annotations
 from functools import lru_cache
 from typing import Dict, List, Optional, Sequence, Tuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import config, require
-from ..core.tensor import Tensor, Representation, reshuffle as core_reshuffle
+from ..config import require
+from ..core.tensor import Tensor, reshuffle as core_reshuffle
 from ..core.contract import contract as core_contract
 from ..core import factorizations as fact
 from .expressions import (Expression, IndexedTensor, Product, Sum, SolveExpr,

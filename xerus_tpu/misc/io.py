@@ -12,7 +12,6 @@ from __future__ import annotations
 import enum
 import io as _io
 import json
-import zipfile
 from typing import Any, Callable, Dict, Tuple
 
 import numpy as np

@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Dict, List, Tuple
 
 from ..config import require
-from ..core.tensor import Tensor
 from .network import TensorNetwork, TensorNode, Link
 
 

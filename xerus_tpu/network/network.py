@@ -11,7 +11,6 @@ topology — the reference re-runs the search at every evaluation
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
 
 import numpy as np

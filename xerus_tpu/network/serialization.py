@@ -4,7 +4,6 @@ unitTests/saveAndLoad.cxx)."""
 
 from __future__ import annotations
 
-import numpy as np
 
 from ..misc.io import register_serializer
 from ..core.tensor import Tensor

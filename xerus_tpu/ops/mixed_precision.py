@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .df32 import (df_add, df_sub, df_mul, df_scale, df_reduce_sum,
+from .df32 import (df_add, df_sub, df_mul, df_reduce_sum,
                    df_matvec, df_matmul, df_solve_spd_refined, fast_two_sum,
                    two_prod, df_from_f64, df_to_f64)
 

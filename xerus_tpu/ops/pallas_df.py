@@ -12,12 +12,10 @@ from __future__ import annotations
 from functools import lru_cache, partial
 from typing import Tuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 _SPLITTER = 4097.0
 

@@ -12,7 +12,7 @@ stays the default for small operands; this kernel takes over at
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 from typing import Tuple
 
 import numpy as np

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import config
-from .mesh import default_mesh, measurement_sharding, replicated
+from .mesh import measurement_sharding, replicated
 
 
 # ---------------------------------------------------------------------------

@@ -12,9 +12,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
-from ..config import require
-from ..core.tensor import Tensor
-from .ttnetwork import TTNetwork, TTTensor, TTOperator, apply_operator
+from .ttnetwork import TTNetwork, TTTensor, apply_operator
 
 Label = Tuple[int, int]
 

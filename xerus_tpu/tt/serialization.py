@@ -3,7 +3,6 @@ stream_reader (src/xerus/ttNetwork.cpp misc namespace)."""
 
 from __future__ import annotations
 
-import numpy as np
 
 from ..misc.io import register_serializer
 from .ttnetwork import TTNetwork, TTTensor, TTOperator

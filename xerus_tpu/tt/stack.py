@@ -14,7 +14,7 @@ from __future__ import annotations
 from typing import List, Union
 
 from ..config import require
-from .ttnetwork import TTNetwork, TTTensor, TTOperator, apply_operator
+from .ttnetwork import TTNetwork, TTOperator, apply_operator
 
 
 class TTStack:

@@ -20,7 +20,6 @@ ops/tt_kernels.py.
 
 from __future__ import annotations
 
-import math
 from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
