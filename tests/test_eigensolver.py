@@ -80,3 +80,17 @@ def test_fast_dmrg_kernel_matches_exact():
     assert abs(lam - exact) < 1e-10
     xv = x.to_tensor().to_ndarray().reshape(-1)
     assert np.linalg.norm(Hm @ xv - lam * xv) < 1e-9
+
+
+def test_scan_dmrg_kernel_matches_exact():
+    """Scan-based DMRG (one compiled eigh body, pad-to-max-rank)."""
+    from xerus_tpu.ops.dmrg_kernels import dmrg_groundstate_scan
+    d = 8
+    H = heisenberg_mpo(d)
+    Hm = H.to_tensor().to_ndarray().reshape(2 ** d, 2 ** d)
+    exact = np.linalg.eigvalsh(Hm)[0]
+    x = TTTensor.random([2] * d, 16)
+    lam = dmrg_groundstate_scan(H, x, num_half_sweeps=14, conv_eps=1e-13)
+    assert abs(lam - exact) < 1e-10
+    xv = x.to_tensor().to_ndarray().reshape(-1)
+    assert np.linalg.norm(Hm @ xv - lam * xv) < 1e-9

@@ -68,6 +68,130 @@ def _dmrg_eig_half_sweep(x_cores, A_cores):
     return tuple(x_cores), energy
 
 
+def _dmrg_eig_half_sweep_scan(x_stack, A_stack, rank: int):
+    """Scan-based two-site ground-state half-sweep over PADDED uniform
+    stacks: x_stack (d, r, n, r), A_stack (d, a, n, n, a).  Compiles ONE
+    eigh/SVD body instead of d-1 (pad-to-max-rank discipline).
+
+    Valid when the target ground energy is NEGATIVE: zero-padded frame
+    directions contribute spurious zero eigenvalues which then never win.
+    Returns (x_stack_out, energy)."""
+    d, r, n, _ = x_stack.shape
+    a = A_stack.shape[1]
+    dtype = x_stack.dtype
+
+    # right environments (uniform (r, a, r)), scan right-to-left
+    def env_r_body(env, inp):
+        xc, Ac = inp
+        new = jnp.einsum("umU,amnb,vnV,UbV->uav", xc, Ac, xc, env)
+        return new, new
+
+    env0 = jnp.zeros((r, a, r), dtype=dtype).at[0, 0, 0].set(1.0)
+    _, envs_rev = jax.lax.scan(env_r_body, env0,
+                               (x_stack[1:][::-1], A_stack[1:][::-1]))
+    envs = envs_rev[::-1]   # envs[k] covers sites k+1..d-1 (for k=0..d-2)
+    # two-site step k needs the env over sites k+2..d-1: shift by one and
+    # close with the boundary env
+    Renvs = jnp.concatenate([envs[1:], env0[None]], axis=0)
+
+    mask = (jnp.arange(r) < rank).astype(dtype)
+
+    def sweep_body(carry, inp):
+        op_left = carry
+        A1, A2, R = inp
+        Aloc = jnp.einsum("uav,amnb,bMNc,UcV->umMUvnNV", op_left, A1, A2, R)
+        nn = r * n * n * r
+        w, v = jnp.linalg.eigh(Aloc.reshape(nn, nn))
+        energy = w[0]
+        ground = v[:, 0].reshape(r * n, n * r)
+        uu, ss, vt = jnp.linalg.svd(ground, full_matrices=False)
+        k = min(rank, uu.shape[1])
+        m2 = (jnp.arange(uu.shape[1]) < k).astype(dtype)
+        uu = uu * m2[None, :]
+        sv = (ss * m2)[:, None] * vt
+        # pad/trim to bond dim r
+        uu = uu[:, :r] if uu.shape[1] >= r else jnp.pad(
+            uu, ((0, 0), (0, r - uu.shape[1])))
+        sv = sv[:r, :] if sv.shape[0] >= r else jnp.pad(
+            sv, ((0, r - sv.shape[0]), (0, 0)))
+        U = uu.reshape(r, n, r)
+        op_left2 = jnp.einsum("uav,umU,amnb,vnV->UbV", op_left, U, A1, U)
+        return op_left2, (U, sv.reshape(r, n, r), energy)
+
+    left0 = jnp.zeros((r, a, r), dtype=dtype).at[0, 0, 0].set(1.0)
+    _, (Us, svs, energies) = jax.lax.scan(
+        sweep_body, left0, (A_stack[:-1], A_stack[1:], Renvs))
+    out = jnp.concatenate([Us, svs[-1][None]], axis=0)
+    return out, energies[-1]
+
+
+@lru_cache(maxsize=32)
+def make_dmrg_sweep_scan(shape_key, rank: int, dtype_str: str):
+    return jax.jit(partial(_dmrg_eig_half_sweep_scan, rank=rank))
+
+
+def dmrg_groundstate_scan(A, x, num_half_sweeps: int = 8,
+                          conv_eps: float = 1e-10):
+    """Scan-kernel driver: pads x and A to uniform stacks, alternates
+    direction by stack reversal.  Requires ground energy < 0."""
+    from ..core.tensor import Tensor
+    from .pallas_tt_eval import pad_cores
+    x.move_core(0)
+    nrm = x.frob_norm()
+    if nrm > 0:
+        x /= nrm
+    x_stack, r = pad_cores([np.asarray(c.to_ndarray()) for c in x.components])
+    A_np = [np.asarray(c.to_ndarray()) for c in A.components]
+    d = len(A_np)
+    a = max(max(c.shape[0], c.shape[3]) for c in A_np)
+    n = A_np[0].shape[1]
+    A_stack = np.zeros((d, a, n, n, a), dtype=x_stack.dtype)
+    for k, c in enumerate(A_np):
+        A_stack[k, :c.shape[0], :, :, :c.shape[3]] = c
+    A_stack = jnp.asarray(A_stack)
+
+    def rev_x(s):
+        return jnp.transpose(s[::-1], (0, 3, 2, 1))
+
+    def rev_A(s):
+        return jnp.transpose(s[::-1], (0, 4, 2, 3, 1))
+
+    energy = np.inf
+    reversed_state = False
+    fn = make_dmrg_sweep_scan(tuple(x_stack.shape), int(r),
+                              str(x_stack.dtype))
+    for sweep in range(num_half_sweeps):
+        x_stack, e = fn(x_stack, A_stack)
+        e = float(e)
+        # normalize the core (last stack entry)
+        last = x_stack[d - 1]
+        nl = jnp.linalg.norm(last)
+        x_stack = x_stack.at[d - 1].set(last / jnp.maximum(nl, 1e-30))
+        if abs(e - energy) < conv_eps:
+            energy = e
+            break
+        energy = e
+        x_stack = rev_x(x_stack)
+        A_stack = rev_A(A_stack)
+        reversed_state = not reversed_state
+    if reversed_state:
+        x_stack = rev_x(x_stack)
+    # unpad to logical ranks capped at r
+    from .tt_kernels import res_rank
+    comps = []
+    for i in range(d):
+        rl = 1 if i == 0 else res_rank(i, d, n, int(r))
+        rr = 1 if i == d - 1 else res_rank(i + 1, d, n, int(r))
+        comps.append(Tensor.from_jax(x_stack[i][:rl, :, :rr]))
+    x.components = comps
+    x.canonicalized = False
+    x.move_core(0)
+    nrm = x.frob_norm()
+    if nrm > 0:
+        x /= nrm
+    return energy
+
+
 @lru_cache(maxsize=32)
 def make_dmrg_sweep(shapes_key, dtype_str: str):
     return jax.jit(_dmrg_eig_half_sweep)
