@@ -90,3 +90,25 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out)))
     m.dryrun_multichip(8)
+
+
+def test_sharded_adf_iteration_matches_serial(mesh):
+    from xerus_tpu.ops.adf_kernels import (_adf_iteration, build_onehots,
+                                           make_adf_iteration_sharded)
+    d, n, r, M = 5, 3, 3, 48
+    tt = TTTensor.random([n] * d, r)
+    rng = xe.misc.randomEngine
+    P = rng.integers(0, n, size=(M, d))
+    vals = np.asarray(rng.normal(size=(M,)))
+    cores = tuple(c.to_jax() for c in tt.components)
+    onehots = build_onehots(P, [n] * d, np.float64)
+    import jax.numpy as jnp
+    vals_j = jnp.asarray(vals)
+    ref_cores, ref_resid = _adf_iteration(cores, onehots, vals_j)
+    fn = make_adf_iteration_sharded(mesh, tuple(c.shape for c in cores),
+                                    "float64")
+    with mesh:
+        got_cores, got_resid = fn(cores, onehots, vals_j)
+    assert np.isclose(float(got_resid), float(ref_resid), rtol=1e-12)
+    for a, b in zip(got_cores, ref_cores):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-12)

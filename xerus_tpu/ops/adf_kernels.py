@@ -69,6 +69,23 @@ def make_adf_iteration(shapes_key, dtype_str: str):
     return jax.jit(_adf_iteration)
 
 
+def make_adf_iteration_sharded(mesh, shapes_key, dtype_str: str):
+    """dp-sharded variant: one-hot matrices and values shard over the
+    measurement axis; cores and the output stay replicated (GSPMD inserts
+    the psum for the segment-summed gradients).  SURVEY.md §2.6a."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    ms = NamedSharding(mesh, P("dp"))
+
+    def fn(cores, onehots, values):
+        onehots = tuple(jax.lax.with_sharding_constraint(o, ms)
+                        for o in onehots)
+        values = jax.lax.with_sharding_constraint(values, ms)
+        return _adf_iteration(cores, onehots, values)
+
+    return jax.jit(fn, out_shardings=((rep,) * len(shapes_key), rep))
+
+
 def build_onehots(positions: np.ndarray, dims: Sequence[int], dtype):
     """Per-mode one-hot matrices (M, n_k) from integer positions (M, d)."""
     M, d = positions.shape
