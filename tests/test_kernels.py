@@ -117,3 +117,18 @@ def test_gram_round_matches_svd():
     err_b = np.linalg.norm(TTTensor._make(
         [xe.Tensor.from_jax(c) for c in b]).to_tensor().to_ndarray() - orig)
     assert np.isclose(err_a, err_b, rtol=1e-6)
+
+
+def test_scan_round_eps_truncation():
+    """eps-rounding in the scan kernel (data-dependent mask)."""
+    from xerus_tpu.ops.tt_kernels import tt_round_sweep_uniform
+    a = TTTensor.random([3] * 6, 2)
+    c = a + a  # rank 4 but truly rank 2
+    cores = [x.to_jax() for x in c.components]
+    out = tt_round_sweep_uniform(cores, 4, eps=1e-10)
+    got = TTTensor._make([xe.Tensor.from_jax(x) for x in out])
+    # values match 2a; effective rank collapses (trailing slices exactly 0)
+    assert np.allclose(got.to_tensor().to_ndarray(),
+                       2 * a.to_tensor().to_ndarray(), atol=1e-9)
+    mid = np.asarray(out[3])
+    assert np.allclose(mid[2:, :, :], 0)  # rows beyond true rank zeroed

@@ -127,11 +127,14 @@ def round_flops(shapes: Sequence[Tuple[int, int, int]], target_rank: int) -> flo
 # shapes stay uniform (the pad-to-max-rank strategy of SURVEY.md §7).
 # ---------------------------------------------------------------------------
 
-def _round_sweep_scan(stacked: jnp.ndarray, target_rank: int):
+def _round_sweep_scan(stacked: jnp.ndarray, target_rank: int,
+                      eps: float = 0.0):
     """stacked: (d, r, n, r) zero-padded cores (boundary ranks padded).
-    Returns (stacked_out, log_scale): rounded cores, still (d, r, n, r) with
-    bonds beyond target_rank exactly zero; the total scale is returned
-    separately (f32 overflow protection)."""
+    Returns the rounded cores, still (d, r, n, r) with bonds beyond the kept
+    rank exactly zero; the total scale is redistributed (f32 overflow
+    protection).  ``eps`` adds the reference's relative singular-value
+    truncation (sigma_j <= eps * sigma_0 dropped, tensor.cpp:1468-1473) as a
+    data-dependent mask — shapes stay static."""
     d, r, n, _ = stacked.shape
     dtype = stacked.dtype
     eye = jnp.eye(r, dtype=dtype)
@@ -151,13 +154,17 @@ def _round_sweep_scan(stacked: jnp.ndarray, target_rank: int):
     # the last core
     qs = qs.at[d - 1].set(jnp.einsum("anb,bc->anc", qs[d - 1], Rlast))
 
-    mask = (jnp.arange(r) < target_rank).astype(dtype)
+    rank_mask = (jnp.arange(r) < target_rank).astype(dtype)
+    eps_c = jnp.asarray(eps, dtype)
 
     def svd_body(carry, core):
         US, logs = carry
         cur = jnp.einsum("anb,bc->anc", core, US,
                          preferred_element_type=dtype).reshape(r, n * r)
         u, s, vt = jnp.linalg.svd(cur, full_matrices=False)
+        mask = rank_mask
+        if eps > 0.0:
+            mask = mask * (s > eps_c * s[0]).astype(dtype)
         s = s * mask
         new_core = vt.reshape(r, n, r)
         US2 = u * s[None, :]
@@ -225,20 +232,23 @@ def _round_sweep_scan_gram(stacked: jnp.ndarray, target_rank: int):
 
 @lru_cache(maxsize=32)
 def make_round_sweep_scan(shape: Tuple[int, ...], target_rank: int,
-                          dtype_str: str, method: str = "svd"):
-    fn = _round_sweep_scan if method == "svd" else _round_sweep_scan_gram
-    return jax.jit(partial(fn, target_rank=target_rank))
+                          dtype_str: str, method: str = "svd",
+                          eps: float = 0.0):
+    if method == "svd":
+        return jax.jit(partial(_round_sweep_scan, target_rank=target_rank,
+                               eps=eps))
+    return jax.jit(partial(_round_sweep_scan_gram, target_rank=target_rank))
 
 
 def tt_round_sweep_uniform(cores: Sequence[jnp.ndarray], target_rank: int,
-                           method: str = "svd"):
+                           method: str = "svd", eps: float = 0.0):
     """Pad to uniform rank, run the scan kernel, unpad to logical ranks.
-    method: 'svd' (exact truncation) or 'gram' (GEMM + eigh, same result,
-    squares the condition number)."""
+    method: 'svd' (exact truncation, supports eps) or 'gram' (GEMM + eigh,
+    same result, squares the condition number)."""
     from .pallas_tt_eval import pad_cores
     stacked, r = pad_cores([np.asarray(c) for c in cores])
     fn = make_round_sweep_scan(tuple(stacked.shape), int(target_rank),
-                               str(stacked.dtype), method)
+                               str(stacked.dtype), method, float(eps))
     out = fn(stacked)
     d = stacked.shape[0]
     n = stacked.shape[2]
