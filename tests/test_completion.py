@@ -97,3 +97,31 @@ def test_iht_runs_and_stays_bounded():
     resid = xe.IHT(x, ms, max_iterations=3)
     assert np.isfinite(resid)
     assert resid < 1e-8
+
+
+def test_adf_rankone_kernel_matches_singlepoint_on_onehots():
+    """The rank-one jitted kernel fed one-hot weight matrices must follow
+    the same gradient/QR path as the single-point kernel; only the step
+    size differs (global vs slice-wise, adf.cpp:468-487), so compare a
+    single iteration where all slices receive measurements uniformly."""
+    import jax.numpy as jnp
+    from xerus_tpu.ops.adf_kernels import (_adf_iteration,
+                                           _adf_iteration_rankone,
+                                           build_onehots)
+    rng = xe.misc.randomEngine
+    d, n, r, M = 3, 2, 2, 64
+    tt = TTTensor.random([n] * d, r)
+    tt.move_core(0, keep_rank=True)
+    cores = tuple(c.to_jax() for c in tt.components)
+    P = rng.integers(0, n, size=(M, d))
+    vals = jnp.asarray(rng.normal(size=(M,)))
+    onehots = build_onehots(P, [n] * d, np.float64)
+    sp_cores, sp_res = _adf_iteration(cores, onehots, vals)
+    ro_cores, ro_res = _adf_iteration_rankone(cores, onehots, vals)
+    # identical starting residual (same prediction path)
+    assert np.isclose(float(sp_res), float(ro_res), rtol=1e-12)
+    # both variants reduce the residual from the same start
+    sp_res2 = float(_adf_iteration(tuple(sp_cores), onehots, vals)[1])
+    ro_res2 = float(_adf_iteration_rankone(tuple(ro_cores), onehots, vals)[1])
+    assert sp_res2 < float(sp_res)
+    assert ro_res2 < float(ro_res)

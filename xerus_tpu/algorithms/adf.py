@@ -132,19 +132,20 @@ class _InternalSolver:
 
     # -- main loop (adf.cpp:541-566) ------------------------------------
     def solve_with_current_ranks(self) -> None:
-        if not self.rank_one:
-            return self._solve_current_ranks_jitted()
-        return self._solve_current_ranks_host()
+        return self._solve_current_ranks_jitted()
 
     def _solve_current_ranks_jitted(self) -> None:
-        """Single-point fast path: each iteration is ONE XLA program
+        """Fast path: each iteration is ONE XLA program
         (ops/adf_kernels.py); host keeps only the stagnation logic."""
         from ..ops.adf_kernels import make_adf_iteration, build_onehots
         import jax
 
-        dims = [c.dimensions[1] for c in self.x.components]
-        onehots = build_onehots(np.asarray(self.meas.positions), dims,
-                                np.dtype(config.value_dtype))
+        if self.rank_one:
+            onehots = tuple(jnp.asarray(w) for w in self.meas.positions)
+        else:
+            dims = [c.dimensions[1] for c in self.x.components]
+            onehots = build_onehots(np.asarray(self.meas.positions), dims,
+                                    np.dtype(config.value_dtype))
         self.x.move_core(0, keep_rank=True)
         cores = tuple(c.to_jax() for c in self.x.components)
 
@@ -162,7 +163,8 @@ class _InternalSolver:
         while self.v.maxIterations == 0 or self.iteration < self.v.maxIterations:
             self.iteration += 1
             shapes_key = tuple(tuple(c.shape) for c in cores)
-            fn = make_adf_iteration(shapes_key, str(cores[0].dtype))
+            fn = make_adf_iteration(shapes_key, str(cores[0].dtype),
+                                    self.rank_one)
             new_cores, resid0 = fn(cores, onehots, jnp.asarray(self.values))
             self.last_residual = self.residual_norm
             self.residual_norm = float(resid0) / self.norm_values

@@ -64,9 +64,49 @@ def _adf_iteration(cores, onehots, values):
     return tuple(cores), residual0
 
 
+def _adf_iteration_rankone(cores, Ws, values):
+    """Rank-one-measurement variant: per-mode weight matrices Ws[k] (M, n_k)
+    select GENERAL rank-one functionals; the step size is global (slot 0,
+    adf.cpp:468-487 RankOne specialization)."""
+    d = len(cores)
+    M = values.shape[0]
+    dtype = cores[0].dtype
+
+    B = [None] * (d + 1)
+    B[d] = jnp.ones((M, 1), dtype=dtype)
+    for k in range(d - 1, 0, -1):
+        B[k] = jnp.einsum("mab,mb->ma", _site(Ws[k], cores[k]), B[k + 1])
+
+    F = jnp.ones((M, 1), dtype=dtype)
+    cores = list(cores)
+    residual0 = jnp.zeros((), dtype)
+    for cp in range(d):
+        pred = jnp.einsum("ma,mab,mb->m", F, _site(Ws[cp], cores[cp]),
+                          B[cp + 1])
+        res = values - pred
+        if cp == 0:
+            residual0 = jnp.linalg.norm(res)
+        outer = jnp.einsum("m,ma,mb->mab", res, F, B[cp + 1])
+        grad = jnp.einsum("mab,mn->anb", outer, Ws[cp])
+        val = jnp.einsum("ma,mab,mb->m", F, _site(Ws[cp], grad), B[cp + 1])
+        denom = jnp.sum(val * val)
+        PyR = jnp.sum(grad * grad)
+        alpha = jnp.where(denom > 0, PyR / jnp.maximum(denom, 1e-300), 0.0)
+        new_core = cores[cp] + alpha * grad
+        if cp + 1 < d:
+            rl, n, rr = new_core.shape
+            q, r = jnp.linalg.qr(new_core.reshape(rl * n, rr))
+            cores[cp] = q.reshape(rl, n, q.shape[1])
+            cores[cp + 1] = jnp.einsum("ab,bnc->anc", r, cores[cp + 1])
+            F = jnp.einsum("ma,mab->mb", F, _site(Ws[cp], cores[cp]))
+        else:
+            cores[cp] = new_core
+    return tuple(cores), residual0
+
+
 @lru_cache(maxsize=32)
-def make_adf_iteration(shapes_key, dtype_str: str):
-    return jax.jit(_adf_iteration)
+def make_adf_iteration(shapes_key, dtype_str: str, rank_one: bool = False):
+    return jax.jit(_adf_iteration_rankone if rank_one else _adf_iteration)
 
 
 def make_adf_iteration_sharded(mesh, shapes_key, dtype_str: str):
