@@ -2,10 +2,12 @@
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 import xerus_tpu  # configures x64 for the f64 references
 from xerus_tpu.ops import df32
+from xerus_tpu.ops.df32 import df_from_f64, df_to_f64
 
 
 def _rand(shape, seed=0, scale=1.0):
@@ -128,3 +130,51 @@ def test_pallas_df_matvec_unaligned_sizes():
     rel = np.linalg.norm(df32.df_to_f64(np.asarray(oh), np.asarray(ol)) - exact) \
         / np.linalg.norm(exact)
     assert rel < 1e-12
+
+
+def test_ozaki_matmul_df_accuracy():
+    """Ozaki split GEMM (ops/ozaki.py) must deliver df-quality products
+    including under wild per-row dynamic range (stresses the per-row
+    sigma extraction)."""
+    from xerus_tpu.ops.ozaki import ozaki_matmul, ozaki_matmul_f32
+    rng = np.random.default_rng(3)
+    for (m, k, n) in [(64, 64, 64), (96, 300, 80)]:
+        A64 = rng.normal(size=(m, k)) * np.exp2(
+            rng.integers(-20, 20, size=(m, 1)).astype(float))
+        B64 = rng.normal(size=(k, n))
+        Ah, Al = df_from_f64(A64)
+        Bh, Bl = df_from_f64(B64)
+        Ch, Cl = jax.jit(ozaki_matmul)(Ah, Al, Bh, Bl)
+        ref = A64 @ B64
+        scale = (np.abs(A64) @ np.abs(B64)).max()
+        err = np.abs(df_to_f64(np.asarray(Ch), np.asarray(Cl)) - ref).max()
+        assert err / scale < 1e-13
+    # f32-input convenience wrapper
+    A32 = rng.normal(size=(50, 70)).astype(np.float32)
+    B32 = rng.normal(size=(70, 40)).astype(np.float32)
+    Ch, Cl = jax.jit(ozaki_matmul_f32)(jnp.asarray(A32), jnp.asarray(B32))
+    ref = A32.astype(np.float64) @ B32.astype(np.float64)
+    err = np.abs(df_to_f64(np.asarray(Ch), np.asarray(Cl)) - ref).max()
+    assert err / np.abs(ref).max() < 1e-12
+
+
+def test_df_matmul_ozaki_dispatch_consistent():
+    """The size-gated Ozaki dispatch inside df_matmul must agree with the
+    broadcast path to df accuracy."""
+    from xerus_tpu.ops import df32 as m
+    rng = np.random.default_rng(4)
+    A64 = rng.normal(size=(128, 200))
+    B64 = rng.normal(size=(200, 128))
+    Ah, Al = df_from_f64(A64)
+    Bh, Bl = df_from_f64(B64)
+    old = m.OZAKI_MATMUL_THRESHOLD
+    try:
+        m.OZAKI_MATMUL_THRESHOLD = 1            # force ozaki
+        Ch, Cl = m.df_matmul(Ah, Al, Bh, Bl)
+        m.OZAKI_MATMUL_THRESHOLD = 1 << 60      # force broadcast
+        Dh, Dl = m.df_matmul(Ah, Al, Bh, Bl)
+    finally:
+        m.OZAKI_MATMUL_THRESHOLD = old
+    a = df_to_f64(np.asarray(Ch), np.asarray(Cl))
+    b = df_to_f64(np.asarray(Dh), np.asarray(Dl))
+    assert np.abs(a - b).max() / np.abs(b).max() < 1e-13

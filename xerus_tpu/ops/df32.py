@@ -129,9 +129,22 @@ def df_matvec(Ah, Al, xh, xl):
     return df_reduce_sum(ph, pl, axis=1)
 
 
+# above this broadcast size (m*k*n elements) the Ozaki split-GEMM path
+# (ops/ozaki.py: exact bf16 slice GEMMs on the MXU, ~100x faster on TPU at
+# ~4e-15 max rel err vs this path's ~5e-16) replaces the O(m*k*n) broadcast
+OZAKI_MATMUL_THRESHOLD = 1 << 21
+
+
 def df_matmul(Ah, Al, Bh, Bl, block_k: int = 0):
-    """df (m,k) @ df (k,n) -> df (m,n) via broadcast products + tree sum.
-    Memory O(m*k*n); for large k use df_matmul_blocked."""
+    """df (m,k) @ df (k,n) -> df (m,n).
+
+    Small problems: broadcast products + pairwise tree sum (O(m*k*n)
+    memory, best accuracy).  Large problems: Ozaki split GEMM."""
+    m, k = Ah.shape
+    n = Bh.shape[1]
+    if m * k * n >= OZAKI_MATMUL_THRESHOLD and Ah.dtype == jnp.float32:
+        from .ozaki import ozaki_matmul
+        return ozaki_matmul(Ah, Al, Bh, Bl)
     ph, pl = df_mul(Ah[:, :, None], Al[:, :, None], Bh[None, :, :],
                     Bl[None, :, :])
     return df_reduce_sum(ph, pl, axis=1)
