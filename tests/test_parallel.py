@@ -112,3 +112,36 @@ def test_sharded_adf_iteration_matches_serial(mesh):
     assert np.isclose(float(got_resid), float(ref_resid), rtol=1e-12)
     for a, b in zip(got_cores, ref_cores):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+def test_tt_round_tsqr_matches_serial():
+    """Rank-sharded TSQR+Gram rounding (parallel/tsqr_round.py) must agree
+    with the serial scan kernel on the 8-device mesh."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from xerus_tpu.parallel.tsqr_round import tt_round_tsqr
+    from xerus_tpu.ops.tt_kernels import tt_round_sweep_uniform
+
+    mesh1d = Mesh(np.array(jax.devices()), ("tp",))
+    d, n, target = 8, 2, 6
+    a = TTTensor.random([n] * d, 12)
+    b = TTTensor.random([n] * d, 3)
+    t = a + b
+    cores = [c.to_jax() for c in t.components]
+    ref_cores = tt_round_sweep_uniform(cores, target, method="gram")
+    got_cores = tt_round_tsqr(cores, target, mesh1d)
+
+    def dense(cs):
+        out = np.asarray(cs[0])
+        for c in cs[1:]:
+            out = np.tensordot(out, np.asarray(c), axes=([out.ndim - 1], [0]))
+        return out.squeeze()
+
+    ref = dense(ref_cores)
+    got = dense(got_cores)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-10
+    # truncation error equals the serial kernel's (same kept spectrum)
+    exact = t.to_tensor().to_ndarray()
+    e_got = np.linalg.norm(got - exact)
+    e_ref = np.linalg.norm(ref - exact)
+    assert abs(e_got - e_ref) / e_ref < 1e-8
