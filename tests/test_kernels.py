@@ -132,3 +132,29 @@ def test_scan_round_eps_truncation():
                        2 * a.to_tensor().to_ndarray(), atol=1e-9)
     mid = np.asarray(out[3])
     assert np.allclose(mid[2:, :, :], 0)  # rows beyond true rank zeroed
+
+
+def test_cholqr_round_matches_svd():
+    """CholeskyQR3 orthogonalization variant (GEMM-only, no Householder)
+    must give the same truncation error; also exercise float32 where the
+    padded Gram matrices are singular (the shifted-Cholesky path)."""
+    from xerus_tpu.ops.tt_kernels import tt_round_sweep_uniform
+    tt = TTTensor.random([2] * 10, 8)
+    cores = [c.to_jax() for c in tt.components]
+    orig = tt.to_tensor().to_ndarray()
+    a = tt_round_sweep_uniform(cores, 4, method="svd")
+    b = tt_round_sweep_uniform(cores, 4, method="cholqr")
+    err_a = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_jax(c) for c in a]).to_tensor().to_ndarray() - orig)
+    err_b = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_jax(c) for c in b]).to_tensor().to_ndarray() - orig)
+    assert np.isclose(err_a, err_b, rtol=1e-6)
+    # f32 with zero-padded (singular) bonds
+    import jax.numpy as jnp
+    cores32 = [jnp.asarray(np.asarray(c), jnp.float32) for c in cores]
+    c32 = tt_round_sweep_uniform(cores32, 4, method="cholqr")
+    assert all(bool(jnp.all(jnp.isfinite(c))) for c in c32)
+    err_c = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_ndarray(np.asarray(c, np.float64)) for c in c32]
+        ).to_tensor().to_ndarray() - orig)
+    assert np.isclose(err_c, err_a, rtol=1e-3)

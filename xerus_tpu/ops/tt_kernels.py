@@ -230,6 +230,84 @@ def _round_sweep_scan_gram(stacked: jnp.ndarray, target_rank: int):
     return out * jnp.exp((logs + logs2) / d)
 
 
+def _cholqr3(cur, tiny):
+    """Shifted CholeskyQR3 of a tall (m, r) matrix: GEMM + small Cholesky +
+    triangular solve, three times (Fukaya et al. 2020).  Q R = cur holds
+    EXACTLY for any invertible L (Q = cur L^-T, R = L^T), so the shifts
+    never bias the factorization — they only keep Cholesky alive on the
+    zero-padded bonds of uniform-rank stacks, where the Gram matrix has
+    exact zero rows and f32 roundoff makes it slightly indefinite.  The
+    first shift must dominate the m*eps*||G|| roundoff cloud; the next two
+    iterations square the orthogonality error down to eps level."""
+    from jax.scipy.linalg import solve_triangular
+    dtype = cur.dtype
+    m, r = cur.shape
+    eye = jnp.eye(r, dtype=dtype)
+    eps_m = jnp.asarray(10 * m * jnp.finfo(dtype).eps, dtype)
+    eps_s = jnp.asarray(10 * jnp.finfo(dtype).eps, dtype)
+
+    def step(X, rel):
+        G = X.T @ X
+        shift = rel * jnp.max(jnp.diagonal(G)) + tiny
+        L = jnp.linalg.cholesky(G + shift * eye)
+        Q = solve_triangular(L, X.T, lower=True).T
+        return Q, L
+
+    Q1, L1 = step(cur, eps_m)
+    Q2, L2 = step(Q1, eps_s)
+    Q3, L3 = step(Q2, eps_s)
+    # cur = Q3 L3^T L2^T L1^T, all upper triangular
+    return Q3, L3.T @ (L2.T @ L1.T)
+
+
+def _round_sweep_scan_cholqr(stacked: jnp.ndarray, target_rank: int):
+    """Gram-eigh rounding with the orthogonalization QR replaced by shifted
+    CholeskyQR2 — every heavy op is a GEMM (MXU) plus r x r Cholesky/eigh;
+    no Householder panels.  Orthogonality of the sweep's Q factors is
+    ~u*kappa^2-limited like the Gram pass itself, so accuracy matches the
+    'gram' method; speed is set by the MXU instead of XLA's QR."""
+    d, r, n, _ = stacked.shape
+    dtype = stacked.dtype
+    eye = jnp.eye(r, dtype=dtype)
+    tiny = jnp.asarray(1e-30, dtype)
+
+    def qr_body(carry, core):
+        R, logs = carry
+        cur = jnp.einsum("ab,bnc->anc", R, core,
+                         preferred_element_type=dtype).reshape(r * n, r)
+        q, R2 = _cholqr3(cur, tiny)
+        nrm = jnp.linalg.norm(R2) + tiny
+        return (R2 / nrm, logs + jnp.log(nrm)), q.reshape(r, n, r)
+
+    (Rlast, logs), qs = jax.lax.scan(
+        qr_body, (eye, jnp.zeros((), dtype)), stacked)
+    qs = qs.at[d - 1].set(jnp.einsum("anb,bc->anc", qs[d - 1], Rlast))
+
+    mask = (jnp.arange(r) < target_rank).astype(dtype)
+
+    def gram_body(carry, core):
+        US, logs = carry
+        cur = jnp.einsum("anb,bc->anc", core, US,
+                         preferred_element_type=dtype).reshape(r, n * r)
+        G = cur @ cur.T
+        lam, V = jnp.linalg.eigh(G)
+        lam = lam[::-1]
+        V = V[:, ::-1]
+        s = jnp.sqrt(jnp.maximum(lam, 0.0)) * mask
+        inv_s = jnp.where(s > tiny, 1.0 / jnp.maximum(s, tiny), 0.0)
+        vt = (V.T @ cur) * inv_s[:, None]
+        new_core = vt.reshape(r, n, r)
+        US2 = V * s[None, :]
+        nrm = jnp.linalg.norm(US2) + tiny
+        return (US2 / nrm, logs + jnp.log(nrm)), new_core
+
+    (USfinal, logs2), new_rest = jax.lax.scan(
+        gram_body, (eye, jnp.zeros((), dtype)), qs[1:][::-1])
+    first = jnp.einsum("anb,bc->anc", qs[0], USfinal)
+    out = jnp.concatenate([first[None], new_rest[::-1]], axis=0)
+    return out * jnp.exp((logs + logs2) / d)
+
+
 @lru_cache(maxsize=32)
 def make_round_sweep_scan(shape: Tuple[int, ...], target_rank: int,
                           dtype_str: str, method: str = "svd",
@@ -237,6 +315,12 @@ def make_round_sweep_scan(shape: Tuple[int, ...], target_rank: int,
     if method == "svd":
         return jax.jit(partial(_round_sweep_scan, target_rank=target_rank,
                                eps=eps))
+    if method == "cholqr":
+        return jax.jit(partial(_round_sweep_scan_cholqr,
+                               target_rank=target_rank))
+    if method != "gram":
+        raise ValueError(f"unknown rounding method {method!r}; "
+                         "expected 'svd', 'gram' or 'cholqr'")
     return jax.jit(partial(_round_sweep_scan_gram, target_rank=target_rank))
 
 
