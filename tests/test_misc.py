@@ -108,3 +108,16 @@ def test_solver_checkpointing(tmp_path):
     # resume: restored iterate continues the solve
     resid = xe.ALS_SPD(A, restored, b, 1e-12)
     assert resid < 1e-8
+
+
+def test_warmup_precompiles_kernels():
+    """xe.warmup compiles the whole-sweep kernels once; a second call for
+    the same family hits the lru-cached jits and is near-instant."""
+    import time
+    t1 = xe.warmup([2] * 5, 4, target_rank=2, dtype="float64",
+                   num_measurements=8)
+    assert set(t1) == {"round_gram", "round_svd", "round_randomized",
+                       "als_lr", "als_rl", "adf_iteration"}
+    t0 = time.perf_counter()
+    xe.warmup([2] * 5, 4, target_rank=2, dtype="float64", num_measurements=8)
+    assert time.perf_counter() - t0 < max(1.0, sum(t1.values()) / 3)

@@ -60,5 +60,7 @@ def one_norm(x) -> float:
     return x.one_norm()
 
 
+from .warmup import warmup
+
 __version__ = "0.1.0"
 from . import models
