@@ -124,6 +124,73 @@ double greedy(Graph g, Scorer scorer, std::vector<std::pair<int, int>>& order,
     return total;
 }
 
+// Union-find over node ids (a merge(a, b) keeps id `a` alive).
+struct DSU {
+    std::vector<int> p;
+    explicit DSU(int n) : p(n) { for (int i = 0; i < n; ++i) p[i] = i; }
+    int find(int x) { while (p[x] != x) x = p[x] = p[p[x]]; return x; }
+};
+
+// One sequence-refinement pass (the reference's exchange heuristic,
+// contractionHeuristic.cpp:278-370, re-derived for this Graph): walk the
+// best order keeping a list of not-yet-applied "open" contractions; when a
+// step consumes an open pair's result, re-associate the triple by applying
+// whichever of its three pairings contracts cheapest NOW, carrying the
+// (result, remaining) pair forward.  Returns the refined cost.
+double refine_pass(const Graph& base,
+                   const std::vector<std::pair<int, int>>& seq,
+                   std::vector<std::pair<int, int>>& out) {
+    Graph g = base;
+    DSU dsu(base.n);
+    out.clear();
+    double total = 0.0;
+    std::vector<std::pair<int, int>> open;
+
+    auto apply = [&](int u, int v) {
+        total += g.merge(u, v);
+        dsu.p[v] = u;
+        out.emplace_back(u, v);
+    };
+    auto pair_cost = [&](int u, int v) {
+        double m, nn, r;
+        g.mnr(u, v, m, nn, r);
+        return m * nn * r;
+    };
+
+    for (const auto& step : seq) {
+        int x = dsu.find(step.first);
+        int y = dsu.find(step.second);
+        bool consumed = false;
+        std::vector<std::pair<int, int>> keep;
+        for (auto& pr : open) {
+            int a = dsu.find(pr.first), b = dsu.find(pr.second);
+            if (consumed || (x != a && x != b && y != a && y != b)) {
+                keep.emplace_back(a, b);
+                continue;
+            }
+            int third = (x == a || x == b) ? y : x;
+            // best of three pairings of {a, b, third}
+            double cab = pair_cost(a, b);
+            double cat = pair_cost(a, third);
+            double cbt = pair_cost(b, third);
+            int u, v, rem;
+            if (cab <= cat && cab <= cbt)      { u = a; v = b; rem = third; }
+            else if (cat <= cbt)               { u = a; v = third; rem = b; }
+            else                               { u = b; v = third; rem = a; }
+            apply(u, v);
+            x = u; y = rem;   // carried open pair: (result, remaining)
+            consumed = true;
+        }
+        open = std::move(keep);
+        open.emplace_back(x, y);
+    }
+    for (auto& pr : open) {
+        int a = dsu.find(pr.first), b = dsu.find(pr.second);
+        if (a != b && g.sizes[a] > 0 && g.sizes[b] > 0) apply(a, b);
+    }
+    return total;
+}
+
 }  // namespace
 
 extern "C" {
@@ -158,6 +225,16 @@ double pathopt_best_order(int n_nodes, const double* node_sizes, int n_edges,
                 if (c < best_cost) { best_cost = c; best_order = order; }
             }
         }
+    }
+
+    // Sequence refinement: re-associate triples along the best order while
+    // it improves (the reference recurses under the same condition).
+    std::vector<std::pair<int, int>> refined;
+    for (int pass = 0; pass < 8; ++pass) {
+        double c = refine_pass(base, best_order, refined);
+        if (c + 1e-12 >= best_cost) break;
+        best_cost = c;
+        best_order = refined;
     }
 
     *out_len = static_cast<int32_t>(best_order.size());

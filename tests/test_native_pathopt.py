@@ -71,3 +71,49 @@ def test_network_contraction_via_native_correct():
     ref = np.einsum('abcd,ae,bf,cg,dh->efgh', center.to_ndarray(),
                     *[l.to_ndarray() for l in leaves])
     assert np.allclose(net.to_tensor().to_ndarray(), ref, atol=1e-12)
+
+
+def test_refinement_not_worse_and_near_optimal_small():
+    """The sequence-refinement pass (pathopt.cpp refine_pass; intent of the
+    reference's exchange heuristic, contractionHeuristic.cpp:278-370) must
+    never worsen the portfolio result; on small random networks the result
+    must match brute-force optimum or stay within 2x."""
+    from itertools import permutations
+
+    def brute_force(g0, ids):
+        import copy
+        best = [float("inf")]
+
+        def rec(g, alive, cost):
+            if cost >= best[0]:
+                return
+            if len(alive) == 1:
+                best[0] = min(best[0], cost)
+                return
+            al = sorted(alive)
+            for i in range(len(al)):
+                for j in range(i + 1, len(al)):
+                    g2 = copy.deepcopy(g)
+                    c = g2.merge(al[i], al[j])
+                    rec(g2, alive - {al[j]}, cost + c)
+
+        rec(g0, set(ids), 0.0)
+        return best[0]
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        num = 6
+        dims = rng.integers(2, 5, size=num + 1)
+        idx = xe.indices(num + 1)
+        mats = [Tensor.random([int(dims[p]), int(dims[p + 1])])
+                for p in range(num)]
+        expr = mats[0](idx[0], idx[1])
+        for p in range(1, num):
+            expr = expr * mats[p](idx[p], idx[p + 1])
+        net = TensorNetwork()
+        net(idx[0], idx[num]) << expr
+        ids = {i for i, n in enumerate(net.nodes) if not n.erased}
+        order = native_best_order(net, ids)
+        got = _order_cost(net, ids, order)
+        opt = brute_force(_Graph(net, set(ids)), ids)
+        assert got <= 2 * opt + 1e-9, (got, opt)
