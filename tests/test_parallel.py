@@ -145,3 +145,32 @@ def test_tt_round_tsqr_matches_serial():
     e_got = np.linalg.norm(got - exact)
     e_ref = np.linalg.norm(ref - exact)
     assert abs(e_got - e_ref) / e_ref < 1e-8
+
+
+def test_uq_adf_dp_sharded_matches_serial(mesh):
+    """uq_adf(mesh=...) shards the sample axis over dp; the result must
+    match the unsharded run exactly (same arithmetic, GSPMD-inserted
+    psums)."""
+    from xerus_tpu import Tensor
+    from xerus_tpu.algorithms import randvar_to_position
+
+    dims = [4, 3, 3]
+    truth = TTTensor.random(dims, 2)
+    truth /= truth.frob_norm()
+    rng = np.random.default_rng(21)
+    rvs, sols = [], []
+    arr = truth.to_tensor().to_ndarray()
+    for _ in range(64):
+        rv = [float(rng.normal()), float(rng.normal())]
+        w1 = randvar_to_position(rv[0], 3)
+        w2 = randvar_to_position(rv[1], 3)
+        sols.append(Tensor.from_ndarray(np.einsum("abc,b,c->a", arr, w1, w2)))
+        rvs.append(rv)
+    x0 = TTTensor.random(dims, 2)
+    xa = x0.copy()
+    xb = x0.copy()
+    xe.uq_adf(xa, rvs, sols, max_iterations=40)
+    xe.uq_adf(xb, rvs, sols, max_iterations=40, mesh=mesh)
+    a = xa.to_tensor().to_ndarray()
+    b = xb.to_tensor().to_ndarray()
+    assert np.linalg.norm(a - b) / np.linalg.norm(a) < 1e-10

@@ -76,15 +76,34 @@ class _UQInternalSolver:
         self.left_is: List = [None] * self.d     # (N, r_k, r_k)
         self.left_ought: List = [None] * self.d  # (N, r_k)
 
-    def solve(self, max_iterations: int = 1000) -> None:
+    def solve(self, max_iterations: int = 1000, mesh=None) -> None:
         """Outer loop on host; each full iteration (stacks + sweep) is ONE
-        jitted program (mirrors ops/adf_kernels.py's design)."""
+        jitted program (mirrors ops/adf_kernels.py's design).
+
+        With `mesh`, the sample axis (N) of the solutions and Hermite
+        embeddings is sharded over the mesh's "dp" axis; every einsum here
+        is sample-batched, so GSPMD turns the gradient/step reductions into
+        psums over ICI and the cores stay replicated (SURVEY.md §2.6a)."""
         import jax
         from functools import partial
 
         pos = tuple(self.pos[1:])  # (N, n_k) embeddings for modes 1..d-1
         sols = self.sols
         d = self.d
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ms = NamedSharding(mesh, P("dp"))
+            # pad the sample axis to a dp multiple with all-zero samples:
+            # zero embeddings give zero stacks, predictions and gradient
+            # contributions, so padding is exactly neutral
+            p_dp = mesh.shape["dp"]
+            N = sols.shape[0]
+            padn = (-N) % p_dp
+            if padn:
+                sols = jnp.pad(sols, ((0, padn), (0, 0)))
+                pos = tuple(jnp.pad(p, ((0, padn), (0, 0))) for p in pos)
+            pos = tuple(jax.device_put(p, ms) for p in pos)
+            sols = jax.device_put(sols, ms)
 
         @jax.jit
         def iteration(cores):
@@ -174,9 +193,11 @@ class _UQInternalSolver:
         self.x.move_core(0, keep_rank=True)
 
 
-def uq_adf(arg1, arg2, solutions=None, max_iterations: int = 1000):
+def uq_adf(arg1, arg2, solutions=None, max_iterations: int = 1000,
+           mesh=None):
     """uq_adf(x, random_variables, solutions) or
-    uq_adf(measurement_set, guess) (uqAdf.h:54-56)."""
+    uq_adf(measurement_set, guess) (uqAdf.h:54-56).  `mesh` shards the
+    sample axis over the mesh's "dp" axis (multi-chip)."""
     if isinstance(arg1, UQMeasurementSet):
         ms, guess = arg1, arg2
         if ms.initialRandomVectors:
@@ -186,10 +207,10 @@ def uq_adf(arg1, arg2, solutions=None, max_iterations: int = 1000):
         else:
             x = guess.copy()
             rvs, sols = list(ms.randomVectors), list(ms.solutions)
-        _UQInternalSolver(x, rvs, sols).solve(max_iterations)
+        _UQInternalSolver(x, rvs, sols).solve(max_iterations, mesh)
         return x
     x, random_variables = arg1, arg2
-    _UQInternalSolver(x, random_variables, solutions).solve(max_iterations)
+    _UQInternalSolver(x, random_variables, solutions).solve(max_iterations, mesh)
     return None
 
 
