@@ -123,15 +123,22 @@ def test_scan_round_eps_truncation():
     """eps-rounding in the scan kernel (data-dependent mask)."""
     from xerus_tpu.ops.tt_kernels import tt_round_sweep_uniform
     a = TTTensor.random([3] * 6, 2)
-    c = a + a  # rank 4 but truly rank 2
+    a /= a.frob_norm()
+    b = TTTensor.random([3] * 6, 2)
+    b /= b.frob_norm()
+    c = a + 1e-8 * b   # genuinely rank 4, two directions carry ~1e-8 mass
+    assert max(c.ranks()) == 4
     cores = [x.to_jax() for x in c.components]
-    out = tt_round_sweep_uniform(cores, 4, eps=1e-10)
+    out = tt_round_sweep_uniform(cores, 4, eps=1e-6)
     got = TTTensor._make([xe.Tensor.from_jax(x) for x in out])
-    # values match 2a; effective rank collapses (trailing slices exactly 0)
+    # values match a; eps drops the tiny directions AND trims bond ranks
     assert np.allclose(got.to_tensor().to_ndarray(),
-                       2 * a.to_tensor().to_ndarray(), atol=1e-9)
-    mid = np.asarray(out[3])
-    assert np.allclose(mid[2:, :, :], 0)  # rows beyond true rank zeroed
+                       a.to_tensor().to_ndarray(), atol=1e-7)
+    assert got.ranks() == [2] * 5
+    # eps=0 keeps everything
+    out0 = tt_round_sweep_uniform(cores, 4, eps=0.0)
+    g0 = TTTensor._make([xe.Tensor.from_jax(x) for x in out0])
+    assert max(g0.ranks()) == 4
 
 
 def test_cholqr_round_matches_svd():

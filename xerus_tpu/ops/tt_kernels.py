@@ -166,7 +166,10 @@ def _round_sweep_scan(stacked: jnp.ndarray, target_rank: int,
         if eps > 0.0:
             mask = mask * (s > eps_c * s[0]).astype(dtype)
         s = s * mask
-        new_core = vt.reshape(r, n, r)
+        # also zero the dropped rows of vt: their contribution is already
+        # nulled by the zeroed US columns, but keeping them as garbage
+        # would hide the effective bond rank from the host-side trim
+        new_core = (vt * mask[:, None]).reshape(r, n, r)
         US2 = u * s[None, :]
         nrm = jnp.linalg.norm(US2) + tiny
         return (US2 / nrm, logs + jnp.log(nrm)), new_core
@@ -336,11 +339,20 @@ def tt_round_sweep_uniform(cores: Sequence[jnp.ndarray], target_rank: int,
     out = fn(stacked)
     d = stacked.shape[0]
     n = stacked.shape[2]
-    # logical output ranks: min(target, maximal TT rank at that bond)
+    # logical output ranks: min(target, maximal TT rank at that bond); with
+    # eps the kernel zeroes dropped directions EXACTLY (mask on the singular
+    # values), so the data-dependent bond ranks can be read off on host
+    bond_rank = [res_rank(i, d, n, target_rank) for i in range(1, d)]
+    if eps > 0.0:
+        host = np.asarray(out)
+        for i in range(1, d):
+            nz = np.flatnonzero(np.any(host[i] != 0.0, axis=(1, 2)))
+            bond_rank[i - 1] = min(bond_rank[i - 1],
+                                   int(nz[-1]) + 1 if nz.size else 1)
     res = []
     for i in range(d):
-        rl = 1 if i == 0 else res_rank(i, d, n, target_rank)
-        rr = 1 if i == d - 1 else res_rank(i + 1, d, n, target_rank)
+        rl = 1 if i == 0 else bond_rank[i - 1]
+        rr = 1 if i == d - 1 else bond_rank[i]
         core = out[i][:rl, :cores[i].shape[1], :rr]
         res.append(core)
     return res
