@@ -21,6 +21,18 @@ import jax
 import jax.numpy as jnp
 
 
+def _cpu_scope():
+    """Context for object-level f64 work (move_core/frob_norm/padding).
+    In a TPU session these would otherwise trace onto the TPU, whose f64
+    support is broken (CLAUDE.md) — norms come back inf/NaN and poison the
+    f32 stacks handed to the kernels."""
+    from contextlib import nullcontext
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except Exception:
+        return nullcontext()
+
+
 def _dmrg_eig_half_sweep(x_cores, A_cores):
     """Two-site ground-state half-sweep (lr); x canonicalized at 0.
     Returns (new cores, energy of the last local problem)."""
@@ -50,7 +62,7 @@ def _dmrg_eig_half_sweep(x_cores, A_cores):
         uu, ss, vt = jnp.linalg.svd(ground.reshape(u_ * m_, M_ * U_),
                                     full_matrices=False)
         keep = min(r_bond, uu.shape[1])
-        mask = (jnp.arange(uu.shape[1]) < keep).astype(dtype)
+        mask = (jnp.arange(uu.shape[1], dtype=jnp.int32) < keep).astype(dtype)
         uu = uu * mask[None, :]
         sv = (ss * mask)[:, None] * vt
         # pad/trim to the static bond dimension
@@ -94,7 +106,7 @@ def _dmrg_eig_half_sweep_scan(x_stack, A_stack, rank: int):
     # close with the boundary env
     Renvs = jnp.concatenate([envs[1:], env0[None]], axis=0)
 
-    mask = (jnp.arange(r) < rank).astype(dtype)
+    mask = (jnp.arange(r, dtype=jnp.int32) < rank).astype(dtype)
 
     def sweep_body(carry, inp):
         op_left = carry
@@ -106,7 +118,7 @@ def _dmrg_eig_half_sweep_scan(x_stack, A_stack, rank: int):
         ground = v[:, 0].reshape(r * n, n * r)
         uu, ss, vt = jnp.linalg.svd(ground, full_matrices=False)
         k = min(rank, uu.shape[1])
-        m2 = (jnp.arange(uu.shape[1]) < k).astype(dtype)
+        m2 = (jnp.arange(uu.shape[1], dtype=jnp.int32) < k).astype(dtype)
         uu = uu * m2[None, :]
         sv = (ss * m2)[:, None] * vt
         # pad/trim to bond dim r
@@ -127,21 +139,217 @@ def _dmrg_eig_half_sweep_scan(x_stack, A_stack, rank: int):
 
 @lru_cache(maxsize=32)
 def make_dmrg_sweep_scan(shape_key, rank: int, dtype_str: str):
-    return jax.jit(partial(_dmrg_eig_half_sweep_scan, rank=rank))
+    from .tt_kernels import jit_f32
+    return jit_f32(partial(_dmrg_eig_half_sweep_scan, rank=rank), dtype_str)
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free LOBPCG local solves: the two-site local operator is never
+# materialized — each apply is a chain of small einsum contractions through
+# the environment/MPO cores (O(a^2 n^2 r^3) instead of the dense eigh's
+# O((r n)^6)).  This is the modern DMRG design (Davidson/LOBPCG local
+# solves); the reference's eigensolver materializes the local matrix
+# (xals.cpp / exact local solve), which a TPU should never do.
+# ---------------------------------------------------------------------------
+
+def _local_apply(L, A1, A2, R, v):
+    """y[u,m,M,U] = sum L[u,a,v] A1[a,m,n,b] A2[b,M,N,c] R[U,c,V] v[v,n,N,V]."""
+    t = jnp.einsum("uav,vnNV->uanNV", L, v)
+    t = jnp.einsum("amnb,uanNV->umbNV", A1, t)
+    t = jnp.einsum("bMNc,umbNV->umMcV", A2, t)
+    return jnp.einsum("UcV,umMcV->umMU", R, t)
+
+
+def _lobpcg_smallest(L, A1, A2, R, v0, iters: int):
+    """k=1 LOBPCG without preconditioner on the matrix-free local operator.
+    Valid for ground energies < 0 (degenerate basis directions contribute
+    Rayleigh quotient 0 and never win).  Keeps iterates in the 4-D local
+    shape — a flat-vector reshape formulation of this loop crashes the TPU
+    compiler (TransposeFolding 'buffer != nullptr').  Returns (ground
+    vector, energy)."""
+    dtype = v0.dtype
+    tiny = jnp.asarray(1e-30, dtype)
+
+    def normalize(x):
+        n = jnp.sqrt(jnp.sum(x * x))
+        return jnp.where(n > tiny, x / jnp.maximum(n, tiny), x), n
+
+    x, _ = normalize(v0)
+    p = jnp.zeros_like(x)
+    lam0 = jnp.zeros((), dtype)
+
+    def body(carry, _):
+        x, p, _ = carry
+        Ax = _local_apply(L, A1, A2, R, x)
+        lam = jnp.sum(x * Ax)
+        w = Ax - lam * x
+        # orthonormalize [x, w, p] (x is unit; CGS with degeneracy guards)
+        w = w - jnp.sum(w * x) * x
+        w, nw = normalize(w)
+        q = p - jnp.sum(p * x) * x
+        q = q - jnp.sum(q * w) * w
+        q, nq = normalize(q)
+        basis = jnp.stack([x, w, q])                 # (3, ...)
+        Ab = jnp.stack([Ax,
+                        _local_apply(L, A1, A2, R, w),
+                        _local_apply(L, A1, A2, R, q)])
+        T = jnp.einsum("i...,j...->ij", basis, Ab)
+        T = 0.5 * (T + T.T)
+        # degenerate directions (zero w or p) must never win the Ritz step;
+        # the penalty must stay modest — TPU's QDWH eigh squares the matrix
+        # norm internally, so 1e30 in f32 overflows to NaN
+        valid = jnp.stack([jnp.ones((), dtype),
+                           (nw > tiny).astype(dtype),
+                           (nq > tiny).astype(dtype)])
+        big = 1e4 * (jnp.max(jnp.abs(T)) + 1.0)
+        T = T + jnp.diag((1.0 - valid) * big)
+        evals, evecs = jnp.linalg.eigh(T)
+        c = evecs[:, 0] * valid
+        xn = jnp.einsum("i,i...->...", c, basis)
+        pn = jnp.einsum("i,i...->...", c.at[0].set(0.0), basis)
+        xn, _ = normalize(xn)
+        return (xn, pn, evals[0]), None
+
+    (x, _, lam), _ = jax.lax.scan(body, (x, p, lam0), None, length=iters)
+    return x, lam
+
+
+def _lanczos_smallest(L, A1, A2, R, v0, m: int):
+    """Fixed-m Lanczos with full reorthogonalization on the matrix-free
+    local operator.  m applies build an m-dim Krylov space — far better
+    extreme-eigenvalue convergence per apply than the 3-vector LOBPCG.
+    Degenerate steps (invariant subspace reached, beta ~ 0) are masked and
+    penalized out of the small eigh.  Returns (ground vector, energy)."""
+    dtype = v0.dtype
+    tiny = jnp.asarray(1e-30, dtype)
+    shape = v0.shape
+
+    def normalize(x):
+        n = jnp.sqrt(jnp.sum(x * x))
+        return jnp.where(n > tiny, x / jnp.maximum(n, tiny), x * 0.0), n
+
+    v, _ = normalize(v0)
+    V = jnp.zeros((m,) + shape, dtype)
+    alphas = jnp.zeros((m,), dtype)
+    valid = jnp.zeros((m,), dtype)
+    betas = jnp.zeros((m,), dtype)          # betas[j] couples j-1 <-> j
+    beta_prev = jnp.zeros((), dtype)
+    v_prev = jnp.zeros_like(v)
+    alive = jnp.ones((), dtype)
+
+    for j in range(m):
+        V = V.at[j].set(v * alive)
+        valid = valid.at[j].set(alive)
+        w = _local_apply(L, A1, A2, R, v)
+        a_j = jnp.sum(w * v)
+        alphas = alphas.at[j].set(a_j * alive)
+        w = w - a_j * v - beta_prev * v_prev
+        # full reorthogonalization (rows of V beyond j are zero)
+        proj = jnp.einsum("k...,...->k", V, w)
+        w = w - jnp.einsum("k,k...->...", proj, V)
+        v_prev = v
+        w, nb = normalize(w)
+        alive = alive * (nb > 1e-7).astype(dtype)
+        if j + 1 < m:
+            betas = betas.at[j + 1].set(nb * alive)
+        beta_prev = nb * alive
+        v = w
+
+    T = (jnp.diag(alphas) + jnp.diag(betas[1:], 1) + jnp.diag(betas[1:], -1))
+    big = 1e4 * (jnp.max(jnp.abs(T)) + 1.0)
+    T = T + jnp.diag((1.0 - valid) * big)
+    evals, evecs = jnp.linalg.eigh(T)
+    c = evecs[:, 0] * valid
+    ground = jnp.einsum("k,k...->...", c, V)
+    ground, _ = normalize(ground)
+    return ground, evals[0]
+
+
+def _dmrg_lobpcg_half_sweep_scan(x_stack, A_stack, rank: int,
+                                 lobpcg_iters: int = 24,
+                                 solver: str = "lobpcg"):
+    """Scan half-sweep with LOBPCG local solves (warm-started from the
+    current two-site block) instead of the dense eigh.  Same padding /
+    masked-SVD-split contract as _dmrg_eig_half_sweep_scan."""
+    d, r, n, _ = x_stack.shape
+    a = A_stack.shape[1]
+    dtype = x_stack.dtype
+
+    def env_r_body(env, inp):
+        xc, Ac = inp
+        new = jnp.einsum("umU,amnb,vnV,UbV->uav", xc, Ac, xc, env)
+        return new, new
+
+    env0 = jnp.zeros((r, a, r), dtype=dtype).at[0, 0, 0].set(1.0)
+    _, envs_rev = jax.lax.scan(env_r_body, env0,
+                               (x_stack[1:][::-1], A_stack[1:][::-1]))
+    envs = envs_rev[::-1]
+    Renvs = jnp.concatenate([envs[1:], env0[None]], axis=0)
+
+    def sweep_body(carry, inp):
+        op_left, x1 = carry
+        A1, A2, R, x2 = inp
+        v0 = jnp.einsum("umb,bMU->umMU", x1, x2)
+        if solver == "lanczos":
+            ground, energy = _lanczos_smallest(op_left, A1, A2, R, v0,
+                                               lobpcg_iters)
+        else:
+            ground, energy = _lobpcg_smallest(op_left, A1, A2, R, v0,
+                                              lobpcg_iters)
+        uu, ss, vt = jnp.linalg.svd(ground.reshape(r * n, n * r),
+                                    full_matrices=False)
+        k = min(rank, uu.shape[1])
+        m2 = (jnp.arange(uu.shape[1], dtype=jnp.int32) < k).astype(dtype)
+        uu = uu * m2[None, :]
+        sv = (ss * m2)[:, None] * vt
+        uu = uu[:, :r] if uu.shape[1] >= r else jnp.pad(
+            uu, ((0, 0), (0, r - uu.shape[1])))
+        sv = sv[:r, :] if sv.shape[0] >= r else jnp.pad(
+            sv, ((0, r - sv.shape[0]), (0, 0)))
+        U = uu.reshape(r, n, r)
+        nxt = sv.reshape(r, n, r)
+        op_left2 = jnp.einsum("uav,umU,amnb,vnV->UbV", op_left, U, A1, U)
+        return (op_left2, nxt), (U, nxt, energy)
+
+    left0 = jnp.zeros((r, a, r), dtype=dtype).at[0, 0, 0].set(1.0)
+    (_, last), (Us, svs, energies) = jax.lax.scan(
+        sweep_body, (left0, x_stack[0]),
+        (A_stack[:-1], A_stack[1:], Renvs, x_stack[1:]))
+    out = jnp.concatenate([Us, last[None]], axis=0)
+    return out, energies[-1]
+
+
+@lru_cache(maxsize=32)
+def make_dmrg_sweep_lobpcg(shape_key, rank: int, dtype_str: str,
+                           lobpcg_iters: int, solver: str = "lobpcg"):
+    from .tt_kernels import jit_f32
+    return jit_f32(partial(_dmrg_lobpcg_half_sweep_scan, rank=rank,
+                           lobpcg_iters=lobpcg_iters, solver=solver),
+                   dtype_str)
 
 
 def dmrg_groundstate_scan(A, x, num_half_sweeps: int = 8,
-                          conv_eps: float = 1e-10):
+                          conv_eps: float = 1e-10, solver: str = "eigh",
+                          lobpcg_iters: int = 24):
     """Scan-kernel driver: pads x and A to uniform stacks, alternates
-    direction by stack reversal.  Requires ground energy < 0."""
+    direction by stack reversal.  Requires ground energy < 0.
+    solver: 'eigh' (dense local eigh) or 'lobpcg' (matrix-free)."""
     from ..core.tensor import Tensor
     from .pallas_tt_eval import pad_cores
-    x.move_core(0)
-    nrm = x.frob_norm()
-    if nrm > 0:
-        x /= nrm
-    x_stack, r = pad_cores([np.asarray(c.to_ndarray()) for c in x.components])
-    A_np = [np.asarray(c.to_ndarray()) for c in A.components]
+    with _cpu_scope():
+        x.move_core(0)
+        nrm = x.frob_norm()
+        if nrm > 0:
+            x /= nrm
+        x_stack, r = pad_cores(
+            [np.asarray(c.to_ndarray()) for c in x.components])
+        A_np = [np.asarray(c.to_ndarray()) for c in A.components]
+    # f64 is unusable on this TPU backend (doc/performance.md): downcast
+    # the kernel stacks; the object layer keeps its own dtype
+    if (jax.devices()[0].platform == "tpu"
+            and x_stack.dtype == np.float64):
+        x_stack = x_stack.astype(np.float32)
+        A_np = [c.astype(np.float32) for c in A_np]
     d = len(A_np)
     a = max(max(c.shape[0], c.shape[3]) for c in A_np)
     n = A_np[0].shape[1]
@@ -158,8 +366,16 @@ def dmrg_groundstate_scan(A, x, num_half_sweeps: int = 8,
 
     energy = np.inf
     reversed_state = False
-    fn = make_dmrg_sweep_scan(tuple(x_stack.shape), int(r),
-                              str(x_stack.dtype))
+    if solver in ("lobpcg", "lanczos"):
+        fn = make_dmrg_sweep_lobpcg(tuple(x_stack.shape), int(r),
+                                    str(x_stack.dtype), int(lobpcg_iters),
+                                    solver)
+    elif solver == "eigh":
+        fn = make_dmrg_sweep_scan(tuple(x_stack.shape), int(r),
+                                  str(x_stack.dtype))
+    else:
+        raise ValueError(f"unknown local solver {solver!r}; "
+                         "expected 'eigh', 'lanczos' or 'lobpcg'")
     for sweep in range(num_half_sweeps):
         x_stack, e = fn(x_stack, A_stack)
         e = float(e)
@@ -178,23 +394,26 @@ def dmrg_groundstate_scan(A, x, num_half_sweeps: int = 8,
         x_stack = rev_x(x_stack)
     # unpad to logical ranks capped at r
     from .tt_kernels import res_rank
-    comps = []
-    for i in range(d):
-        rl = 1 if i == 0 else res_rank(i, d, n, int(r))
-        rr = 1 if i == d - 1 else res_rank(i + 1, d, n, int(r))
-        comps.append(Tensor.from_jax(x_stack[i][:rl, :, :rr]))
-    x.components = comps
-    x.canonicalized = False
-    x.move_core(0)
-    nrm = x.frob_norm()
-    if nrm > 0:
-        x /= nrm
+    stack_np = np.asarray(x_stack)
+    with _cpu_scope():
+        comps = []
+        for i in range(d):
+            rl = 1 if i == 0 else res_rank(i, d, n, int(r))
+            rr = 1 if i == d - 1 else res_rank(i + 1, d, n, int(r))
+            comps.append(Tensor.from_ndarray(stack_np[i][:rl, :, :rr]))
+        x.components = comps
+        x.canonicalized = False
+        x.move_core(0)
+        nrm = x.frob_norm()
+        if nrm > 0:
+            x /= nrm
     return energy
 
 
 @lru_cache(maxsize=32)
 def make_dmrg_sweep(shapes_key, dtype_str: str):
-    return jax.jit(_dmrg_eig_half_sweep)
+    from .tt_kernels import jit_f32
+    return jit_f32(_dmrg_eig_half_sweep, dtype_str)
 
 
 def dmrg_groundstate_fast(A, x, num_half_sweeps: int = 8,
@@ -202,12 +421,15 @@ def dmrg_groundstate_fast(A, x, num_half_sweeps: int = 8,
     """Object-level driver: alternating jitted half-sweeps via site reversal;
     returns (energy, x updated in place)."""
     from ..core.tensor import Tensor
-    x.move_core(0)
-    nrm = x.frob_norm()
-    if nrm > 0:
-        x /= nrm
-    cores = tuple(c.to_jax() for c in x.components)
-    A_cores = tuple(c.to_jax() for c in A.components)
+    with _cpu_scope():
+        x.move_core(0)
+        nrm = x.frob_norm()
+        if nrm > 0:
+            x /= nrm
+        cores_np = [np.asarray(c.to_ndarray()) for c in x.components]
+        A_np = [np.asarray(c.to_ndarray()) for c in A.components]
+    cores = tuple(jnp.asarray(c) for c in cores_np)
+    A_cores = tuple(jnp.asarray(c) for c in A_np)
 
     def rev_tt(cs):
         return tuple(jnp.transpose(c, (2, 1, 0)) for c in reversed(cs))
@@ -235,10 +457,12 @@ def dmrg_groundstate_fast(A, x, num_half_sweeps: int = 8,
         reversed_state = not reversed_state
     if reversed_state:
         cores = rev_tt(cores)
-    x.components = [Tensor.from_jax(c) for c in cores]
-    x.canonicalized = False
-    x.move_core(0)
-    n = x.frob_norm()
-    if n > 0:
-        x /= n
+    cores_np = [np.asarray(c) for c in cores]
+    with _cpu_scope():
+        x.components = [Tensor.from_ndarray(c) for c in cores_np]
+        x.canonicalized = False
+        x.move_core(0)
+        n = x.frob_norm()
+        if n > 0:
+            x /= n
     return energy

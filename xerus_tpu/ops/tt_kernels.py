@@ -22,6 +22,24 @@ import jax
 import jax.numpy as jnp
 
 
+def jit_f32(fn, dtype_str: str = "float32"):
+    """jit wrapper that traces/executes float32 kernels with jax x64 OFF.
+
+    Under x64, tracing emits s64 iota/scatter indices; this TPU compiler
+    build crashes on them (TransposeFolding 'Check failed: buffer !=
+    nullptr' SIGABRT in the remote compile helper).  The f32 fast paths
+    never need x64 — disable it for their trace + execution scope."""
+    jfn = jax.jit(fn)
+    if dtype_str != "float32":
+        return jfn
+
+    def wrapped(*args, **kwargs):
+        with jax.enable_x64(False):
+            return jfn(*args, **kwargs)
+
+    return wrapped
+
+
 # ---------------------------------------------------------------------------
 # TT rounding: left-orthogonalize (QR sweep), then truncate (SVD sweep)
 # ---------------------------------------------------------------------------
@@ -154,7 +172,7 @@ def _round_sweep_scan(stacked: jnp.ndarray, target_rank: int,
     # the last core
     qs = qs.at[d - 1].set(jnp.einsum("anb,bc->anc", qs[d - 1], Rlast))
 
-    rank_mask = (jnp.arange(r) < target_rank).astype(dtype)
+    rank_mask = (jnp.arange(r, dtype=jnp.int32) < target_rank).astype(dtype)
     eps_c = jnp.asarray(eps, dtype)
 
     def svd_body(carry, core):
@@ -208,7 +226,7 @@ def _round_sweep_scan_gram(stacked: jnp.ndarray, target_rank: int):
         qr_body, (eye, jnp.zeros((), dtype)), stacked)
     qs = qs.at[d - 1].set(jnp.einsum("anb,bc->anc", qs[d - 1], Rlast))
 
-    mask = (jnp.arange(r) < target_rank).astype(dtype)
+    mask = (jnp.arange(r, dtype=jnp.int32) < target_rank).astype(dtype)
 
     def gram_body(carry, core):
         US, logs = carry
@@ -286,7 +304,7 @@ def _round_sweep_scan_cholqr(stacked: jnp.ndarray, target_rank: int):
         qr_body, (eye, jnp.zeros((), dtype)), stacked)
     qs = qs.at[d - 1].set(jnp.einsum("anb,bc->anc", qs[d - 1], Rlast))
 
-    mask = (jnp.arange(r) < target_rank).astype(dtype)
+    mask = (jnp.arange(r, dtype=jnp.int32) < target_rank).astype(dtype)
 
     def gram_body(carry, core):
         US, logs = carry
@@ -316,15 +334,16 @@ def make_round_sweep_scan(shape: Tuple[int, ...], target_rank: int,
                           dtype_str: str, method: str = "svd",
                           eps: float = 0.0):
     if method == "svd":
-        return jax.jit(partial(_round_sweep_scan, target_rank=target_rank,
-                               eps=eps))
+        return jit_f32(partial(_round_sweep_scan, target_rank=target_rank,
+                               eps=eps), dtype_str)
     if method == "cholqr":
-        return jax.jit(partial(_round_sweep_scan_cholqr,
-                               target_rank=target_rank))
+        return jit_f32(partial(_round_sweep_scan_cholqr,
+                               target_rank=target_rank), dtype_str)
     if method != "gram":
         raise ValueError(f"unknown rounding method {method!r}; "
                          "expected 'svd', 'gram' or 'cholqr'")
-    return jax.jit(partial(_round_sweep_scan_gram, target_rank=target_rank))
+    return jit_f32(partial(_round_sweep_scan_gram, target_rank=target_rank),
+                   dtype_str)
 
 
 def tt_round_sweep_uniform(cores: Sequence[jnp.ndarray], target_rank: int,
@@ -475,7 +494,7 @@ def _round_randomized_scan(stacked: jnp.ndarray, target_rank: int,
     _, Ws = jax.lax.scan(sketch_body, W_init, (stacked[1:][::-1], keys[1:]))
     Ws = Ws[::-1]  # Ws[i] pairs with core i (bond i -> right)
 
-    col_mask = (jnp.arange(l) < target_rank).astype(dtype)
+    col_mask = (jnp.arange(l, dtype=jnp.int32) < target_rank).astype(dtype)
 
     def sweep_body(carry, inp):
         C, logs = carry          # C: (l, r) projection
@@ -500,8 +519,8 @@ def _round_randomized_scan(stacked: jnp.ndarray, target_rank: int,
 @lru_cache(maxsize=32)
 def make_randomized_round_scan(shape: Tuple[int, ...], target_rank: int,
                                oversample: int, dtype_str: str):
-    return jax.jit(partial(_round_randomized_scan, target_rank=target_rank,
-                           oversample=oversample))
+    return jit_f32(partial(_round_randomized_scan, target_rank=target_rank,
+                           oversample=oversample), dtype_str)
 
 
 def tt_round_randomized_uniform(cores: Sequence[jnp.ndarray], target_rank: int,

@@ -77,7 +77,7 @@ def _round_tsqr_local(stacked, target_rank: int, p: int, axis: str):
                             tiled=True)            # (d, r, n, r/p)
 
     # ---- pass 2: right->left Gram-eigh truncation ----
-    mask = (jnp.arange(r) < target_rank).astype(dtype)
+    mask = (jnp.arange(r, dtype=jnp.int32) < target_rank).astype(dtype)
 
     def gram_body(carry, core_local):
         US, logs = carry                           # replicated (r, r)
