@@ -9,7 +9,7 @@ algorithms (ALS/DMRG/ASD, ADF completion, Riemannian CG/SD, IHT, ...).
 """
 
 from . import config as _config_module
-from .config import config, EPSILON, set_value_dtype, value_dtype
+from .config import config, EPSILON, set_value_dtype, value_dtype, host
 
 from .core import (Tensor, Representation, Initialisation, reshuffle,
                    approx_equal, approx_entrywise_equal,

@@ -146,7 +146,9 @@ class _InternalSolver:
             dims = [c.dimensions[1] for c in self.x.components]
             onehots = build_onehots(np.asarray(self.meas.positions), dims,
                                     np.dtype(config.value_dtype))
-        self.x.move_core(0, keep_rank=True)
+        from ..config import host
+        with host():   # object-level canonicalization stays off the TPU
+            self.x.move_core(0, keep_rank=True)
         cores = tuple(c.to_jax() for c in self.x.components)
 
         @jax.jit

@@ -102,19 +102,35 @@ class ALSVariant:
         half-sweep is ONE XLA program (ops/tt_kernels.py); the convergence
         loop stays on host (SURVEY.md §7 design stance)."""
         from ..ops.tt_kernels import make_als_sweep
+        from ..config import host
         initial_canon = x.canonicalized
         initial_core = x.corePosition if x.canonicalized else 0
-        x.move_core(0)
-        A_cores = tuple(c.to_jax() for c in A.components)
-        b_cores = tuple(c.to_jax() for c in b.components)
-        cores = tuple(c.to_jax() for c in x.components)
-        norm_b = b.frob_norm() or 1.0
+        import jax
+        with host():   # object-level f64 prep stays off the TPU
+            x.move_core(0)
+            norm_b = b.frob_norm() or 1.0
+        # f64 is unusable on this TPU backend (doc/performance.md): run the
+        # sweep kernels in f32 and keep f64 object semantics on host
+        obj_dtype = np.asarray(x.components[0].to_ndarray()).dtype
+        kern_dtype = (np.float32 if jax.devices()[0].platform == "tpu"
+                      and obj_dtype == np.float64 else None)
+
+        def dev(c):
+            arr = np.asarray(c.to_ndarray())
+            return jnp.asarray(arr.astype(kern_dtype) if kern_dtype else arr)
+
+        A_cores = tuple(dev(c) for c in A.components)
+        b_cores = tuple(dev(c) for c in b.components)
+        cores = tuple(dev(c) for c in x.components)
+
+        def to_host_tensors(cores_now):
+            return [Tensor.from_ndarray(
+                np.asarray(c).astype(obj_dtype)) for c in cores_now]
 
         def residual_of(cores_now) -> float:
-            x.components = [Tensor.from_jax(c) for c in cores_now]
-            return ((apply_operator(A, x) - b).frob_norm()) / norm_b
-
-        import jax.numpy as jnp
+            with host():
+                x.components = to_host_tensors(cores_now)
+                return ((apply_operator(A, x) - b).frob_norm()) / norm_b
 
         def reverse_tt(cs):
             return tuple(jnp.transpose(c, (2, 1, 0)) for c in reversed(cs))
@@ -161,15 +177,16 @@ class ALSVariant:
             direction = "rl" if direction == "lr" else "lr"
         if reversed_state:
             cores = reverse_tt(cores)
-        x.components = [Tensor.from_jax(c) for c in cores]
-        if spd:
-            x.assume_core_position(
-                x.num_components() - 1 if direction == "lr" else 0)
-        else:
-            x.assume_core_position(0 if reversed_state else
-                                   x.num_components() - 1)
-        if initial_canon and self.preserveCorePosition:
-            x.move_core(initial_core, keep_rank=True)
+        with host():
+            x.components = to_host_tensors(cores)
+            if spd:
+                x.assume_core_position(
+                    x.num_components() - 1 if direction == "lr" else 0)
+            else:
+                x.assume_core_position(0 if reversed_state else
+                                       x.num_components() - 1)
+            if initial_canon and self.preserveCorePosition:
+                x.move_core(initial_core, keep_rank=True)
         return energy
 
 

@@ -68,3 +68,25 @@ def require(cond: bool, msg: str = "") -> None:
     """REQUIRE analogue (misc/check.h:40): raises when runtime checks are on."""
     if config.runtime_checks and not cond:
         raise ValueError(msg or "xerus_tpu runtime check failed")
+
+
+def host():
+    """Context manager pinning jax computations to the CPU backend.
+
+    The object layer (Tensor math, move_core, frob_norm) carries f64 host
+    semantics; in a TPU session those ops would otherwise trace onto the
+    TPU, whose f64 support is broken at scale (norms come back inf/NaN,
+    see doc/performance.md).  Drivers wrap their object-level preambles in
+    this scope; users working interactively in a TPU session should build
+    objects under it too:
+
+        with xe.host():
+            A = laplace_operator([2] * 32)
+            x = xe.TTTensor.random([2] * 32, 30)
+    """
+    import jax
+    from contextlib import nullcontext
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except Exception:
+        return nullcontext()

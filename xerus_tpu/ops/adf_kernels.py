@@ -106,7 +106,9 @@ def _adf_iteration_rankone(cores, Ws, values):
 
 @lru_cache(maxsize=32)
 def make_adf_iteration(shapes_key, dtype_str: str, rank_one: bool = False):
-    return jax.jit(_adf_iteration_rankone if rank_one else _adf_iteration)
+    from .tt_kernels import jit_f32
+    return jit_f32(_adf_iteration_rankone if rank_one else _adf_iteration,
+                   dtype_str)
 
 
 def make_adf_iteration_sharded(mesh, shapes_key, dtype_str: str):

@@ -22,15 +22,10 @@ import jax.numpy as jnp
 
 
 def _cpu_scope():
-    """Context for object-level f64 work (move_core/frob_norm/padding).
-    In a TPU session these would otherwise trace onto the TPU, whose f64
-    support is broken (CLAUDE.md) — norms come back inf/NaN and poison the
-    f32 stacks handed to the kernels."""
-    from contextlib import nullcontext
-    try:
-        return jax.default_device(jax.devices("cpu")[0])
-    except Exception:
-        return nullcontext()
+    """Object-level f64 work (move_core/frob_norm/padding) runs on CPU —
+    see config.host()."""
+    from ..config import host
+    return host()
 
 
 def _dmrg_eig_half_sweep(x_cores, A_cores):

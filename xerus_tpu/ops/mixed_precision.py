@@ -244,8 +244,10 @@ def als_spd_mixed(A, x, b, num_half_sweeps: int = 6):
     transposes).  Residual verification stays in host float64 — the df
     quadratic form would cancel below ~1e-7.  Returns (x_df64_cores,
     residual)."""
+    from ..config import host
     x = x.copy()
-    x.move_core(0)
+    with host():   # object-level f64 prep stays off the TPU
+        x.move_core(0)
     d = x.num_components()
 
     def to_df_list(cores, is_op=False):

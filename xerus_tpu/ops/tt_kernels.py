@@ -23,18 +23,21 @@ import jax.numpy as jnp
 
 
 def jit_f32(fn, dtype_str: str = "float32"):
-    """jit wrapper that traces/executes float32 kernels with jax x64 OFF.
+    """jit wrapper for the float32 fast paths: traces/executes with jax
+    x64 OFF and matmul precision HIGHEST.
 
-    Under x64, tracing emits s64 iota/scatter indices; this TPU compiler
-    build crashes on them (TransposeFolding 'Check failed: buffer !=
-    nullptr' SIGABRT in the remote compile helper).  The f32 fast paths
-    never need x64 — disable it for their trace + execution scope."""
+    - Under x64, tracing emits s64 iota/scatter indices; this TPU compiler
+      build crashes on them (TransposeFolding 'Check failed: buffer !=
+      nullptr' SIGABRT in the remote compile helper).
+    - The TPU's DEFAULT f32 matmul precision is bf16 passes — measured to
+      stall an ALS solve at residual 0.14 where true f32 reaches 6e-6.
+      HIGHEST restores genuine f32 MXU arithmetic."""
     jfn = jax.jit(fn)
     if dtype_str != "float32":
         return jfn
 
     def wrapped(*args, **kwargs):
-        with jax.enable_x64(False):
+        with jax.enable_x64(False), jax.default_matmul_precision("highest"):
             return jfn(*args, **kwargs)
 
     return wrapped
@@ -726,8 +729,9 @@ def _als_half_sweep_nonspd(x_cores, A_cores, b_cores):
 def make_als_sweep(shapes_key: Tuple, dtype_str: str, direction: str = "lr",
                    spd: bool = True):
     if not spd:
-        return jax.jit(_als_half_sweep_nonspd)
-    return jax.jit(_als_half_sweep if direction == "lr" else _als_half_sweep_rl)
+        return jit_f32(_als_half_sweep_nonspd, dtype_str)
+    return jit_f32(_als_half_sweep if direction == "lr"
+                   else _als_half_sweep_rl, dtype_str)
 
 
 def als_sweep_flops(x_shapes, A_shapes) -> float:
