@@ -178,3 +178,57 @@ def test_df_matmul_ozaki_dispatch_consistent():
     a = df_to_f64(np.asarray(Ch), np.asarray(Cl))
     b = df_to_f64(np.asarray(Dh), np.asarray(Dl))
     assert np.abs(a - b).max() / np.abs(b).max() < 1e-13
+
+
+def _spd(n, kappa, seed=7):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    lam = np.logspace(0, -np.log10(kappa), n)
+    return (Q * lam) @ Q.T
+
+
+def test_df_cholesky_factorization_residual():
+    """Blocked df Cholesky (ops/df_cholesky.py) reaches df-level
+    factorization residuals far past the f32 kappa ~ 2^24 wall."""
+    from xerus_tpu.ops.df_cholesky import df_cholesky
+    for n, kappa in [(96, 1e4), (128, 1e12)]:
+        A = _spd(n, kappa)
+        Ah, Al = df_from_f64(A)
+        Lh, Ll = df_cholesky(jnp.asarray(Ah), jnp.asarray(Al))
+        L = df_to_f64(np.asarray(Lh), np.asarray(Ll))
+        res = np.linalg.norm(L @ L.T - A) / np.linalg.norm(A)
+        assert res < 1e-12, (n, kappa, res)
+
+
+def test_df_solve_spd_chol_beyond_f32_wall():
+    """At kappa=1e10 the plain f32 factorization NaNs (negative pivots);
+    the df-Cholesky solve still reaches ~df residuals."""
+    from xerus_tpu.ops.df_cholesky import df_solve_spd_chol
+    rng = np.random.default_rng(3)
+    n, kappa = 128, 1e10
+    A = _spd(n, kappa)
+    x_true = rng.normal(size=n)
+    b = A @ x_true
+    Ah, Al = df_from_f64(A)
+    bh, bl = df_from_f64(b)
+    xh, xl = df_solve_spd_chol(jnp.asarray(Ah), jnp.asarray(Al),
+                               jnp.asarray(bh), jnp.asarray(bl))
+    x = df_to_f64(np.asarray(xh), np.asarray(xl))
+    res = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+    assert res < 1e-10, res
+    # the old path really does fail here
+    oh, ol = df32.df_solve_spd_refined(jnp.asarray(Ah), jnp.asarray(Al),
+                                       jnp.asarray(bh), jnp.asarray(bl))
+    assert not np.isfinite(df_to_f64(np.asarray(oh), np.asarray(ol))).all()
+
+
+def test_df_cholesky_nondivisible_block():
+    """n not a multiple of the block size exercises the identity-tail
+    padding path."""
+    from xerus_tpu.ops.df_cholesky import df_cholesky
+    A = _spd(100, 1e6)
+    Ah, Al = df_from_f64(A)
+    Lh, Ll = df_cholesky(jnp.asarray(Ah), jnp.asarray(Al), block=64)
+    L = df_to_f64(np.asarray(Lh), np.asarray(Ll))
+    assert L.shape == (100, 100)
+    assert np.linalg.norm(L @ L.T - A) / np.linalg.norm(A) < 1e-12

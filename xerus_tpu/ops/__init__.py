@@ -11,3 +11,4 @@ from .dmrg_kernels import dmrg_groundstate_fast
 from .adf_kernels import make_adf_iteration
 from .pallas_df import pallas_df_matvec
 from .ozaki import ozaki_matmul, ozaki_matmul_f32
+from .df_cholesky import df_cholesky, df_solve_spd_chol
