@@ -115,3 +115,21 @@ def test_dmrg_scan_lanczos_and_lobpcg_match_exact():
     with pytest.raises(ValueError):
         dmrg_groundstate_scan(H, TTTensor.random([2] * d, 4),
                               solver="davidson")
+
+
+def test_smallest_eigenvalue_lanczos_path():
+    """Public entry xe.smallest_eigenvalue(solver='lanczos') routes to the
+    matrix-free scan kernel, rank-bumping the start if needed."""
+    d = 8
+    H = heisenberg_mpo(d)
+    Hm = H.to_tensor().to_ndarray().reshape(2 ** d, 2 ** d)
+    e_exact = np.linalg.eigvalsh(Hm)[0]
+    x = TTTensor.random([2] * d, 2)       # below max_rank: bump path
+    lam = xe.smallest_eigenvalue(H, x, sites=2, num_sweeps=6,
+                                 max_rank=16, solver="lanczos")
+    assert abs(lam - e_exact) < 1e-7, (lam, e_exact)
+    # non-uniform dims rejected
+    with pytest.raises(ValueError):
+        xe.smallest_eigenvalue(
+            xe.TTOperator.identity([2, 3, 2, 3]),
+            TTTensor.random([2, 3], 2), solver="lanczos")

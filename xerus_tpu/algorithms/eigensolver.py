@@ -142,6 +142,41 @@ ALS_groundstate = EigenALSVariant(sites=1, num_sweeps=0,
 def smallest_eigenvalue(A: TTOperator, x: TTTensor, sites: int = 2,
                         num_sweeps: int = 0, eps: float = 1e-10,
                         max_rank: int = 64,
-                        perf_data: PerformanceData = NoPerfData) -> float:
+                        perf_data: PerformanceData = NoPerfData,
+                        solver: str = "exact") -> float:
+    """solver="exact": adaptive-rank object-level sweeps with dense local
+    eigh (the reference's approach).  solver="lanczos": the whole-sweep
+    scan kernel with matrix-free Lanczos local solves
+    (ops/dmrg_kernels.py; 8.6ms vs 632-783ms per d=32 rank-16 half-sweep
+    on v5e) — requires sites=2, uniform mode dimensions and a NEGATIVE
+    ground energy (zero-padded frame contract); ranks are fixed at
+    max_rank (x is rank-bumped if needed)."""
+    require(solver in ("exact", "lanczos"),
+            f"unknown solver {solver!r}; expected 'exact' or 'lanczos'")
+    if solver == "lanczos":
+        require(sites == 2, "solver='lanczos' is two-site only")
+        require(len(set(x.dimensions)) == 1,
+                "solver='lanczos' needs uniform mode dimensions")
+        from ..ops.dmrg_kernels import dmrg_groundstate_scan
+        from ..config import host
+        cap = TTTensor.reduce_to_maximal_ranks(
+            [max_rank] * (x.degree() - 1), x.dimensions)
+        if list(x.ranks()) != cap:
+            with host():
+                rnd = TTTensor.random(x.dimensions, max_rank)
+                scale = 1e-3 * (x.frob_norm() or 1.0) / (rnd.frob_norm()
+                                                         or 1.0)
+                bumped = x + scale * rnd
+                bumped.round(max_rank)
+                x.components = bumped.components
+                x.canonicalized = bumped.canonicalized
+                x.corePosition = bumped.corePosition
+        energy = dmrg_groundstate_scan(
+            A, x, num_half_sweeps=2 * (num_sweeps or 8),
+            conv_eps=eps, solver="lanczos")
+        if perf_data:
+            perf_data.start()
+            perf_data.add(energy, x, 1)
+        return energy
     variant = EigenALSVariant(sites, num_sweeps, eps, max_rank)
     return variant(A, x, perf_data)
