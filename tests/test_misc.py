@@ -121,3 +121,33 @@ def test_warmup_precompiles_kernels():
     t0 = time.perf_counter()
     xe.warmup([2] * 5, 4, target_rank=2, dtype="float64", num_measurements=8)
     assert time.perf_counter() - t0 < max(1.0, sum(t1.values()) / 3)
+
+
+def test_ring_buffer_log_on_error():
+    """LOGGING_ON_ERROR parity: debug records are buffered silently and
+    flushed to the target only when an ERROR arrives."""
+    import logging
+
+    class Capture(logging.Handler):
+        def __init__(self):
+            super().__init__()
+            self.records = []
+
+        def emit(self, record):
+            self.records.append(record.getMessage())
+
+    cap = Capture()
+    h = xe.misc.enable_log_on_error(capacity=8, target=cap)
+    try:
+        log = xe.misc.get_logger("ALS")
+        for i in range(12):
+            log.debug("step %d", i)
+        assert cap.records == []                     # nothing flushed yet
+        assert len(h.dump()) == 8                    # ring capacity holds
+        log.error("boom")
+        # the last 8 debug records + the error itself were flushed
+        assert cap.records[-1] == "boom"
+        assert "step 11" in cap.records
+        assert "step 3" not in cap.records           # evicted from the ring
+    finally:
+        xe.misc.get_logger().removeHandler(h)

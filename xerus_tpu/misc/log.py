@@ -21,3 +21,38 @@ def get_logger(channel: str = "") -> logging.Logger:
 
 def set_log_level(level, channel: str = "") -> None:
     get_logger(channel).setLevel(level)
+
+
+class RingBufferHandler(logging.Handler):
+    """LOGGING_ON_ERROR analogue (namedLogger.h:115-160): keep the last
+    `capacity` records in memory and flush them to `target` only when a
+    record at ERROR or above arrives — the context of a failure without
+    the cost of always-on logging."""
+
+    def __init__(self, capacity: int = 512, target: logging.Handler = None):
+        super().__init__(level=logging.DEBUG)
+        from collections import deque
+        self._buf = deque(maxlen=capacity)
+        self._target = target or logging.StreamHandler()
+
+    def emit(self, record: logging.LogRecord) -> None:
+        self._buf.append(record)
+        if record.levelno >= logging.ERROR:
+            for rec in self._buf:
+                self._target.emit(rec)
+            self._buf.clear()
+
+    def dump(self) -> list:
+        """Return (and keep) the buffered records, e.g. for inspection."""
+        return list(self._buf)
+
+
+def enable_log_on_error(capacity: int = 512,
+                        target: logging.Handler = None) -> RingBufferHandler:
+    """Install a RingBufferHandler on the root xerus_tpu logger and lower
+    its level so all records are buffered.  Returns the handler."""
+    h = RingBufferHandler(capacity, target)
+    root = get_logger()
+    root.addHandler(h)
+    root.setLevel(logging.DEBUG)
+    return h
