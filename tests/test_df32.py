@@ -271,3 +271,46 @@ def test_df_eigh_degenerate_cluster():
     assert np.abs(np.sort(w) - np.sort(lam)).max() / 50 < 1e-12
     assert np.linalg.norm(A @ V - V * w[None, :]) / np.linalg.norm(A) < 1e-10
     assert np.linalg.norm(V.T @ V - np.eye(n)) < 1e-8
+
+
+def test_df_svd_separated_spectrum():
+    """Gram-route df SVD (ops/df_eigh.py df_svd): separated singular
+    values come back df-accurate relative to sigma_max (f32: ~3e-8)."""
+    from xerus_tpu.ops.df_eigh import df_svd
+    rng = np.random.default_rng(2)
+    for m, n, spread in [(96, 64, 2.0), (256, 128, 3.0)]:
+        U0, _ = np.linalg.qr(rng.normal(size=(m, n)))
+        V0, _ = np.linalg.qr(rng.normal(size=(n, n)))
+        s_true = np.linspace(1.0, 10.0 ** -spread, n)
+        A = (U0 * s_true) @ V0.T
+        Ah, Al = df_from_f64(A)
+        Uh, Ul, sh, sl, Vh, Vl = df_svd(jnp.asarray(Ah), jnp.asarray(Al))
+        s = df_to_f64(np.asarray(sh), np.asarray(sl))
+        U = df_to_f64(np.asarray(Uh), np.asarray(Ul))
+        V = df_to_f64(np.asarray(Vh), np.asarray(Vl))
+        assert np.abs(s - s_true).max() < 1e-11
+        rec = (U * s) @ V.T
+        assert np.linalg.norm(rec - A) / np.linalg.norm(A) < 1e-11
+        assert np.linalg.norm(V.T @ V - np.eye(n)) < 1e-8
+
+
+def test_df_svd_clustered_tail_degrades_gracefully():
+    """Outside the contract (log-uniform clustered tail) the result stays
+    finite and bounded — cluster-width sigma resolution, no blowup."""
+    from xerus_tpu.ops.df_eigh import df_svd
+    rng = np.random.default_rng(4)
+    m, n = 128, 64
+    U0, _ = np.linalg.qr(rng.normal(size=(m, n)))
+    V0, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    s_true = np.sort(10 ** rng.uniform(-4, 0, size=n))[::-1]
+    A = (U0 * s_true) @ V0.T
+    Ah, Al = df_from_f64(A)
+    Uh, Ul, sh, sl, Vh, Vl = df_svd(jnp.asarray(Ah), jnp.asarray(Al))
+    s = df_to_f64(np.asarray(sh), np.asarray(sl))
+    U = df_to_f64(np.asarray(Uh), np.asarray(Ul))
+    V = df_to_f64(np.asarray(Vh), np.asarray(Vl))
+    assert np.isfinite(U).all() and np.isfinite(V).all()
+    rec = (U * s) @ V.T
+    assert np.linalg.norm(rec - A) / np.linalg.norm(A) < 1e-2
+    # the DOMINANT spectrum is still df-accurate
+    assert np.abs(s[:16] - s_true[:16]).max() < 1e-11

@@ -12,4 +12,4 @@ from .adf_kernels import make_adf_iteration
 from .pallas_df import pallas_df_matvec
 from .ozaki import ozaki_matmul, ozaki_matmul_f32
 from .df_cholesky import df_cholesky, df_solve_spd_chol
-from .df_eigh import df_eigh
+from .df_eigh import df_eigh, df_svd

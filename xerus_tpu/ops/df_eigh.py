@@ -76,8 +76,13 @@ def df_eigh(Ah: jnp.ndarray, Al: jnp.ndarray, iters: int = 6):
         # so zero it out of the off-diagonal branch first)
         offdiag = 1.0 - eye
         E = E * offdiag + jnp.diag(jnp.diagonal(Rh + Rl) / 2.0)
+        # divergence gate: a healthy OA state has ||R|| << 1; if an
+        # out-of-contract spectrum (heavily clustered tail) pumps the
+        # state up instead, freeze rather than iterate into NaN
+        rnorm = jnp.sqrt(jnp.sum((Rh + Rl) ** 2))
+        gate = (rnorm < 0.5).astype(dtype)
         dVh, dVl = ozaki_matmul(Vh, Vl, E, jnp.zeros_like(E))
-        Vh, Vl = df_add(Vh, Vl, dVh, dVl)
+        Vh, Vl = df_add(Vh, Vl, dVh * gate, dVl * gate)
     return lam_h, lam_l, Vh, Vl
 
 
@@ -85,3 +90,46 @@ def df_eigh(Ah: jnp.ndarray, Al: jnp.ndarray, iters: int = 6):
 def make_df_eigh(n: int, dtype_str: str, iters: int = 6):
     from .tt_kernels import jit_f32
     return jit_f32(partial(df_eigh, iters=iters), dtype_str)
+
+
+def df_svd(Ah: jnp.ndarray, Al: jnp.ndarray, iters: int = 6):
+    """Thin df SVD of an (m, n) df matrix, m >= n, via the Gram route:
+    G = A^T A (Ozaki GEMM) -> df_eigh -> sigma = sqrt(eigenvalues),
+    U = A V / sigma.  Gram squaring halves the attainable relative
+    accuracy of SMALL singular values (sigma_i below ~2^-24 * sigma_max
+    come back at f32 quality; the dominant spectrum is df-accurate) —
+    same trade as the 'gram' rounding kernel.  Returns
+    (Uh, Ul, sh, sl, Vh, Vl) with singular values DESCENDING."""
+    from .mixed_precision import df_sqrt, df_div
+    m, n = Ah.shape
+    Gh, Gl = ozaki_matmul(jnp.transpose(Ah), jnp.transpose(Al), Ah, Al)
+    wh, wl, Vh, Vl = df_eigh(Gh, Gl, iters=iters)
+    # descending order
+    order = jnp.argsort(-wh)
+    wh = jnp.take(wh, order)
+    wl = jnp.take(wl, order)
+    Vh = jnp.take(Vh, order, axis=1)
+    Vl = jnp.take(Vl, order, axis=1)
+    sh, sl = df_sqrt(jnp.maximum(wh, 0.0), jnp.where(wh > 0, wl, 0.0))
+    AVh, AVl = ozaki_matmul(Ah, Al, Vh, Vl)
+    # sigma below the Gram noise floor (~2^-24 * sigma_max) cannot be
+    # inverted meaningfully: zero those directions instead
+    tiny = 6e-8 * jnp.max(sh) + jnp.asarray(1e-30, Ah.dtype)
+    inv_h, inv_l = df_div(jnp.ones_like(sh), jnp.zeros_like(sh),
+                          jnp.maximum(sh, tiny), jnp.where(sh > tiny, sl, 0.0))
+    dead = (sh <= tiny).astype(Ah.dtype)
+    inv_h = inv_h * (1.0 - dead)
+    inv_l = inv_l * (1.0 - dead)
+    from .df32 import df_mul
+    Uh, Ul = df_mul(AVh, AVl, inv_h[None, :], inv_l[None, :])
+    # renormalize U columns: exact arithmetic gives unit columns, so this
+    # only absorbs sigma estimation error — it keeps U bounded even where
+    # sigma_i sits at the Gram noise floor (~2^-24 * sigma_max, where the
+    # Gram route's accuracy ends; see docstring)
+    cn = jnp.sqrt(jnp.sum((Uh + Ul) ** 2, axis=0))
+    sick = jnp.abs(cn - 1.0) > 1e-4          # healthy columns stay exact df
+    cinv = jnp.where(cn > 1e-30, 1.0 / jnp.maximum(cn, 1e-30), 0.0)
+    factor = jnp.where(sick, cinv, 1.0)
+    Uh = Uh * factor[None, :]
+    Ul = Ul * factor[None, :]
+    return Uh, Ul, sh, sl, Vh, Vl
