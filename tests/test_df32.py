@@ -314,3 +314,33 @@ def test_df_svd_clustered_tail_degrades_gracefully():
     assert np.linalg.norm(rec - A) / np.linalg.norm(A) < 1e-2
     # the DOMINANT spectrum is still df-accurate
     assert np.abs(s[:16] - s_true[:16]).max() < 1e-11
+
+
+def test_tt_round_df_matches_f64_oracle():
+    """Double-word TT rounding (ops/df_rounding.py): matches the f64
+    object-level round() and resolves eps thresholds invisible to f32."""
+    from xerus_tpu.ops.df_rounding import tt_round_df_from_f64
+    from xerus_tpu import TTTensor
+    import xerus_tpu as xe_
+
+    def dense(cs):
+        out = np.asarray(cs[0])
+        for c in cs[1:]:
+            out = np.tensordot(out, np.asarray(c), axes=([out.ndim - 1], [0]))
+        return out.squeeze()
+
+    xe_.set_seed(11)
+    a = TTTensor.random([3] * 7, 3); a /= a.frob_norm()
+    b = TTTensor.random([3] * 7, 3); b /= b.frob_norm()
+    t = a + 1e-9 * b
+    cores64 = [np.asarray(c.to_ndarray()) for c in t.components]
+    t2 = TTTensor._make([xe_.Tensor.from_ndarray(c.copy()) for c in cores64])
+    t2.round(3)
+    oracle = dense([np.asarray(c.to_ndarray()) for c in t2.components])
+    got = dense(tt_round_df_from_f64(cores64, 3))
+    assert np.linalg.norm(got - oracle) / np.linalg.norm(oracle) < 1e-11
+    # eps=1e-7 must drop the 1e-9 tail (below f32 resolution entirely)
+    out2 = tt_round_df_from_f64(cores64, 6, eps=1e-7)
+    assert max(c.shape[0] for c in out2[1:]) == 3
+    exact = dense(cores64)
+    assert np.linalg.norm(dense(out2) - exact) < 1e-8

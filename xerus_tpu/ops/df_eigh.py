@@ -113,15 +113,17 @@ def df_svd(Ah: jnp.ndarray, Al: jnp.ndarray, iters: int = 6):
     sh, sl = df_sqrt(jnp.maximum(wh, 0.0), jnp.where(wh > 0, wl, 0.0))
     AVh, AVl = ozaki_matmul(Ah, Al, Vh, Vl)
     # sigma below the Gram noise floor (~2^-24 * sigma_max) cannot be
-    # inverted meaningfully: zero those directions instead
+    # inverted meaningfully: zero those directions instead.  NOTE: divide
+    # DIRECTLY rather than multiplying by a df reciprocal — under one jit
+    # XLA folds reciprocal-then-multiply back into a single f32 divide and
+    # the double-word accuracy silently drops to 2^-24
     tiny = 6e-8 * jnp.max(sh) + jnp.asarray(1e-30, Ah.dtype)
-    inv_h, inv_l = df_div(jnp.ones_like(sh), jnp.zeros_like(sh),
-                          jnp.maximum(sh, tiny), jnp.where(sh > tiny, sl, 0.0))
     dead = (sh <= tiny).astype(Ah.dtype)
-    inv_h = inv_h * (1.0 - dead)
-    inv_l = inv_l * (1.0 - dead)
-    from .df32 import df_mul
-    Uh, Ul = df_mul(AVh, AVl, inv_h[None, :], inv_l[None, :])
+    Uh, Ul = df_div(AVh, AVl,
+                    jnp.maximum(sh, tiny)[None, :],
+                    jnp.where(sh > tiny, sl, 0.0)[None, :])
+    Uh = Uh * (1.0 - dead)[None, :]
+    Ul = Ul * (1.0 - dead)[None, :]
     # renormalize U columns: exact arithmetic gives unit columns, so this
     # only absorbs sigma estimation error — it keeps U bounded even where
     # sigma_i sits at the Gram noise floor (~2^-24 * sigma_max, where the
