@@ -47,7 +47,10 @@ def warmup(dims: Sequence[int], rank: int,
     (default rank//2); `op_rank` enables the ALS kernels for a TT operator
     of that rank (0 skips them unless "als" in kinds, then defaults to 3,
     the QTT Laplace rank); `num_measurements` > 0 enables the ADF
-    iteration kernel.  Returns {kernel name: compile seconds}.
+    iteration kernel.  Extra kinds: "df_round" (f64-quality rounding,
+    ops/df_rounding.py — its per-site jits are the most expensive compiles
+    in the library) and "dmrg" (matrix-free Lanczos half-sweep).
+    Returns {kernel name: compile seconds}.
     """
     import jax
     import jax.numpy as jnp
@@ -98,6 +101,22 @@ def warmup(dims: Sequence[int], rank: int,
         for direction in ("lr", "rl"):
             fn = make_als_sweep(shapes_key, dtype, direction, spd)
             run(f"als_{direction}", fn, x_t, A_t, b_t)
+    if "df_round" in kinds:
+        from .ops.df_rounding import tt_round_df_from_f64
+        run("df_round", tt_round_df_from_f64,
+            [np.asarray(c, np.float64) for c in cores], target)
+    if "dmrg" in kinds:
+        if len(set(dims)) != 1:
+            raise ValueError("'dmrg' warmup needs uniform mode dimensions")
+        from .ops.dmrg_kernels import make_dmrg_sweep_lobpcg
+        from .ops.pallas_tt_eval import pad_cores
+        a = int(op_rank) or 5
+        stack, r = pad_cores(cores)
+        n0 = dims[0]
+        H = rng.normal(size=(d, a, n0, n0, a)).astype(dtype) * 0.1
+        fn = make_dmrg_sweep_lobpcg(tuple(stack.shape), int(r), dtype, 32,
+                                    "lanczos")
+        run("dmrg_lanczos", fn, jnp.asarray(stack), jnp.asarray(H))
     if num_measurements > 0:
         from .ops.adf_kernels import make_adf_iteration, build_onehots
         M = int(num_measurements)
