@@ -142,7 +142,12 @@ def df_matmul(Ah, Al, Bh, Bl, block_k: int = 0):
     memory, best accuracy).  Large problems: Ozaki split GEMM."""
     m, k = Ah.shape
     n = Bh.shape[1]
-    if m * k * n >= OZAKI_MATMUL_THRESHOLD and Ah.dtype == jnp.float32:
+    # Ozaki wins when the contraction is GEMM-shaped; for skinny k its
+    # fixed overhead (splits + 14 kernel dispatches) loses to the
+    # broadcast tree (measured: d=32 r=30 df ALS half-sweep 114ms with
+    # unconditional dispatch vs 59ms without)
+    if (m * k * n >= OZAKI_MATMUL_THRESHOLD and k >= 128
+            and Ah.dtype == jnp.float32):
         from .ozaki import ozaki_matmul
         return ozaki_matmul(Ah, Al, Bh, Bl)
     ph, pl = df_mul(Ah[:, :, None], Al[:, :, None], Bh[None, :, :],
@@ -175,8 +180,15 @@ PALLAS_MATVEC_THRESHOLD = 1 << 20
 
 def df_solve_spd_refined(Ah, Al, bh, bl, iterations: int = 3):
     """Solve A x = b (SPD) to ~df accuracy: factorize hi in f32 (MXU), then
-    refine with df residuals.  Converges when kappa(A) * 2^-24 < 1."""
-    cf = jax.scipy.linalg.cho_factor(Ah)
+    refine with df residuals.  Converges when kappa(A) * 2^-24 < 1.
+
+    The Cholesky factor is only a PRECONDITIONER — its accuracy does not
+    limit the final residual (the df refinement corrects it), so it runs
+    at DEFAULT matmul precision even when the surrounding kernel traces
+    under HIGHEST (jit_f32): measured on v5e, a HIGHEST-precision 1800^2
+    cho_factor doubles the d=32 r=30 df ALS half-sweep."""
+    with jax.default_matmul_precision("default"):
+        cf = jax.scipy.linalg.cho_factor(Ah)
     use_pallas = (Ah.shape[0] * Ah.shape[1] >= PALLAS_MATVEC_THRESHOLD)
     if use_pallas:
         from .pallas_df import pallas_df_matvec
@@ -190,9 +202,11 @@ def df_solve_spd_refined(Ah, Al, bh, bl, iterations: int = 3):
             axh, axl = df_matvec(Ah, Al, xh, xl)
         rh, rl = df_sub(bh, bl, axh, axl)
         # correction in f32 from the hi residual
-        d = jax.scipy.linalg.cho_solve(cf, rh + rl)
+        with jax.default_matmul_precision("default"):
+            d = jax.scipy.linalg.cho_solve(cf, rh + rl)
         return df_add(xh, xl, d, jnp.zeros_like(d))
 
-    x0 = jax.scipy.linalg.cho_solve(cf, bh)
+    with jax.default_matmul_precision("default"):
+        x0 = jax.scipy.linalg.cho_solve(cf, bh)
     x = (x0, jnp.zeros_like(x0))
     return jax.lax.fori_loop(0, iterations, body, x)

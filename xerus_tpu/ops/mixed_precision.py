@@ -235,7 +235,9 @@ def _rhs_push_left(xc: DF, bc: DF, env: DF) -> DF:
 
 @lru_cache(maxsize=16)
 def make_df_als_sweep(shapes_key, dtype_str: str, refine_iters: int = 3):
-    return jax.jit(partial(_als_half_sweep_df, refine_iters=refine_iters))
+    from .tt_kernels import jit_f32
+    return jit_f32(partial(_als_half_sweep_df, refine_iters=refine_iters),
+                   dtype_str)
 
 
 def als_spd_mixed(A, x, b, num_half_sweeps: int = 6):

@@ -49,8 +49,10 @@ def _df_add(xh, xl, yh, yl):
 
 def _df_matvec_kernel(ah_ref, al_ref, xh_ref, xl_ref, oh_ref, ol_ref, *,
                       block_k: int, k_total: int):
-    """One grid step: (block_m, k) rows x (k,) vector -> (block_m,) df."""
-    acc_h = jnp.zeros((ah_ref.shape[0],), jnp.float32)
+    """One grid step: (block_m, k) rows x (1, k) vector -> (block_m, 1) df.
+    Everything stays 2-D — current Mosaic rejects 1-D vector loads/stores
+    (vector.load memref<...xf32> -> vector<256xf32> verification error)."""
+    acc_h = jnp.zeros((ah_ref.shape[0], 1), jnp.float32)
     acc_l = jnp.zeros_like(acc_h)
     num_chunks = k_total // block_k
 
@@ -59,12 +61,11 @@ def _df_matvec_kernel(ah_ref, al_ref, xh_ref, xl_ref, oh_ref, ol_ref, *,
         sl = pl.ds(c * block_k, block_k)
         a_h = ah_ref[:, sl]
         a_l = al_ref[:, sl]
-        v_h = xh_ref[sl]
-        v_l = xl_ref[sl]
+        v_h = xh_ref[:, sl]          # (1, block_k)
+        v_l = xl_ref[:, sl]
         # df products for the chunk: (block_m, block_k), renormalized
-        p_h, p_e = _two_prod(a_h, v_h[None, :])
-        ch, cl = _fast_two_sum(p_h, p_e + (a_h * v_l[None, :]
-                                           + a_l * v_h[None, :]))
+        p_h, p_e = _two_prod(a_h, v_h)
+        ch, cl = _fast_two_sum(p_h, p_e + (a_h * v_l + a_l * v_h))
         # pairwise-tree reduce the chunk (renormalizing df adds)
         width = block_k
         while width > 1:
@@ -72,12 +73,12 @@ def _df_matvec_kernel(ah_ref, al_ref, xh_ref, xl_ref, oh_ref, ol_ref, *,
             ch, cl = _df_add(ch[:, :half], cl[:, :half],
                              ch[:, half:width], cl[:, half:width])
             width = half
-        acc_h, acc_l = _df_add(acc_h, acc_l, ch[:, 0], cl[:, 0])
+        acc_h, acc_l = _df_add(acc_h, acc_l, ch[:, :1], cl[:, :1])
         return acc_h, acc_l
 
     acc_h, acc_l = jax.lax.fori_loop(0, num_chunks, body, (acc_h, acc_l))
-    oh_ref[:] = acc_h
-    ol_ref[:] = acc_l
+    oh_ref[:, :] = acc_h
+    ol_ref[:, :] = acc_l
 
 
 @lru_cache(maxsize=32)
@@ -89,15 +90,15 @@ def _build(m: int, k: int, block_m: int, block_k: int, interpret: bool):
         in_specs=[
             pl.BlockSpec((block_m, k), lambda i: (i, 0)),
             pl.BlockSpec((block_m, k), lambda i: (i, 0)),
-            pl.BlockSpec((k,), lambda i: (0,)),
-            pl.BlockSpec((k,), lambda i: (0,)),
+            pl.BlockSpec((1, k), lambda i: (0, 0)),
+            pl.BlockSpec((1, k), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((block_m,), lambda i: (i,)),
-            pl.BlockSpec((block_m,), lambda i: (i,)),
+            pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
         ],
-        out_shape=[jax.ShapeDtypeStruct((m,), jnp.float32),
-                   jax.ShapeDtypeStruct((m,), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((m, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((m, 1), jnp.float32)],
         interpret=interpret,
     ))
 
@@ -115,6 +116,11 @@ def pallas_df_matvec(Ah, Al, xh, xl, block_m: int = 128, block_k: int = 256,
         Al = jnp.pad(Al, ((0, pad_m), (0, pad_k)))
         xh = jnp.pad(xh, (0, pad_k))
         xl = jnp.pad(xl, (0, pad_k))
-    fn = _build(m + pad_m, k + pad_k, block_m, block_k, bool(interpret))
-    oh, ol = fn(Ah, Al, xh, xl)
-    return oh[:m], ol[:m]
+    # NEVER trace this kernel under jax x64: the fori_loop index comes out
+    # i64 and Mosaic either rejects the mixed-width muli or recurses
+    # forever in its convert_element_type lowering.  Callers inside jits
+    # must trace under jit_f32 (x64 off); this guard covers eager use.
+    with jax.enable_x64(False):
+        fn = _build(m + pad_m, k + pad_k, block_m, block_k, bool(interpret))
+        oh, ol = fn(Ah, Al, xh[None, :], xl[None, :])
+    return oh[:m, 0], ol[:m, 0]
