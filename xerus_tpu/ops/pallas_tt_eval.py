@@ -44,7 +44,12 @@ def pad_cores(cores: Sequence) -> Tuple[jnp.ndarray, int]:
 
 def _tt_eval_kernel(idx_ref, cores_ref, out_ref, *, d: int, r: int, n: int,
                     block_m: int):
-    """One grid step: evaluate block_m measurements through all d sites."""
+    """One grid step: evaluate block_m measurements through all d sites.
+
+    Everything stays strictly 2-D with STATIC slices — the current Mosaic
+    rejects both 1-D vector stores and in-kernel 3-D<->2-D shape casts on
+    non-native tiles ('infer-vector-layout: unsupported shape cast').
+    Cores arrive pre-flattened as (d, n, r*r)."""
     # frontier F: (block_m, r), starts at e_0
     lane = jax.lax.broadcasted_iota(jnp.int32, (block_m, r), 1)
     F = jnp.where(lane == 0, 1.0, 0.0).astype(out_ref.dtype)
@@ -52,13 +57,14 @@ def _tt_eval_kernel(idx_ref, cores_ref, out_ref, *, d: int, r: int, n: int,
     for k in range(d):  # static unroll: one one-hot matmul + contraction/site
         idx_k = idx_ref[:, k]                            # (block_m,)
         onehot = jnp.where(col == idx_k[:, None], 1.0, 0.0).astype(out_ref.dtype)
-        Ck = cores_ref[k]                                # (r, n, r)
-        flat = jnp.transpose(Ck, (1, 0, 2)).reshape(n, r * r)
-        taken = jnp.dot(onehot, flat,
+        taken = jnp.dot(onehot, cores_ref[k],
                         preferred_element_type=out_ref.dtype)  # (bm, r*r)
-        taken = taken.reshape(block_m, r, r)
-        F = jnp.sum(F[:, :, None] * taken, axis=1)       # (block_m, r)
-    out_ref[:] = F[:, 0]
+        # F_new[:, j] = sum_i F[:, i] * taken[:, i*r + j]; static 2-D slices
+        Fn = F[:, 0:1] * taken[:, 0:r]
+        for i in range(1, r):
+            Fn = Fn + F[:, i:i + 1] * taken[:, i * r:(i + 1) * r]
+        F = Fn
+    out_ref[:, :] = F[:, :128]
 
 
 @lru_cache(maxsize=32)
@@ -71,11 +77,11 @@ def _build(d: int, r: int, n: int, m_total: int, block_m: int, dtype_str: str,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_m, d), lambda i: (i, 0)),
-            pl.BlockSpec((d, r, n, r), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((block_m, 128), lambda i: (i, 0)),
+            pl.BlockSpec((d, n, r * r), lambda i: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((block_m,), lambda i: (i,)),
-        out_shape=jax.ShapeDtypeStruct((m_total,), dtype),
+        out_specs=pl.BlockSpec((block_m, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m_total, 128), dtype),
         interpret=interpret,
     )
     return jax.jit(fn)
@@ -94,9 +100,39 @@ def tt_eval_at_points_pallas(cores: Sequence, positions: np.ndarray,
     n = stacked.shape[2]
     M = positions.shape[0]
     pad_m = (-M) % block_m
-    idx = np.zeros((M + pad_m, d), dtype=np.int32)
-    idx[:M] = positions
-    fn = _build(d, int(r), int(n), M + pad_m, block_m, str(stacked.dtype),
-                bool(interpret))
-    out = fn(jnp.asarray(idx), stacked)
-    return out[:M]
+    # the index block's minor dim is padded to a full 128-lane tile —
+    # narrow int32 blocks trip the same Mosaic bounds check
+    idx = np.zeros((M + pad_m, 128), dtype=np.int32)
+    idx[:M, :d] = positions
+    out_dtype = stacked.dtype
+    # ranks beyond 128 lanes fall back to the XLA gather+matmul path
+    if r > 128:
+        F = jnp.zeros((M, int(r)), stacked.dtype).at[:, 0].set(1.0)
+        pos = jnp.asarray(np.asarray(positions, np.int32))
+        for k in range(d):
+            Ck = jnp.transpose(stacked[k], (1, 0, 2))    # (n, r, r)
+            taken = jnp.take(Ck, pos[:, k], axis=0)      # (M, r, r)
+            F = jnp.einsum("mi,mij->mj", F, taken)
+        return F[:, 0]
+    # Mosaic wants 128-lane minor dims: always pad the rank to 128 (the
+    # one-hot dot and frontier updates then sit on native (8,128) tiles)
+    r_pad = 128
+    if int(r) != r_pad:
+        pad_cfg = ((0, 0), (0, r_pad - int(r)), (0, 0), (0, r_pad - int(r)))
+        stacked = jnp.pad(stacked, pad_cfg)
+    flat = jnp.transpose(stacked, (0, 2, 1, 3)).reshape(d, n, r_pad * r_pad)
+    if interpret:
+        fn = _build(d, r_pad, int(n), M + pad_m, block_m,
+                    str(flat.dtype), True)
+        out = fn(jnp.asarray(idx), flat)
+        return out[:M, 0]
+    # real TPU: never trace Pallas under jax x64 (s64 indices crash the
+    # current Mosaic — see ops/pallas_df.py), and f64 is unusable there
+    # anyway — run the kernel in f32
+    if flat.dtype == jnp.float64:
+        flat = flat.astype(jnp.float32)
+    with jax.enable_x64(False):
+        fn = _build(d, r_pad, int(n), M + pad_m, block_m,
+                    str(flat.dtype), False)
+        out = fn(jnp.asarray(idx), flat)
+    return out[:M, 0].astype(out_dtype)
