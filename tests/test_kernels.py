@@ -165,3 +165,45 @@ def test_cholqr_round_matches_svd():
         [xe.Tensor.from_ndarray(np.asarray(c, np.float64)) for c in c32]
         ).to_tensor().to_ndarray() - orig)
     assert np.isclose(err_c, err_a, rtol=1e-3)
+
+
+def test_gram_parallel_round():
+    """All-bonds-at-once Gram rounding (arXiv 2011.06532): exact on
+    representable ranks, quasi-optimal on truncating ranks, f32-safe on
+    zero-padded (exactly singular) interface Gram matrices."""
+    from xerus_tpu.ops.tt_kernels import tt_round_sweep_uniform
+
+    # exact recovery: true rank 3 embedded in a rank-8 representation
+    a = TTTensor.random([2] * 8, 3)
+    a /= a.frob_norm()
+    z = TTTensor.random([2] * 8, 5)
+    z /= z.frob_norm()
+    emb = a + 1e-9 * z
+    assert max(emb.ranks()) == 8
+    cores = [c.to_jax() for c in emb.components]
+    out = tt_round_sweep_uniform(cores, 4, method="gram_parallel")
+    got = TTTensor._make([xe.Tensor.from_jax(c) for c in out])
+    got.require_correct_format()
+    assert np.allclose(got.to_tensor().to_ndarray(),
+                       a.to_tensor().to_ndarray(), atol=1e-8)
+
+    # truncating case: within 1.5x of the sequential-optimal error
+    tt = TTTensor.random([2] * 10, 8)
+    cores = [c.to_jax() for c in tt.components]
+    orig = tt.to_tensor().to_ndarray()
+    sv = tt_round_sweep_uniform(cores, 4, method="svd")
+    gp = tt_round_sweep_uniform(cores, 4, method="gram_parallel")
+    err_s = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_jax(c) for c in sv]).to_tensor().to_ndarray() - orig)
+    err_p = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_jax(c) for c in gp]).to_tensor().to_ndarray() - orig)
+    assert err_p < 1.5 * err_s
+
+    # f32 with zero-padded (singular) bonds: finite and accurate
+    cores32 = [jnp.asarray(np.asarray(c), jnp.float32) for c in cores]
+    p32 = tt_round_sweep_uniform(cores32, 4, method="gram_parallel")
+    assert all(bool(jnp.all(jnp.isfinite(c))) for c in p32)
+    err32 = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_ndarray(np.asarray(c, np.float64)) for c in p32]
+        ).to_tensor().to_ndarray() - orig)
+    assert err32 < 1.5 * err_s + 1e-4 * np.linalg.norm(orig)

@@ -332,6 +332,120 @@ def _round_sweep_scan_cholqr(stacked: jnp.ndarray, target_rank: int):
     return out * jnp.exp((logs + logs2) / d)
 
 
+def _round_gram_parallel(stacked: jnp.ndarray, target_rank: int):
+    """All-bonds-at-once deterministic rounding via interface Gram matrices
+    (the Gram-SVD rounding of 'Parallel Algorithms for Tensor Train
+    Arithmetic', arXiv 2011.06532 — PAPERS.md; reference sequential chain:
+    ttNetwork.cpp:644 + tensorNetwork.cpp:678).
+
+    Two pure-GEMM ``lax.scan``s compute the left/right interface Gram
+    matrices  L_k = X_{<=k}^T X_{<=k}  and  R_k = X_{>k} X_{>k}^T  for every
+    bond; the per-bond truncation maps then come from ONE batched Cholesky +
+    eigh + triangular-solve over the (d-1, r, r) bond stack, and the core
+    updates are two batched GEMMs.  The d-1 *sequential* (r, r) eigh's of
+    the scan-gram method — its wall-clock bottleneck on TPU — collapse into
+    a single batched factorization.
+
+    Math.  With factors L_k = Lam_L Lam_L^T and R_k = Lam_R Lam_R^T the
+    bond matricization is X_k = Q_L (Lam_L^T Lam_R) Q_R^T with orthonormal
+    Q_L, Q_R, so the singular values of the small M = Lam_L^T Lam_R are
+    exactly those of X_k.  The left factor is never needed explicitly:
+    M^T M = Lam_R^T L Lam_R =: G.  From eigh(G) = (V, sigma^2), the rank-t
+    bond insertion pair is
+      P_k      = Lam_R V diag(mask/sqrt(sigma))      (right of core k-1)
+      P~_k     = diag(mask*sqrt(sigma)) V^T Lam_R^+  (left of core k)
+    since Lam_L^-T M = Lam_R.  Lam_R comes from eigh(R) (Lam_R = V_R
+    diag(sqrt(mu)), pinv-masked), which handles the exactly-singular Gram
+    matrices of rank-deficient/zero-padded bonds cleanly — no Cholesky
+    shift, no junk directions.  New cores C_k <- P~_k C_k P_{k+1}, all
+    bonds truncated simultaneously (quasi-optimal: error <= sum of
+    per-bond optimal errors instead of the sequential sqrt-of-sum — same
+    contract as the reference's eps-per-edge rounding, scaled by sqrt(d)).
+
+    Accuracy contract matches the 'gram' method: forming Gram matrices
+    squares the condition number, so singular values below ~sqrt(eps) of
+    the max are garbage — irrelevant for the kept dominant part.
+
+    Overflow protection: both Gram scans renormalize their carry per step
+    with the log-scale tracked per bond; the per-core correction factors
+    are gauge-shifted to a single uniform per-core scale (scalars between
+    cores commute), keeping every intermediate bounded in f32."""
+    d, r, n, _ = stacked.shape
+    dtype = stacked.dtype
+    eye = jnp.eye(r, dtype=dtype)
+    tiny = jnp.asarray(1e-30, dtype)
+    pinv_tol = jnp.asarray(4.0 * r * jnp.finfo(dtype).eps, dtype)
+
+    # ---- left Gram scan over cores 0..d-2: L for bonds 1..d-1 ----
+    def l_body(carry, core):
+        L, logs = carry
+        t = jnp.einsum("ab,bnc->anc", L, core, preferred_element_type=dtype)
+        L2 = jnp.einsum("anc,and->cd", t, core, preferred_element_type=dtype)
+        L2 = 0.5 * (L2 + L2.T)
+        nrm = jnp.linalg.norm(L2) + tiny
+        logs = logs + jnp.log(nrm)
+        return (L2 / nrm, logs), (L2 / nrm, logs)
+
+    (_, _), (Ls, lam_logs) = jax.lax.scan(
+        l_body, (eye, jnp.zeros((), dtype)), stacked[:d - 1])
+
+    # ---- right Gram scan over cores d-1..1: R for bonds d-1..1 ----
+    def r_body(carry, core):
+        R, logs = carry
+        t = jnp.einsum("bnc,cd->bnd", core, R, preferred_element_type=dtype)
+        R2 = jnp.einsum("bnd,end->be", t, core, preferred_element_type=dtype)
+        R2 = 0.5 * (R2 + R2.T)
+        nrm = jnp.linalg.norm(R2) + tiny
+        logs = logs + jnp.log(nrm)
+        return (R2 / nrm, logs), (R2 / nrm, logs)
+
+    (_, _), (Rs_rev, rho_logs_rev) = jax.lax.scan(
+        r_body, (eye, jnp.zeros((), dtype)), stacked[1:][::-1])
+    Rs = Rs_rev[::-1]                       # bonds 1..d-1
+    rho_logs = rho_logs_rev[::-1]
+
+    # ---- batched bond factorizations ----
+    def bond_maps(L, R):
+        mu, VR = jnp.linalg.eigh(R)                      # ascending
+        mu = jnp.maximum(mu, 0.0)
+        keep = (mu > pinv_tol * mu[-1]).astype(dtype)
+        rt_mu = jnp.sqrt(mu) * keep
+        inv_mu = jnp.where(rt_mu > tiny, 1.0 / jnp.maximum(rt_mu, tiny), 0.0)
+        lamR = VR * rt_mu[None, :]                       # R = lamR lamR^T
+        G = lamR.T @ (L @ lamR)
+        G = 0.5 * (G + G.T)
+        lam, V = jnp.linalg.eigh(G)                      # ascending
+        lam = lam[::-1]
+        V = V[:, ::-1]
+        sig = jnp.sqrt(jnp.maximum(lam, 0.0))
+        mask = (jnp.arange(r, dtype=jnp.int32) < target_rank).astype(dtype)
+        mask = mask * (sig > pinv_tol * sig[0]).astype(dtype)
+        inv_rt = jnp.where(sig > tiny, 1.0 / jnp.sqrt(jnp.maximum(sig, tiny)),
+                           0.0) * mask
+        P = (lamR @ V) * inv_rt[None, :]                 # (r, r)
+        rt = jnp.sqrt(sig) * mask
+        # Pt = diag(rt) V^T lamR^+ ; lamR^+ = diag(inv_mu) VR^T
+        Pt = (V * rt[None, :]).T * inv_mu[None, :] @ VR.T
+        return P, Pt
+
+    Ps, Pts = jax.vmap(bond_maps)(Ls, Rs)                # (d-1, r, r)
+
+    # ---- batched core updates (identity maps on the two boundaries) ----
+    left_maps = jnp.concatenate([eye[None], Pts], axis=0)    # P~ for core k
+    right_maps = jnp.concatenate([Ps, eye[None]], axis=0)    # P for core k
+    out = jnp.einsum("kab,kbnc,kcd->kand", left_maps, stacked, right_maps,
+                     preferred_element_type=dtype)
+
+    # ---- gauge-balanced scale restoration ----
+    lam_full = jnp.concatenate([jnp.zeros((1,), dtype), lam_logs,
+                                jnp.zeros((1,), dtype)])     # bonds 0..d
+    rho_full = jnp.concatenate([jnp.zeros((1,), dtype), rho_logs,
+                                jnp.zeros((1,), dtype)])
+    # core k: P~_k contributes (lam_k - rho_k)/4, P_{k+1} (rho_{k+1}-lam_{k+1})/4
+    g = (lam_full[:-1] - lam_full[1:] + rho_full[1:] - rho_full[:-1]) / 4.0
+    return out * jnp.exp(jnp.sum(g) / d)
+
+
 @lru_cache(maxsize=32)
 def make_round_sweep_scan(shape: Tuple[int, ...], target_rank: int,
                           dtype_str: str, method: str = "svd",
@@ -342,9 +456,13 @@ def make_round_sweep_scan(shape: Tuple[int, ...], target_rank: int,
     if method == "cholqr":
         return jit_f32(partial(_round_sweep_scan_cholqr,
                                target_rank=target_rank), dtype_str)
+    if method == "gram_parallel":
+        return jit_f32(partial(_round_gram_parallel,
+                               target_rank=target_rank), dtype_str)
     if method != "gram":
         raise ValueError(f"unknown rounding method {method!r}; "
-                         "expected 'svd', 'gram' or 'cholqr'")
+                         "expected 'svd', 'gram', 'cholqr' or "
+                         "'gram_parallel'")
     return jit_f32(partial(_round_sweep_scan_gram, target_rank=target_rank),
                    dtype_str)
 
@@ -352,8 +470,11 @@ def make_round_sweep_scan(shape: Tuple[int, ...], target_rank: int,
 def tt_round_sweep_uniform(cores: Sequence[jnp.ndarray], target_rank: int,
                            method: str = "svd", eps: float = 0.0):
     """Pad to uniform rank, run the scan kernel, unpad to logical ranks.
-    method: 'svd' (exact truncation, supports eps) or 'gram' (GEMM + eigh,
-    same result, squares the condition number)."""
+    method: 'svd' (exact truncation, supports eps), 'gram' / 'cholqr'
+    (GEMM + eigh, same result, squares the condition number), or
+    'gram_parallel' (all bonds truncated at once from batched interface
+    Gram matrices — fastest deterministic path; quasi-optimal instead of
+    sequential-optimal, result not canonicalized)."""
     from .pallas_tt_eval import pad_cores
     stacked, r = pad_cores([np.asarray(c) for c in cores])
     fn = make_round_sweep_scan(tuple(stacked.shape), int(target_rank),
