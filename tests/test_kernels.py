@@ -103,6 +103,12 @@ def test_scan_randomized_round():
     err_rnd = np.linalg.norm(TTTensor._make(
         [xe.Tensor.from_jax(c) for c in rnd]).to_tensor().to_ndarray() - orig)
     assert err_rnd < 4 * err_det
+    # cholqr orthogonalization: same sketch, same subspace, same error
+    chl = tt_round_randomized_uniform(cores, 4, oversample=4,
+                                      qr_method="cholqr")
+    err_chl = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_jax(c) for c in chl]).to_tensor().to_ndarray() - orig)
+    assert np.isclose(err_chl, err_rnd, rtol=1e-3)
 
 
 def test_gram_round_matches_svd():
@@ -207,3 +213,31 @@ def test_gram_parallel_round():
         [xe.Tensor.from_ndarray(np.asarray(c, np.float64)) for c in p32]
         ).to_tensor().to_ndarray() - orig)
     assert err32 < 1.5 * err_s + 1e-4 * np.linalg.norm(orig)
+
+
+def test_als_half_sweep_batched_matches_serial():
+    """Throughput-mode vmapped ALS half-sweep == per-instance serial sweeps."""
+    import jax.numpy as jnp
+    from xerus_tpu.ops.tt_kernels import als_half_sweep_batched
+    from xerus_tpu.examples import laplace_operator
+
+    dims = [2] * 6
+    A = laplace_operator(dims)
+    A_cores = tuple(c.to_jax() for c in A.components)
+    B = 3
+    xs, bs = [], []
+    for _ in range(B):
+        x = TTTensor.random(dims, 4)
+        x.canonicalize_left()
+        b = TTTensor.random(dims, 2)
+        xs.append([c.to_jax() for c in x.components])
+        bs.append([c.to_jax() for c in b.components])
+    x_batch = [jnp.stack([xs[i][k] for i in range(B)]) for k in range(6)]
+    b_batch = [jnp.stack([bs[i][k] for i in range(B)]) for k in range(6)]
+    out = als_half_sweep_batched(x_batch, A_cores, b_batch)
+    for i in range(B):
+        serial = _als_half_sweep(tuple(xs[i]), A_cores, tuple(bs[i]))
+        got = TTTensor._make([xe.Tensor.from_jax(c[i]) for c in out])
+        want = TTTensor._make([xe.Tensor.from_jax(c) for c in serial])
+        assert np.allclose(got.to_tensor().to_ndarray(),
+                           want.to_tensor().to_ndarray(), atol=1e-10)

@@ -590,12 +590,39 @@ def _round_randomized(cores: Tuple[jnp.ndarray, ...], seeds: jnp.ndarray,
     return tuple(c * per_core for c in out[:d - 1]) + (final * per_core,)
 
 
+def _cholqr2(cur, tiny):
+    """Shifted CholeskyQR2 of a tall (m, r) matrix — the 2-pass variant of
+    `_cholqr3` for inputs known to be well-conditioned (randomized sketch
+    panels: kappa = O(1) w.h.p. by Marchenko-Pastur).  Rank-deficient
+    panels are safe: the shift keeps Cholesky alive and null directions map
+    to ~zero (not junk) columns of Q, which the pad-to-max-rank discipline
+    treats as inactive bonds."""
+    from jax.scipy.linalg import solve_triangular
+    dtype = cur.dtype
+    m, r = cur.shape
+    eye = jnp.eye(r, dtype=dtype)
+    eps_m = jnp.asarray(10 * m * jnp.finfo(dtype).eps, dtype)
+    eps_s = jnp.asarray(10 * jnp.finfo(dtype).eps, dtype)
+
+    def step(X, rel):
+        G = X.T @ X
+        shift = rel * jnp.max(jnp.diagonal(G)) + tiny
+        L = jnp.linalg.cholesky(G + shift * eye)
+        return solve_triangular(L, X.T, lower=True).T
+
+    return step(step(cur, eps_m), eps_s)
+
+
 def _round_randomized_scan(stacked: jnp.ndarray, target_rank: int,
-                           oversample: int):
+                           oversample: int, qr_method: str = "householder"):
     """Scan-uniform randomized rounding: padded (d, r, n, r) stack, sketch
     build and orthogonalization sweep are both lax.scan's (one compiled QR).
     Bond dims stay l = target+oversample padded; columns >= target_rank are
-    masked to zero (pad-to-max-rank discipline)."""
+    masked to zero (pad-to-max-rank discipline).
+
+    qr_method: 'householder' (jnp.linalg.qr) or 'cholqr' (shifted
+    CholeskyQR2 — pure GEMM + (l, l) Cholesky/trsm, no Householder panels;
+    sound here because sketch panels are well-conditioned w.h.p.)."""
     d, r, n, _ = stacked.shape
     dtype = stacked.dtype
     l = target_rank + oversample
@@ -625,7 +652,10 @@ def _round_randomized_scan(stacked: jnp.ndarray, target_rank: int,
         core, W = inp
         G = jnp.einsum("ka,anb->knb", C, core)          # (l, n, r)
         Y = jnp.einsum("anb,bl->anl", G, W).reshape(l * n, l)
-        q, _ = jnp.linalg.qr(Y)
+        if qr_method == "cholqr":
+            q = _cholqr2(Y, tiny)
+        else:
+            q, _ = jnp.linalg.qr(Y)
         q = q * col_mask[None, :]
         Q = q.reshape(l, n, l)
         C2 = jnp.einsum("ank,anb->kb", Q, G)            # (l, r)
@@ -642,19 +672,23 @@ def _round_randomized_scan(stacked: jnp.ndarray, target_rank: int,
 
 @lru_cache(maxsize=32)
 def make_randomized_round_scan(shape: Tuple[int, ...], target_rank: int,
-                               oversample: int, dtype_str: str):
+                               oversample: int, dtype_str: str,
+                               qr_method: str = "householder"):
     return jit_f32(partial(_round_randomized_scan, target_rank=target_rank,
-                           oversample=oversample), dtype_str)
+                           oversample=oversample, qr_method=qr_method),
+                   dtype_str)
 
 
 def tt_round_randomized_uniform(cores: Sequence[jnp.ndarray], target_rank: int,
-                                oversample: int = 8):
+                                oversample: int = 8,
+                                qr_method: str = "householder"):
     """Pad, run the scan kernel, unpad to logical ranks (<= target)."""
     from .pallas_tt_eval import pad_cores
     stacked, r = pad_cores([np.asarray(c) for c in cores])
     d, _, n, _ = stacked.shape
     fn = make_randomized_round_scan(tuple(stacked.shape), int(target_rank),
-                                    int(oversample), str(stacked.dtype))
+                                    int(oversample), str(stacked.dtype),
+                                    qr_method)
     Qs, final = fn(stacked)
     res = []
     for i in range(d):
@@ -853,6 +887,39 @@ def make_als_sweep(shapes_key: Tuple, dtype_str: str, direction: str = "lr",
         return jit_f32(_als_half_sweep_nonspd, dtype_str)
     return jit_f32(_als_half_sweep if direction == "lr"
                    else _als_half_sweep_rl, dtype_str)
+
+
+@lru_cache(maxsize=32)
+def make_als_sweep_batched(shapes_key: Tuple, dtype_str: str,
+                           direction: str = "lr", batched_A: bool = False):
+    """Throughput-mode SPD ALS: one jitted program sweeping a BATCH of
+    independent (x, b) systems (optionally per-instance operators A).
+
+    The site chain of a single ALS sweep is sequential with small per-site
+    ops, so the MXU idles between them; vmapping B instances turns every
+    per-site env-contraction / local solve / QR into a batched op and
+    multiplies useful work per dispatch by B without changing the sweep
+    math.  This is the TPU analogue of the reference benchmark protocol's
+    10-solves-per-run loop (benchmark.cxx:215-267), executed as one XLA
+    program instead of 10 host iterations."""
+    body = _als_half_sweep if direction == "lr" else _als_half_sweep_rl
+    a_axes = 0 if batched_A else None
+    fn = jax.vmap(body, in_axes=(0, a_axes, 0))
+    return jit_f32(fn, dtype_str)
+
+
+def als_half_sweep_batched(x_batch, A_cores, b_batch,
+                           direction: str = "lr"):
+    """Run one SPD half-sweep over a batch of systems sharing operator A.
+
+    x_batch / b_batch: sequences of per-site arrays with a leading batch
+    axis ((B, rl, n, rr) / (B, rl, n, rr)); every instance must share the
+    same core shapes (same ranks) — the batch is one jit specialization."""
+    shapes_key = (tuple(tuple(c.shape) for c in x_batch),
+                  tuple(tuple(c.shape) for c in A_cores),
+                  tuple(tuple(c.shape) for c in b_batch))
+    fn = make_als_sweep_batched(shapes_key, str(x_batch[0].dtype), direction)
+    return fn(tuple(x_batch), tuple(A_cores), tuple(b_batch))
 
 
 def als_sweep_flops(x_shapes, A_shapes) -> float:
