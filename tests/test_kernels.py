@@ -241,3 +241,39 @@ def test_als_half_sweep_batched_matches_serial():
         want = TTTensor._make([xe.Tensor.from_jax(c) for c in serial])
         assert np.allclose(got.to_tensor().to_ndarray(),
                            want.to_tensor().to_ndarray(), atol=1e-10)
+
+
+def test_streaming_round():
+    """Two-sided-sketch (generalized Nyström) rounding: exact on
+    representable ranks, quasi-optimal on truncating ranks, f32-safe."""
+    from xerus_tpu.ops.tt_kernels import (tt_round_streaming_uniform,
+                                          tt_round_sweep_uniform)
+    a = TTTensor.random([2] * 8, 3)
+    cores = [c.to_jax() for c in a.components]
+    out = tt_round_streaming_uniform(cores, 6)
+    got = TTTensor._make([xe.Tensor.from_jax(c) for c in out])
+    got.require_correct_format()
+    # carries are CholeskyQR2-orthonormalized -> cond(Z)=1, so the
+    # representable-rank case reconstructs to near machine precision (f64)
+    assert np.allclose(got.to_tensor().to_ndarray(),
+                       a.to_tensor().to_ndarray(),
+                       atol=1e-10 * float(a.frob_norm()))
+
+    tt = TTTensor.random([2] * 10, 8)
+    orig = tt.to_tensor().to_ndarray()
+    cs = [c.to_jax() for c in tt.components]
+    sv = tt_round_sweep_uniform(cs, 4, method="svd")
+    e_s = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_jax(c) for c in sv]).to_tensor().to_ndarray() - orig)
+    st = tt_round_streaming_uniform(cs, 4)
+    e_t = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_jax(c) for c in st]).to_tensor().to_ndarray() - orig)
+    assert e_t < 6 * e_s
+
+    cs32 = [jnp.asarray(np.asarray(c), jnp.float32) for c in cs]
+    st32 = tt_round_streaming_uniform(cs32, 4)
+    assert all(bool(jnp.all(jnp.isfinite(c))) for c in st32)
+    e32 = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_ndarray(np.asarray(c, np.float64)) for c in st32]
+        ).to_tensor().to_ndarray() - orig)
+    assert e32 < 6 * e_s + 1e-3 * np.linalg.norm(orig)

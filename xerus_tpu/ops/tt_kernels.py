@@ -670,6 +670,156 @@ def _round_randomized_scan(stacked: jnp.ndarray, target_rank: int,
     return Qs * scale, final * scale
 
 
+def _round_streaming_scan(stacked: jnp.ndarray, target_rank: int,
+                          psi_oversample: int):
+    """Streaming two-sided (generalized Nyström) TT rounding — NO sequential
+    factorization anywhere (new TPU-first design; streaming sketch idea of
+    'Streaming Tensor Train Approximation', arXiv 2208.02600; reference's
+    only rounding is the sequential QR+SVD chain, tensorNetwork.cpp:678).
+
+    Measured motivation (v5e): the randomize-then-orthogonalize sweep is
+    83% Householder QR — the two GEMM scans cost ~0.3 ms each while the 31
+    sequential (2n*l, l) QR panels cost ~2.4 ms.  Here the sequential work
+    is ONLY the two independent sketch scans (pure GEMM, MXU-friendly);
+    everything else is one batched tail.
+
+    Math.  With left sketches  L_j = Psi_j X_{<=j}  (l' x r, random
+    per-site Gaussians Phi contracted left-to-right), right sketches
+    W_j = X_{>j} Omega_j  (r x l, right-to-left), and cross matrices
+    Z_j = Psi_j X Omega_j = L_j W_j  (l' x l), the chained generalized
+    Nyström identity gives the rank-l TT
+
+        X  ~=  (X_0 W_1) Z_1^+ (L_1 X_1 W_2) Z_2^+ ... Z_{d-1}^+ (L_{d-1} X_{d-1})
+
+    exactly (full-rank case) and quasi-optimally under truncation.  The
+    pseudo-inverses are lambda-regularized normal equations
+    (Z^T Z + lambda I)^{-1} Z^T  — one BATCHED Cholesky + solve over all
+    d-1 bonds, no eigh/SVD/Householder-QR.  Oversampling lives in the Psi
+    side (l' = l + psi_oversample > l = target) as generalized Nyström
+    requires.
+
+    Conditioning: each scan carry is re-orthonormalized with shifted
+    CholeskyQR2 (pure GEMM + small Cholesky — still no Householder
+    panels).  Any invertible re-mixing of a sketch is an equally valid
+    sketch as long as the SAME carry feeds both the recursion and the
+    Z/M assemblies (it does), so this is exact — and it makes every
+    Z_j = L_j W_j a product of two orthonormal-column maps, i.e.
+    cond(Z_j) = 1 structurally.  Without it the carries' conditioning
+    degrades exponentially along the chain (measured: cond(Z) up to 4e17
+    at d=10, which the regularized pinv then damps into ~1e-5 errors).
+
+    Accuracy contract: quasi-optimal in expectation with constant
+    ~(1 + l/(l'-l)); measured 8e-13 relative (f64) on representable
+    ranks at d=10, ~2.3x the optimal SVD error under truncation.
+    Result is NOT canonicalized (same contract as gram_parallel)."""
+    d, r, n, _ = stacked.shape
+    dtype = stacked.dtype
+    l = target_rank
+    lp = l + psi_oversample
+    tiny = jnp.asarray(1e-30, dtype)
+    key = jax.random.PRNGKey(0)
+    kW, kL = jax.random.split(key)
+    keysW = jax.random.split(kW, d)
+    keysL = jax.random.split(kL, d)
+
+    # ---- right sketches W_j (r, l), bonds 1..d-1 (pure-GEMM scan) ----
+    def w_body(W, inp):
+        core, k = inp
+        Om = jax.random.normal(k, (l, n, l), dtype=dtype)
+        GW = jnp.einsum("anb,bq->anq", core, W,
+                        preferred_element_type=dtype)
+        Wn = jnp.einsum("anq,pnq->ap", GW, Om,
+                        preferred_element_type=dtype)
+        Wn = _cholqr2(Wn, tiny)          # orthonormal columns, cond(W)=1
+        return Wn, Wn
+
+    W_init = jnp.zeros((r, l), dtype=dtype).at[0, 0].set(1.0)
+    _, Ws = jax.lax.scan(w_body, W_init, (stacked[1:][::-1], keysW[1:]))
+    Ws = Ws[::-1]                       # Ws[k] = W_{k+1} (bond k+1)
+
+    # ---- left sketches L_j (l', r), bonds 1..d-1 (pure-GEMM scan) ----
+    def l_body(L, inp):
+        core, k = inp
+        Phi = jax.random.normal(k, (lp, n, lp), dtype=dtype)
+        T = jnp.einsum("pa,anb->pnb", L, core,
+                       preferred_element_type=dtype)
+        Ln = jnp.einsum("qnp,pnb->qb", Phi, T,
+                        preferred_element_type=dtype)
+        Ln = _cholqr2(Ln, tiny)          # orthonormal columns, cond(L)=1
+        return Ln, Ln
+
+    L_init = jnp.zeros((lp, r), dtype=dtype).at[0, 0].set(1.0)
+    _, Ls = jax.lax.scan(l_body, L_init, (stacked[:-1], keysL[:-1]))
+    # Ls[k] = L_{k+1} (bond k+1), k = 0..d-2
+
+    # ---- batched tail: Z, M, regularized pinv solves ----
+    Zs = jnp.einsum("kpa,kal->kpl", Ls, Ws,
+                    preferred_element_type=dtype)          # (d-1, l', l)
+    # M_k = L_k X_k W_{k+1} for cores k = 1..d-2
+    Ms = jnp.einsum("kpa,kanb,kbl->kpnl", Ls[:-1], stacked[1:-1], Ws[1:],
+                    preferred_element_type=dtype)          # (d-2, l', n, l)
+    Mlast = jnp.einsum("pa,anb->pnb", Ls[-1], stacked[-1],
+                       preferred_element_type=dtype)       # (l', n, r)
+    # last core's logical right boundary is rank 1 (pad-to-max discipline):
+    # slice/pad its right leg to l BEFORE flattening so modes stay aligned
+    if r >= l:
+        Mlast_l = Mlast[:, :, :l]
+    else:
+        Mlast_l = jnp.pad(Mlast, ((0, 0), (0, 0), (0, l - r)))
+    rhs = jnp.concatenate([Ms.reshape(d - 2, lp, n * l),
+                           Mlast_l.reshape(1, lp, n * l)], axis=0)
+
+    eps_rel = jnp.asarray(10.0 * lp * jnp.finfo(dtype).eps, dtype)
+    G = jnp.einsum("kpl,kpm->klm", Zs, Zs,
+                   preferred_element_type=dtype)           # (d-1, l, l)
+    shift = eps_rel * jnp.max(jnp.einsum("kll->kl", G), axis=-1) + tiny
+    G = G + shift[:, None, None] * jnp.eye(l, dtype=dtype)[None]
+    ZtM = jnp.einsum("kpl,kpm->klm", Zs, rhs,
+                     preferred_element_type=dtype)         # (d-1, l, n*l)
+    Lc = jnp.linalg.cholesky(G)
+    from jax.scipy.linalg import solve_triangular
+    sol = solve_triangular(Lc, ZtM, lower=True)
+    Cs = solve_triangular(jnp.transpose(Lc, (0, 2, 1)), sol,
+                          lower=False)                     # (d-1, l, n*l)
+
+    first = jnp.einsum("anb,bl->anl", stacked[0], Ws[0],
+                       preferred_element_type=dtype)       # (r, n, l)
+    mids = Cs[:-1].reshape(d - 2, l, n, l)
+    last = Cs[-1].reshape(l, n, l)   # right leg: cols >= 1 are dead padding
+    return first, mids, last
+
+
+@lru_cache(maxsize=32)
+def make_streaming_round_scan(shape: Tuple[int, ...], target_rank: int,
+                              psi_oversample: int, dtype_str: str):
+    return jit_f32(partial(_round_streaming_scan, target_rank=target_rank,
+                           psi_oversample=psi_oversample), dtype_str)
+
+
+def tt_round_streaming_uniform(cores: Sequence[jnp.ndarray], target_rank: int,
+                               psi_oversample: int = 32):
+    """Pad, run the streaming (two-sided sketch) kernel, clip the boundary
+    legs.  See `_round_streaming_scan`.
+
+    Unlike the QR-based kernels, the Nyström cores are dense across all
+    `target_rank` coordinates (there is no orthogonal basis concentrating
+    the boundary-forced low ranks in the leading slots), so EVERY interior
+    bond is returned at exactly `target_rank` — a valid but non-minimal
+    representation near the chain ends.  Run the object layer's `round()`
+    (or any canonicalization sweep) afterwards if minimal ranks matter."""
+    from .pallas_tt_eval import pad_cores
+    stacked, r = pad_cores([np.asarray(c) for c in cores])
+    d, _, n, _ = stacked.shape
+    fn = make_streaming_round_scan(tuple(stacked.shape), int(target_rank),
+                                   int(psi_oversample), str(stacked.dtype))
+    first, mids, last = fn(stacked)
+    res = [first[:1, :cores[0].shape[1], :]]
+    for i in range(1, d - 1):
+        res.append(mids[i - 1][:, :cores[i].shape[1], :])
+    res.append(last[:, :cores[d - 1].shape[1], :1])
+    return res
+
+
 @lru_cache(maxsize=32)
 def make_randomized_round_scan(shape: Tuple[int, ...], target_rank: int,
                                oversample: int, dtype_str: str,
