@@ -133,3 +133,54 @@ def test_smallest_eigenvalue_lanczos_path():
         xe.smallest_eigenvalue(
             xe.TTOperator.identity([2, 3, 2, 3]),
             TTTensor.random([2, 3], 2), solver="lanczos")
+
+
+def test_dmrg_half_sweep_batched_matches_serial():
+    """Throughput-mode vmapped DMRG half-sweep == per-instance serial
+    sweeps (make_dmrg_sweep_batched, ops/dmrg_kernels.py)."""
+    import jax.numpy as jnp
+    from xerus_tpu.ops.dmrg_kernels import (dmrg_half_sweep_batched,
+                                            make_dmrg_sweep_lobpcg)
+    from xerus_tpu.ops.pallas_tt_eval import pad_cores
+
+    d, rank = 6, 8
+    H = heisenberg_mpo(d)
+    A_np = [np.asarray(c.to_ndarray()) for c in H.components]
+    a = max(max(c.shape[0], c.shape[3]) for c in A_np)
+    n = A_np[0].shape[1]
+    A_stack = np.zeros((d, a, n, n, a))
+    for k, c in enumerate(A_np):
+        A_stack[k, :c.shape[0], :, :, :c.shape[3]] = c
+    A_stack = jnp.asarray(A_stack)
+
+    B = 3
+    stacks = []
+    for _ in range(B):
+        x = TTTensor.random([2] * d, rank)
+        x.move_core(0)
+        x /= x.frob_norm()
+        s, r = pad_cores([np.asarray(c.to_ndarray()) for c in x.components])
+        stacks.append(jnp.asarray(s))
+    x_stacks = jnp.stack(stacks)
+
+    out, energies = dmrg_half_sweep_batched(x_stacks, A_stack, rank,
+                                            solver="lanczos",
+                                            lobpcg_iters=24)
+    serial_fn = make_dmrg_sweep_lobpcg(tuple(stacks[0].shape), rank,
+                                       str(stacks[0].dtype), 24, "lanczos")
+
+    def state(stack):
+        # contract the padded core stack to the full 2^d vector
+        v = np.asarray(stack[0][:1])            # (1, n, r)
+        for k in range(1, d):
+            v = np.einsum("...a,anb->...nb", v, np.asarray(stack[k]))
+        v = v[..., 0].reshape(-1)
+        return v / np.linalg.norm(v)
+
+    for i in range(B):
+        want_stack, want_e = serial_fn(stacks[i], A_stack)
+        # the cores carry gauge/Krylov-rotation freedom; the invariants are
+        # the energy and the represented state (up to global sign)
+        assert abs(float(energies[i]) - float(want_e)) < 1e-10
+        overlap = abs(float(np.dot(state(out[i]), state(want_stack))))
+        assert overlap > 1.0 - 1e-9, (i, overlap)

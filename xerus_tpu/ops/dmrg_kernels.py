@@ -323,6 +323,38 @@ def make_dmrg_sweep_lobpcg(shape_key, rank: int, dtype_str: str,
                    dtype_str)
 
 
+@lru_cache(maxsize=32)
+def make_dmrg_sweep_batched(shape_key, rank: int, dtype_str: str,
+                            lobpcg_iters: int, solver: str = "lanczos",
+                            batched_A: bool = False):
+    """Throughput-mode DMRG: one jitted program running a BATCH of
+    independent ground-state half-sweeps (optionally per-instance
+    operators).  Same rationale as make_als_sweep_batched
+    (ops/tt_kernels.py): the site chain is sequential with small per-site
+    ops, so vmapping B instances multiplies useful MXU work per dispatch
+    by B without changing the sweep math.  Use cases: multi-start ground
+    state search (independent random initializations raced in one
+    program) and the benchmark throughput protocol."""
+    from .tt_kernels import jit_f32
+    body = partial(_dmrg_lobpcg_half_sweep_scan, rank=rank,
+                   lobpcg_iters=lobpcg_iters, solver=solver)
+    fn = jax.vmap(body, in_axes=(0, 0 if batched_A else None))
+    return jit_f32(fn, dtype_str)
+
+
+def dmrg_half_sweep_batched(x_stacks, A_stack, rank: int,
+                            solver: str = "lanczos",
+                            lobpcg_iters: int = 32):
+    """One batched DMRG half-sweep.  x_stacks: (B, d, r, n, r) padded
+    instance stacks (shared core shapes = one jit specialization);
+    A_stack: (d, a, n, n, a) shared operator.  Returns (new_stacks,
+    energies (B,))."""
+    fn = make_dmrg_sweep_batched(tuple(x_stacks.shape), int(rank),
+                                 str(x_stacks.dtype), int(lobpcg_iters),
+                                 solver)
+    return fn(x_stacks, A_stack)
+
+
 def dmrg_groundstate_scan(A, x, num_half_sweeps: int = 8,
                           conv_eps: float = 1e-10, solver: str = "eigh",
                           lobpcg_iters: int = 24):
