@@ -1,0 +1,189 @@
+// Sparse QR via George-Heath row-rotation (Givens) elimination.
+//
+// Native (C++) replacement for the reference's SuiteSparseQR path
+// (/root/reference/src/xerus/cholmod_wrapper.cpp:178-266, used by
+// tensor.cpp:1495-1570 for sparse qr/qc/cq).  SPQR itself is a multifrontal
+// Householder code; the semantics we need from it are (a) a thin factorization
+// A = Q C with Q^T Q = I, (b) sparse inputs AND outputs, (c) Heath-style rank
+// detection (small diagonal entries of R treated as dead columns — SPQR's
+// rank detection is the same heuristic class, not a pivoted RRQR).  The
+// row-merging Givens scheme (George & Heath 1980) delivers exactly that with
+// no external dependencies:
+//
+//   maintain up to n stored rows R_j (leading column j) with companion
+//   orthonormal vectors v_j in R^m such that  R_j = v_j^T A ; for each input
+//   row a_i (companion e_i), while a_i is nonempty either install it at its
+//   leading column's empty slot or Givens-rotate it against the stored row,
+//   which zeroes its leading entry exactly.  Givens rotations preserve the
+//   orthonormality of the whole companion set, so Q = [v_j columns] is
+//   orthonormal by construction and A = Q R exactly (up to roundoff).
+//
+// Rank rule: slot j is dead if |R_jj| < rel_tol * max_j |R_jj| (matching the
+// dense QC rule blasLapackWrapper.cpp:268-273 with rel_tol = 16*eps); pass
+// rel_tol = 0 for structural-rank-only elimination (sparse plain QR).
+//
+// C ABI for ctypes (no pybind11 in this image).  Build: make -C native.
+
+#include <cstdint>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+struct Entry {
+    int64_t idx;
+    double val;
+};
+
+using SpVec = std::vector<Entry>;  // sorted by idx, no explicit zeros
+
+// rotated = c*x + s*y ; counterpart = -s*x + c*y, computed in one merge pass.
+void givens_merge(const SpVec& x, const SpVec& y, double c, double s,
+                  SpVec& out_rot, SpVec& out_counter) {
+    out_rot.clear();
+    out_counter.clear();
+    size_t i = 0, j = 0;
+    while (i < x.size() || j < y.size()) {
+        int64_t ix = i < x.size() ? x[i].idx : INT64_MAX;
+        int64_t iy = j < y.size() ? y[j].idx : INT64_MAX;
+        int64_t idx;
+        double xv = 0.0, yv = 0.0;
+        if (ix <= iy) { idx = ix; xv = x[i++].val; }
+        else idx = iy;
+        if (iy == idx && j < y.size()) yv = y[j++].val;
+        double r = c * xv + s * yv;
+        double q = c * yv - s * xv;
+        if (r != 0.0) out_rot.push_back({idx, r});
+        if (q != 0.0) out_counter.push_back({idx, q});
+    }
+}
+
+struct Factorization {
+    int64_t m = 0, n = 0, rank = 0;
+    std::vector<int64_t> kept;   // kept slot (column) indices, ascending
+    std::vector<SpVec> R;        // per slot: sparse row (leading col = slot)
+    std::vector<SpVec> V;        // per slot: Q column (length-m sparse vector)
+    int64_t q_nnz = 0, r_nnz = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Factor an m x n COO matrix (duplicate coordinates are summed).  Returns an
+// opaque handle, or nullptr when m, n or nnz is non-positive.
+void* sqr_factor(int64_t m, int64_t n, int64_t nnz,
+                 const int64_t* rows, const int64_t* cols,
+                 const double* vals, double rel_tol) {
+    if (m <= 0 || n <= 0 || nnz < 0) return nullptr;
+    // bucket entries per row, then sort each row by column and sum dups
+    std::vector<SpVec> arows(static_cast<size_t>(m));
+    for (int64_t k = 0; k < nnz; ++k) {
+        if (rows[k] < 0 || rows[k] >= m || cols[k] < 0 || cols[k] >= n)
+            return nullptr;
+        arows[static_cast<size_t>(rows[k])].push_back({cols[k], vals[k]});
+    }
+    auto* F = new Factorization;
+    F->m = m;
+    F->n = n;
+    F->R.assign(static_cast<size_t>(n), {});
+    F->V.assign(static_cast<size_t>(n), {});
+
+    SpVec a, v, tmp_rot, tmp_counter, tmp_rot2, tmp_counter2;
+    for (int64_t i = 0; i < m; ++i) {
+        a.swap(arows[static_cast<size_t>(i)]);
+        std::sort(a.begin(), a.end(),
+                  [](const Entry& x, const Entry& y) { return x.idx < y.idx; });
+        // coalesce duplicates
+        SpVec packed;
+        for (const Entry& e : a) {
+            if (!packed.empty() && packed.back().idx == e.idx)
+                packed.back().val += e.val;
+            else
+                packed.push_back(e);
+        }
+        packed.erase(std::remove_if(packed.begin(), packed.end(),
+                                    [](const Entry& e) { return e.val == 0.0; }),
+                     packed.end());
+        a.swap(packed);
+        v.assign(1, {i, 1.0});
+
+        while (!a.empty()) {
+            size_t j = static_cast<size_t>(a.front().idx);
+            if (F->R[j].empty()) {
+                F->R[j].swap(a);
+                F->V[j].swap(v);
+                break;
+            }
+            double r0 = F->R[j].front().val;
+            double a0 = a.front().val;
+            double den = std::hypot(r0, a0);
+            double c = r0 / den, s = a0 / den;
+            givens_merge(F->R[j], a, c, s, tmp_rot, tmp_counter);
+            givens_merge(F->V[j], v, c, s, tmp_rot2, tmp_counter2);
+            F->R[j].swap(tmp_rot);
+            F->V[j].swap(tmp_rot2);
+            a.swap(tmp_counter);
+            v.swap(tmp_counter2);
+            // the eliminated leading entry is zero by construction; drop it
+            // if roundoff left it (den-scaled cancellation keeps it exact,
+            // but guard anyway)
+            if (!a.empty() && static_cast<size_t>(a.front().idx) == j)
+                a.erase(a.begin());
+        }
+    }
+
+    double max_diag = 0.0;
+    for (int64_t j = 0; j < n; ++j) {
+        const SpVec& rj = F->R[static_cast<size_t>(j)];
+        if (!rj.empty())
+            max_diag = std::max(max_diag, std::fabs(rj.front().val));
+    }
+    double cut = rel_tol * max_diag;
+    for (int64_t j = 0; j < n; ++j) {
+        const SpVec& rj = F->R[static_cast<size_t>(j)];
+        if (rj.empty() || std::fabs(rj.front().val) < cut) continue;
+        F->kept.push_back(j);
+        F->r_nnz += static_cast<int64_t>(rj.size());
+        F->q_nnz += static_cast<int64_t>(F->V[static_cast<size_t>(j)].size());
+    }
+    F->rank = static_cast<int64_t>(F->kept.size());
+    return F;
+}
+
+int64_t sqr_rank(void* h) { return static_cast<Factorization*>(h)->rank; }
+int64_t sqr_q_nnz(void* h) { return static_cast<Factorization*>(h)->q_nnz; }
+int64_t sqr_r_nnz(void* h) { return static_cast<Factorization*>(h)->r_nnz; }
+
+// Q is m x rank: column k is the companion vector of the k-th kept slot.
+void sqr_get_q(void* h, int64_t* rows, int64_t* cols, double* vals) {
+    auto* F = static_cast<Factorization*>(h);
+    int64_t p = 0;
+    for (int64_t k = 0; k < F->rank; ++k) {
+        for (const Entry& e : F->V[static_cast<size_t>(F->kept[k])]) {
+            rows[p] = e.idx;
+            cols[p] = k;
+            vals[p] = e.val;
+            ++p;
+        }
+    }
+}
+
+// R is rank x n: row k is the k-th kept stored row (original column ids).
+void sqr_get_r(void* h, int64_t* rows, int64_t* cols, double* vals) {
+    auto* F = static_cast<Factorization*>(h);
+    int64_t p = 0;
+    for (int64_t k = 0; k < F->rank; ++k) {
+        for (const Entry& e : F->R[static_cast<size_t>(F->kept[k])]) {
+            rows[p] = k;
+            cols[p] = e.idx;
+            vals[p] = e.val;
+            ++p;
+        }
+    }
+}
+
+void sqr_free(void* h) { delete static_cast<Factorization*>(h); }
+
+}  // extern "C"

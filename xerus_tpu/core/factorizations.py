@@ -75,8 +75,33 @@ def calculate_svd(t: Tensor, split_pos: int, max_rank: int = 0,
     return U, S, Vt
 
 
+def _sparse_factorization_output(t: Tensor, split_pos: int, rank: int,
+                                 lhs_flat, rhs_flat,
+                                 rhs_factor: float) -> Tuple[Tensor, Tensor]:
+    """Build the (lhs, rhs) sparse tensors of a sparse factorization and
+    densify when desirable (tensor.cpp:1495-1570 output handling)."""
+    lhs = Tensor(t.dimensions[:split_pos] + [rank], Representation.Sparse)
+    lhs._sparse = lhs_flat
+    rhs = Tensor([rank] + t.dimensions[split_pos:], Representation.Sparse)
+    rhs._sparse = rhs_flat
+    rhs.factor = rhs_factor
+    lhs.use_dense_representation_if_desirable()
+    rhs.use_dense_representation_if_desirable()
+    return lhs, rhs
+
+
 def calculate_qr(t: Tensor, split_pos: int) -> Tuple[Tensor, Tensor]:
     lhs_size, rhs_size, rank = _split_sizes(t, split_pos)
+    if t.is_sparse():
+        # native George-Heath sparse QR (SPQR path of tensor.cpp:1495-1503);
+        # plain QR must come out full-rank — structurally deficient inputs
+        # take the dense route instead (the reference INTERNAL_CHECKs here)
+        from .sparse_qr import sparse_qc
+        pos, vals = t.sparse_coo()
+        out = sparse_qc(pos, vals, lhs_size, rhs_size, 0.0)
+        if out is not None and out[2] == rank:
+            return _sparse_factorization_output(t, split_pos, rank, out[0],
+                                                out[1], t.factor)
     a = t.to_jax(apply_factor=False).reshape(lhs_size, rhs_size)
     q, r = _qr_jit(a)
     Q = Tensor.from_jax(q.reshape(t.dimensions[:split_pos] + [rank]))
@@ -119,8 +144,20 @@ def _revealed_rank(s_host: np.ndarray) -> int:
 
 
 def calculate_qc(t: Tensor, split_pos: int) -> Tuple[Tensor, Tensor]:
-    """Rank-revealing A = Q C, Q with orthonormal columns (tensor.cpp:1528)."""
+    """Rank-revealing A = Q C, Q with orthonormal columns (tensor.cpp:1528).
+
+    Sparse inputs route through the native sparse QR with the Heath rank
+    rule (|R_jj| >= 16*eps*max) — SPQR parity (tensor.cpp:1532-1539); note
+    SPQR's detection is the same heuristic class, not a pivoted RRQR."""
     lhs_size, rhs_size, _ = _split_sizes(t, split_pos)
+    if t.is_sparse():
+        from .sparse_qr import sparse_qc
+        pos, vals = t.sparse_coo()
+        tol = _QC_RANK_EPS_MULT * float(np.finfo(config.value_dtype).eps)
+        out = sparse_qc(pos, vals, lhs_size, rhs_size, tol)
+        if out is not None:
+            return _sparse_factorization_output(t, split_pos, out[2], out[0],
+                                                out[1], t.factor)
     a = t.to_jax(apply_factor=False).reshape(lhs_size, rhs_size)
     u, s, vt = _svd_jit(a)
     rank = _revealed_rank(np.asarray(s))
@@ -134,6 +171,23 @@ def calculate_qc(t: Tensor, split_pos: int) -> Tuple[Tensor, Tensor]:
 def calculate_cq(t: Tensor, split_pos: int) -> Tuple[Tensor, Tensor]:
     """Rank-revealing A = C Q, Q with orthonormal rows (tensor.cpp:1548)."""
     lhs_size, rhs_size, _ = _split_sizes(t, split_pos)
+    if t.is_sparse():
+        from .sparse_qr import sparse_cq
+        pos, vals = t.sparse_coo()
+        tol = _QC_RANK_EPS_MULT * float(np.finfo(config.value_dtype).eps)
+        out = sparse_cq(pos, vals, lhs_size, rhs_size, tol)
+        if out is not None:
+            c_flat, q_flat, rank = out
+            C = Tensor(t.dimensions[:split_pos] + [rank],
+                       Representation.Sparse)
+            C._sparse = c_flat
+            Q = Tensor([rank] + t.dimensions[split_pos:],
+                       Representation.Sparse)
+            Q._sparse = q_flat
+            C.factor = t.factor
+            C.use_dense_representation_if_desirable()
+            Q.use_dense_representation_if_desirable()
+            return C, Q
     a = t.to_jax(apply_factor=False).reshape(lhs_size, rhs_size)
     u, s, vt = _svd_jit(a)
     rank = _revealed_rank(np.asarray(s))
@@ -202,6 +256,19 @@ def solve(A: Tensor, B: Tensor, extra_degree: int = 0) -> Tensor:
     m = _prod(A.dimensions[:deg_m])
     n = _prod(A.dimensions[deg_m:])
     p = _prod(B.dimensions[deg_m:])
+    if A.is_sparse() and p == 1:
+        # sparse path = the reference's SuiteSparseQR solve
+        # (tensor.cpp:1608-1630 -> cholmod_wrapper.cpp:173-225)
+        from .sparse_qr import sparse_solve_ls
+        pos, vals = A.sparse_coo()
+        bh = np.asarray(B.to_jax(apply_factor=False)).reshape(m)
+        xh = sparse_solve_ls(pos, vals, m, n, bh, float(config.epsilon))
+        if xh is not None:
+            out_dims = A.dimensions[deg_m:] + B.dimensions[deg_m:]
+            X = Tensor.from_ndarray(xh.reshape(out_dims) if out_dims
+                                    else xh.reshape(()))
+            X.factor = B.factor / A.factor
+            return X
     a = A.to_jax(apply_factor=False).reshape(m, n)
     b = B.to_jax(apply_factor=False).reshape(m, p)
     x = _solve_matrix(a, b)
@@ -219,6 +286,17 @@ def solve_least_squares(A: Tensor, B: Tensor, extra_degree: int = 0) -> Tensor:
     m = _prod(A.dimensions[:deg_m])
     n = _prod(A.dimensions[deg_m:])
     p = _prod(B.dimensions[deg_m:])
+    if A.is_sparse() and p == 1:
+        from .sparse_qr import sparse_solve_ls
+        pos, vals = A.sparse_coo()
+        bh = np.asarray(B.to_jax(apply_factor=False)).reshape(m)
+        xh = sparse_solve_ls(pos, vals, m, n, bh, float(config.epsilon))
+        if xh is not None:
+            out_dims = A.dimensions[deg_m:] + B.dimensions[deg_m:]
+            X = Tensor.from_ndarray(xh.reshape(out_dims) if out_dims
+                                    else xh.reshape(()))
+            X.factor = B.factor / A.factor
+            return X
     a = A.to_jax(apply_factor=False).reshape(m, n)
     b = B.to_jax(apply_factor=False).reshape(m, p)
     x = _lstsq(a, b)
