@@ -174,3 +174,40 @@ def test_uq_adf_dp_sharded_matches_serial(mesh):
     a = xa.to_tensor().to_ndarray()
     b = xb.to_tensor().to_ndarray()
     assert np.linalg.norm(a - b) / np.linalg.norm(a) < 1e-10
+
+
+def test_site_sharded_entrywise_product(mesh):
+    """Site-axis-sharded Hadamard product == dense oracle, including a
+    site count that is not a multiple of the device count
+    (parallel/site_ops.py; reference omp loop ttNetwork.cpp:1288-1300)."""
+    from xerus_tpu.parallel.site_ops import tt_entrywise_product_sharded
+    for d in (6, 11):
+        a = TTTensor.random([2] * d, 3)
+        b = TTTensor.random([2] * d, 2)
+        out = tt_entrywise_product_sharded(
+            [c.to_jax() for c in a.components],
+            [c.to_jax() for c in b.components], mesh)
+        got = TTTensor._make([xe.Tensor.from_jax(c) for c in out])
+        got.require_correct_format()
+        want = a.to_tensor().to_ndarray() * b.to_tensor().to_ndarray()
+        assert np.allclose(got.to_tensor().to_ndarray(), want, atol=1e-12)
+        # ranks multiply per bond
+        assert all(out[k].shape[2] == a.components[k].dimensions[2]
+                   * b.components[k].dimensions[2] for k in range(d - 1))
+
+
+def test_site_sharded_add(mesh):
+    """Site-axis-sharded TT addition (block-diagonal embedding) == dense
+    oracle; bond ranks add (ttNetwork.cpp:797-840 semantics)."""
+    from xerus_tpu.parallel.site_ops import tt_add_sharded
+    for d in (6, 11):
+        a = TTTensor.random([2] * d, 3)
+        b = TTTensor.random([2] * d, 2)
+        out = tt_add_sharded([c.to_jax() for c in a.components],
+                             [c.to_jax() for c in b.components], mesh)
+        got = TTTensor._make([xe.Tensor.from_jax(c) for c in out])
+        got.require_correct_format()
+        want = a.to_tensor().to_ndarray() + b.to_tensor().to_ndarray()
+        assert np.allclose(got.to_tensor().to_ndarray(), want, atol=1e-12)
+        assert all(out[k].shape[2] == a.components[k].dimensions[2]
+                   + b.components[k].dimensions[2] for k in range(d - 1))
