@@ -328,3 +328,32 @@ def test_tensor_float_cast():
     assert float(t) == 2.5
     with pytest.raises(Exception):
         float(Tensor.random([3, 3]))
+
+
+def test_round_fast_methods_match_reference_round():
+    """Object-level round_fast routes the whole-sweep kernels; on
+    representable ranks every method reproduces the tensor exactly and
+    re-canonicalizes (cores at position 0)."""
+    a = TTTensor.random([2] * 8, 3)
+    want = a.to_tensor().to_ndarray()
+    for method in ("randomized", "streaming", "svd", "gram"):
+        t = a.copy()
+        t.round_fast(6, method=method)
+        t.require_correct_format()
+        assert t.canonicalized and t.corePosition == 0
+        got = t.to_tensor().to_ndarray()
+        assert np.allclose(got, want, atol=1e-8 * np.linalg.norm(want)), method
+
+    # truncation quality: within a small factor of the exact rounding
+    b = TTTensor.random([2] * 8, 8)
+    orig = b.to_tensor().to_ndarray()
+    exact = b.copy()
+    exact.round(4)
+    e_ref = np.linalg.norm(exact.to_tensor().to_ndarray() - orig)
+    # randomized: oversampled sketch, 2-3x optimal; streaming: sketch
+    # width == output rank, single-digit multiple (documented contract)
+    for method, factor in (("randomized", 6), ("streaming", 15)):
+        t = b.copy()
+        t.round_fast(4, method=method)
+        e = np.linalg.norm(t.to_tensor().to_ndarray() - orig)
+        assert e < factor * e_ref + 1e-12, (method, e, e_ref)

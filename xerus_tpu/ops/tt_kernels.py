@@ -713,10 +713,16 @@ def _round_streaming_scan(stacked: jnp.ndarray, target_rank: int,
     9e-4 (f32, d=20) — identical to orthonormalizing inside the scan,
     measured, and one pass matches two on every oracle.
 
-    Accuracy contract: quasi-optimal in expectation with constant
-    ~(1 + l/(l'-l)); measured 8e-13 relative (f64) on representable
-    ranks at d=10, ~2.3x the optimal SVD error under truncation.
-    Result is NOT canonicalized (same contract as gram_parallel)."""
+    Accuracy contract: the sketch width on the W side IS the output rank
+    l (no W-side slack — psi oversampling lives on the Psi/L side and
+    only stabilizes the pinv; it does NOT improve truncation quality).
+    Exact on representable ranks (8e-13 relative, f64, d=10); under
+    truncation the error is a single-digit multiple of the optimal SVD
+    error (measured 4-10x over random instances at l = target, vs the
+    randomized sweep's 2-3x whose sketch oversamples then truncates the
+    basis).  Use `tt_round_randomized_uniform` when truncation quality
+    matters more than avoiding the sequential QR chain.  Result is NOT
+    canonicalized (same contract as gram_parallel)."""
     d, r, n, _ = stacked.shape
     dtype = stacked.dtype
     l = target_rank

@@ -509,6 +509,33 @@ class TTNetwork:
         if initial_canon:
             self.move_core(initial_core)
 
+    def round_fast(self, max_rank: int, method: str = "randomized") -> None:
+        """TPU fast-path rounding to a uniform ``max_rank`` through the
+        whole-sweep jitted kernels (ops/tt_kernels.py) instead of the
+        edge-by-edge object loop of `round()`.
+
+        method: 'randomized' (randomize-then-orthogonalize, quasi-optimal,
+        fastest on v5e), 'streaming' (two-sided Nyström, no sequential
+        factorization), 'svd' / 'gram' / 'cholqr' / 'gram_parallel'
+        (deterministic).  The result is re-canonicalized to core 0, so the
+        object contract matches `round(int)` up to the methods' documented
+        quasi-optimality; use `round()` for the reference's exact
+        eps-per-edge semantics (ttNetwork.cpp:644-685)."""
+        from ..ops import (tt_round_sweep_uniform, tt_round_randomized_uniform,
+                           tt_round_streaming_uniform)
+        require(max_rank > 0, "cannot round to rank 0")
+        cores = [c.to_jax() for c in self.components]
+        if method == "randomized":
+            out = tt_round_randomized_uniform(cores, int(max_rank))
+        elif method == "streaming":
+            out = tt_round_streaming_uniform(cores, int(max_rank))
+        else:
+            out = tt_round_sweep_uniform(cores, int(max_rank), method=method)
+        from ..core.tensor import Tensor
+        self.components = [Tensor.from_jax(c) for c in out]
+        self.canonicalized = False
+        self.move_core(0)
+
     def soft_threshold(self, tau, prevent_zero: bool = False) -> None:
         """(ttNetwork.cpp:688-716)"""
         num = self.num_components()
