@@ -22,8 +22,30 @@ import pytest  # noqa: E402
 
 
 @pytest.fixture(autouse=True)
-def _deterministic_seed():
-    """Deterministic seed per test (reference: 0xBAADF00D, test.cpp:90-96)."""
+def _deterministic_seed(request):
+    """Deterministic seed per test (reference: 0xBAADF00D, test.cpp:90-96).
+
+    Runner parity with the reference's `XerusTest group:test:seed`
+    (test.cpp:196-214): set XERUS_TEST_SEED=<int> to replay a specific
+    seed, or XERUS_TRULY_RANDOM_UNITTESTS=1 for a fresh random seed per
+    test — the chosen seed is printed on failure for replay
+    (test.cpp:131-133 semantics)."""
+    import secrets
     import xerus_tpu
-    xerus_tpu.set_seed(0xBAADF00D)
+    if "XERUS_TEST_SEED" in os.environ:
+        seed = int(os.environ["XERUS_TEST_SEED"], 0)
+    elif os.environ.get("XERUS_TRULY_RANDOM_UNITTESTS"):
+        seed = secrets.randbits(32)
+    else:
+        seed = 0xBAADF00D
+    request.node._xerus_seed = seed
+    xerus_tpu.set_seed(seed)
     yield
+
+
+def pytest_runtest_makereport(item, call):
+    if call.when == "call" and call.excinfo is not None:
+        seed = getattr(item, "_xerus_seed", None)
+        if seed is not None:
+            print(f"\n[xerus_tpu] failing seed: replay with "
+                  f"XERUS_TEST_SEED={seed}")
