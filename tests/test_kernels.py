@@ -277,3 +277,33 @@ def test_streaming_round():
         [xe.Tensor.from_ndarray(np.asarray(c, np.float64)) for c in st32]
         ).to_tensor().to_ndarray() - orig)
     assert e32 < 6 * e_s + 1e-3 * np.linalg.norm(orig)
+
+
+def test_randomized_round_cholqr1_matches_householder_quality():
+    """Single-pass shifted-CholeskyQR panels (the v5e fast path: 2.03 ms
+    vs 2.81 ms Householder for d=32 256->128) must match Householder's
+    truncation quality; representable ranks reconstruct to the u*kappa^2
+    contract."""
+    from xerus_tpu.ops.tt_kernels import tt_round_randomized_uniform
+
+    a = TTTensor.random([2] * 10, 8)
+    orig = a.to_tensor().to_ndarray()
+    cs = [c.to_jax() for c in a.components]
+
+    rh = tt_round_randomized_uniform(cs, 4, qr_method="householder")
+    e_h = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_jax(c) for c in rh]).to_tensor().to_ndarray() - orig)
+    rc = tt_round_randomized_uniform(cs, 4, qr_method="cholqr1")
+    e_c = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_jax(c) for c in rc]).to_tensor().to_ndarray() - orig)
+    assert e_c < 1.2 * e_h + 1e-12
+
+    rr = tt_round_randomized_uniform(cs, 8, qr_method="cholqr1")
+    t = TTTensor._make([xe.Tensor.from_jax(c) for c in rr])
+    err = np.linalg.norm(t.to_tensor().to_ndarray() - orig)
+    assert err < 1e-5 * np.linalg.norm(orig)
+
+    # f32 with zero-padded bonds stays finite (shifted Cholesky)
+    cs32 = [jnp.asarray(np.asarray(c), jnp.float32) for c in cs]
+    r32 = tt_round_randomized_uniform(cs32, 4, qr_method="cholqr1")
+    assert all(bool(jnp.all(jnp.isfinite(c))) for c in r32)

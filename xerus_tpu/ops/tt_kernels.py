@@ -654,6 +654,17 @@ def _round_randomized_scan(stacked: jnp.ndarray, target_rank: int,
         Y = jnp.einsum("anb,bl->anl", G, W).reshape(l * n, l)
         if qr_method == "cholqr":
             q = _cholqr2(Y, tiny)
+        elif qr_method == "cholqr1":
+            # single shifted pass: sketch panels are well-conditioned
+            # w.h.p., so one Gram+chol+trsm reaches u*kappa^2 ~ u
+            # orthogonality; measured on v5e it undercuts the Householder
+            # panel chain (the randomized sweep's wall-clock bottleneck)
+            from jax.scipy.linalg import solve_triangular
+            Gm = Y.T @ Y
+            shift = (jnp.asarray(10 * Y.shape[0] * jnp.finfo(dtype).eps,
+                                 dtype) * jnp.max(jnp.diagonal(Gm)) + tiny)
+            Lc = jnp.linalg.cholesky(Gm + shift * jnp.eye(l, dtype=dtype))
+            q = solve_triangular(Lc, Y.T, lower=True).T
         else:
             q, _ = jnp.linalg.qr(Y)
         q = q * col_mask[None, :]

@@ -84,6 +84,9 @@ def warmup(dims: Sequence[int], rank: int,
     if "randomized" in kinds:
         run("round_randomized", tt_round_randomized_uniform, dev_cores,
             target, int(oversample))
+    if "streaming" in kinds:
+        from .ops.tt_kernels import tt_round_streaming_uniform
+        run("round_streaming", tt_round_streaming_uniform, dev_cores, target)
     if "als" in kinds:
         a = int(op_rank) or 3
         A_shapes = []
