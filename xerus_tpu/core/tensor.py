@@ -402,9 +402,6 @@ class Tensor:
         out._sparse = dict(self._sparse) if self._sparse is not None else None
         return out
 
-    dense_copy = None  # set below
-    sparse_copy = None
-
     def _dense_copy(self) -> "Tensor":
         out = self.copy()
         out.use_dense_representation()
@@ -414,6 +411,13 @@ class Tensor:
         out = self.copy()
         out.use_sparse_representation()
         return out
+
+    # public binding names (python/tensor.cpp dense_copy/sparse_copy)
+    dense_copy = _dense_copy
+    sparse_copy = _sparse_copy
+
+    def ensure_own_data_no_copy(self) -> None:
+        """No-op under immutable jax arrays (tensor.h:843 semantics)."""
 
     # ------------------------------------------------------------------
     # Element access (tensor.h:485-520)
@@ -671,9 +675,8 @@ class Tensor:
     def to_string(self) -> str:
         return np.array2string(self.to_ndarray(), precision=6)
 
-
-Tensor.dense_copy = Tensor._dense_copy
-Tensor.sparse_copy = Tensor._sparse_copy
+    # the reference's Python __str__ prints the entries (python/tensor.cpp)
+    __str__ = to_string
 
 
 # ---------------------------------------------------------------------------
