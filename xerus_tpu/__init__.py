@@ -31,7 +31,7 @@ def entrywise_product(a, b):
         return _tt_entrywise_product(a, b)
     return _tensor_entrywise_product(a, b)
 from .misc import (FileFormat, save_to_file, load_from_file, LogHistogram,
-                   set_seed)
+                   set_seed, log, xethrow)
 from .core import serialization as _serialization  # registers Tensor I/O
 
 from .algorithms import (PerformanceData, NoPerfData, ALSVariant, ALS,
@@ -41,6 +41,7 @@ from .algorithms import (PerformanceData, NoPerfData, ALSVariant, ALS,
                          HOSVDRetractionI, HOSVDRetractionII, ALSRetractionI,
                          ALSRetractionII, SubmanifoldRetractionI,
                          SubmanifoldRetractionII, ProjectiveVectorTransport,
+                         TTRetractionI, TTRetractionII, TTVectorTransport,
                          SteepestDescentVariant, SteepestDescent,
                          GeometricCGVariant, GeometricCG, IHT,
                          decomposition_als, find_largest_entry,

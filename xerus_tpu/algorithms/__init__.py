@@ -5,7 +5,8 @@ from .adf import ADFVariant, ADF
 from .retractions import (TTTangentVector, HOSVDRetractionI, HOSVDRetractionII,
                           ALSRetractionI, ALSRetractionII,
                           SubmanifoldRetractionI, SubmanifoldRetractionII,
-                          ProjectiveVectorTransport)
+                          ProjectiveVectorTransport, TTRetractionI,
+                          TTRetractionII, TTVectorTransport)
 from .steepest_descent import SteepestDescentVariant, SteepestDescent, line_search
 from .cg import GeometricCGVariant, GeometricCG
 from .iht import IHT

@@ -51,6 +51,20 @@ class ALSVariant:
         self.assumeSPD = assume_spd
         self.local_solver = local_solver  # 'lapack' | 'asd'
 
+    # the reference's LocalSolver binding surface (leastSquares.cpp:133-135;
+    # als.h:43-48): class attrs naming the solvers + a localSolver member
+    lapack_solver = "lapack"
+    ASD_solver = "asd"
+    LocalSolver = str
+
+    @property
+    def localSolver(self) -> str:
+        return self.local_solver
+
+    @localSolver.setter
+    def localSolver(self, value: str) -> None:
+        self.local_solver = value
+
     # -- call styles (als.h:152-208) -----------------------------------
     def __call__(self, *args, **kwargs) -> float:
         """(A, x, b, [eps|num_half_sweeps], [perf_data]) or (x, b, ...)."""

@@ -72,6 +72,18 @@ class PerformanceData:
             return 0.0
         return time.perf_counter() - self.start_time
 
+    def get_runtime(self) -> float:
+        """Total wall time since start() ignoring timer pauses
+        (performanceData.h get_runtime)."""
+        return self.get_elapsed_time()
+
+    def reset(self) -> None:
+        """Clear recorded points and timers (performanceData.h:90-96)."""
+        self.data = []
+        self.start_time = None
+        self._stop_time = None
+        self.additional_information = ""
+
     def add(self, residual: float, x=None, flags: int = 0,
             iteration: Optional[int] = None) -> None:
         if not self.active:

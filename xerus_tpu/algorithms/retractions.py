@@ -216,3 +216,27 @@ def _overwrite(target: TTTensor, source: TTTensor) -> None:
     target.canonicalized = source.canonicalized
     target.corePosition = source.corePosition
     target.dimensions = source.dimensions
+
+
+class _CallableWrapper:
+    """Copy-constructible callable wrapper matching the reference's
+    Python binding classes (python/leastSquares.cpp:83-94): e.g.
+    ``TTRetractionI(xe.ALSRetractionI)``."""
+
+    def __init__(self, fn):
+        self._fn = fn._fn if isinstance(fn, _CallableWrapper) else fn
+
+    def __call__(self, *args, **kwargs):
+        return self._fn(*args, **kwargs)
+
+
+class TTRetractionI(_CallableWrapper):
+    pass
+
+
+class TTRetractionII(_CallableWrapper):
+    pass
+
+
+class TTVectorTransport(_CallableWrapper):
+    pass

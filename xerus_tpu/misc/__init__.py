@@ -11,3 +11,10 @@ from .log import (get_logger, set_log_level, enable_log_on_error,
                   RingBufferHandler)  # noqa: F401
 from .performance import pa_start, pa_section, get_analysis, clear_analysis  # noqa: F401
 from .profiling import profile_trace  # noqa: F401
+from .log import log  # noqa: F401
+
+
+def xethrow():
+    """Raise a generic library error (python/misc.cpp:121 `xethrow` test
+    helper; the Python traceback plays the role of get_call_stack)."""
+    raise ValueError("xerus_tpu generic error (xethrow)")

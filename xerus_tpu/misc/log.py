@@ -56,3 +56,10 @@ def enable_log_on_error(capacity: int = 512,
     root.addHandler(h)
     root.setLevel(logging.DEBUG)
     return h
+
+
+def log(msg) -> None:
+    """`xe.log(msg)` — the reference's Python `log` binding
+    (python/misc.cpp:67-70): emit an info-level message through the
+    library logger."""
+    get_logger("info").info("%s", msg)
