@@ -211,3 +211,52 @@ def test_site_sharded_add(mesh):
         assert np.allclose(got.to_tensor().to_ndarray(), want, atol=1e-12)
         assert all(out[k].shape[2] == a.components[k].dimensions[2]
                    + b.components[k].dimensions[2] for k in range(d - 1))
+
+
+def test_sharded_batched_sweeps_match_unsharded(mesh):
+    """dp-sharded batched ALS/DMRG == unsharded batched kernels."""
+    import jax.numpy as jnp
+    from xerus_tpu.parallel.sharded_ops import (
+        sharded_als_half_sweep_batched, sharded_dmrg_half_sweep_batched)
+    from xerus_tpu.ops.tt_kernels import als_half_sweep_batched
+    from xerus_tpu.ops.dmrg_kernels import dmrg_half_sweep_batched
+    from xerus_tpu.ops.pallas_tt_eval import pad_cores
+    from xerus_tpu.examples import laplace_operator, heisenberg_mpo
+
+    d, B = 6, 4
+    dims = [2] * d
+    A = laplace_operator(dims)
+    A_cores = tuple(c.to_jax() for c in A.components)
+    xs, bs = [], []
+    for _ in range(B):
+        xi = TTTensor.random(dims, 3)
+        xi.canonicalize_left()
+        bi = TTTensor.random(dims, 2)
+        xs.append([c.to_jax() for c in xi.components])
+        bs.append([c.to_jax() for c in bi.components])
+    x_batch = [jnp.stack([xs[i][k] for i in range(B)]) for k in range(d)]
+    b_batch = [jnp.stack([bs[i][k] for i in range(B)]) for k in range(d)]
+    want = als_half_sweep_batched(x_batch, A_cores, b_batch)
+    got = sharded_als_half_sweep_batched(x_batch, A_cores, b_batch, mesh)
+    for w, g in zip(want, got):
+        assert np.allclose(np.asarray(w), np.asarray(g), atol=1e-11)
+
+    H = heisenberg_mpo(d)
+    A_np = [np.asarray(c.to_ndarray()) for c in H.components]
+    a = max(max(c.shape[0], c.shape[3]) for c in A_np)
+    A_stack = np.zeros((d, a, 2, 2, a))
+    for k, c in enumerate(A_np):
+        A_stack[k, :c.shape[0], :, :, :c.shape[3]] = c
+    stacks = []
+    for _ in range(B):
+        x = TTTensor.random(dims, 8)
+        x.move_core(0)
+        x /= x.frob_norm()
+        s, _ = pad_cores([np.asarray(c.to_ndarray()) for c in x.components])
+        stacks.append(s)
+    x_stacks = jnp.asarray(np.stack(stacks))
+    w_out, w_e = dmrg_half_sweep_batched(x_stacks, jnp.asarray(A_stack), 8,
+                                         lobpcg_iters=16)
+    g_out, g_e = sharded_dmrg_half_sweep_batched(x_stacks, A_stack, 8, mesh,
+                                                 lobpcg_iters=16)
+    assert np.allclose(np.asarray(w_e), np.asarray(g_e), atol=1e-10)

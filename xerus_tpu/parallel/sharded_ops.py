@@ -121,6 +121,45 @@ def sharded_tt_inner(a_cores, b_cores, mesh: Mesh):
 
 
 # ---------------------------------------------------------------------------
+# dp-sharded throughput-mode sweeps: the batched ALS/DMRG half-sweeps
+# (ops/tt_kernels.py, ops/dmrg_kernels.py) with the INSTANCE axis sharded
+# over the mesh — embarrassingly parallel (each instance's sweep is
+# independent), so GSPMD partitions the vmapped program with zero
+# collectives; p devices run p instances concurrently.
+# ---------------------------------------------------------------------------
+
+def sharded_als_half_sweep_batched(x_batch, A_cores, b_batch, mesh: Mesh,
+                                   direction: str = "lr"):
+    """Batched SPD ALS half-sweep with the batch axis sharded over `dp`."""
+    from ..ops.tt_kernels import make_als_sweep_batched
+    bs = NamedSharding(mesh, P("dp"))
+    rep = replicated(mesh)
+    x_dev = tuple(jax.device_put(jnp.asarray(c), bs) for c in x_batch)
+    b_dev = tuple(jax.device_put(jnp.asarray(c), bs) for c in b_batch)
+    A_dev = tuple(jax.device_put(jnp.asarray(c), rep) for c in A_cores)
+    shapes_key = (tuple(tuple(c.shape) for c in x_dev),
+                  tuple(tuple(c.shape) for c in A_dev),
+                  tuple(tuple(c.shape) for c in b_dev))
+    fn = make_als_sweep_batched(shapes_key, str(x_dev[0].dtype), direction)
+    return fn(x_dev, A_dev, b_dev)
+
+
+def sharded_dmrg_half_sweep_batched(x_stacks, A_stack, rank: int, mesh: Mesh,
+                                    solver: str = "lanczos",
+                                    lobpcg_iters: int = 32):
+    """Batched DMRG ground-state half-sweep, instance axis sharded over
+    `dp`.  Returns (new_stacks, energies)."""
+    from ..ops.dmrg_kernels import make_dmrg_sweep_batched
+    bs = NamedSharding(mesh, P("dp"))
+    rep = replicated(mesh)
+    x_dev = jax.device_put(jnp.asarray(x_stacks), bs)
+    A_dev = jax.device_put(jnp.asarray(A_stack), rep)
+    fn = make_dmrg_sweep_batched(tuple(x_dev.shape), int(rank),
+                                 str(x_dev.dtype), int(lobpcg_iters), solver)
+    return fn(x_dev, A_dev)
+
+
+# ---------------------------------------------------------------------------
 # Full multi-chip training step (used by __graft_entry__.dryrun_multichip)
 # ---------------------------------------------------------------------------
 
