@@ -275,7 +275,10 @@ def main() -> None:
 
     # headline: effective throughput completing the reference's rounding
     # task (deterministic-algorithm flops / our best task wall-clock)
-    best_time = min(tpu_time, rnd_time, stream_time)
+    # streaming is excluded from the headline: its truncation error is a
+    # single-digit multiple of optimal (weaker task completion than the
+    # 2-3x-optimal randomized sweep the CPU baseline is compared against)
+    best_time = min(tpu_time, rnd_time)
     eff_tflops = flops / best_time / 1e12
 
     result = {

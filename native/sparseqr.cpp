@@ -134,16 +134,62 @@ void* sqr_factor(int64_t m, int64_t n, int64_t nnz,
         }
     }
 
-    double max_diag = 0.0;
-    for (int64_t j = 0; j < n; ++j) {
-        const SpVec& rj = F->R[static_cast<size_t>(j)];
-        if (!rj.empty())
-            max_diag = std::max(max_diag, std::fabs(rj.front().val));
+    // Heath dead-column handling: a stored row whose leading (diagonal)
+    // entry is below the tolerance marks a dead COLUMN, but its tail may
+    // carry O(1) mass — dropping the whole row would lose it (error
+    // unbounded relative to the tolerance).  Instead, zero the tiny
+    // leading entry (error <= cut per drop, the documented truncation
+    // contract) and RE-ELIMINATE the row remainder with its companion
+    // vector; cascades until no dead pivot remains (each pass strictly
+    // empties one slot, so it terminates in <= n passes).
+    if (rel_tol > 0.0) {
+        for (;;) {
+            double max_diag = 0.0;
+            for (int64_t j = 0; j < n; ++j) {
+                const SpVec& rj = F->R[static_cast<size_t>(j)];
+                if (!rj.empty())
+                    max_diag = std::max(max_diag, std::fabs(rj.front().val));
+            }
+            double cut = rel_tol * max_diag;
+            int64_t dead = -1;
+            for (int64_t j = 0; j < n; ++j) {
+                const SpVec& rj = F->R[static_cast<size_t>(j)];
+                if (!rj.empty() && std::fabs(rj.front().val) < cut) {
+                    dead = j;
+                    break;
+                }
+            }
+            if (dead < 0) break;
+            SpVec row;
+            row.swap(F->R[static_cast<size_t>(dead)]);
+            SpVec vv;
+            vv.swap(F->V[static_cast<size_t>(dead)]);
+            row.erase(row.begin());          // drop the tiny pivot entry
+            while (!row.empty()) {
+                size_t j = static_cast<size_t>(row.front().idx);
+                if (F->R[j].empty()) {
+                    F->R[j].swap(row);
+                    F->V[j].swap(vv);
+                    break;
+                }
+                double r0 = F->R[j].front().val;
+                double a0 = row.front().val;
+                double den = std::hypot(r0, a0);
+                double c = r0 / den, s = a0 / den;
+                givens_merge(F->R[j], row, c, s, tmp_rot, tmp_counter);
+                givens_merge(F->V[j], vv, c, s, tmp_rot2, tmp_counter2);
+                F->R[j].swap(tmp_rot);
+                F->V[j].swap(tmp_rot2);
+                row.swap(tmp_counter);
+                vv.swap(tmp_counter2);
+                if (!row.empty() && static_cast<size_t>(row.front().idx) == j)
+                    row.erase(row.begin());
+            }
+        }
     }
-    double cut = rel_tol * max_diag;
     for (int64_t j = 0; j < n; ++j) {
         const SpVec& rj = F->R[static_cast<size_t>(j)];
-        if (rj.empty() || std::fabs(rj.front().val) < cut) continue;
+        if (rj.empty()) continue;
         F->kept.push_back(j);
         F->r_nnz += static_cast<int64_t>(rj.size());
         F->q_nnz += static_cast<int64_t>(F->V[static_cast<size_t>(j)].size());

@@ -106,3 +106,28 @@ def test_sparse_qr_consistency_with_dense():
     Pd = _mat(Qd, 1) @ _mat(Qd, 1).T
     assert Qs.dimensions[-1] == Qd.dimensions[-1]
     assert np.linalg.norm(Ps - Pd) < 1e-10
+
+
+def test_sparse_qc_tiny_pivot_tail_not_lost():
+    """Heath dead-pivot handling: a row whose leading diagonal is below
+    tolerance but whose tail carries O(1) mass must be re-eliminated, not
+    dropped (review finding: the naive rule lost unit mass)."""
+    s = Tensor([2, 2], xe.Representation.Sparse)
+    s._sparse[0] = 1e-20
+    s._sparse[1] = 1.0
+    s._sparse[3] = 1.0
+    A = _mat(s, 1)
+    Q, C = calculate_qc(s, 1)
+    err = np.linalg.norm(_mat(Q, 1) @ _mat(C, 1) - A)
+    assert err < 1e-12          # A is numerically rank 1; QC must keep it
+    assert Q.dimensions[-1] == 1
+
+    rng = np.random.default_rng(5)
+    t = Tensor([20, 8], xe.Representation.Sparse)
+    for i in range(20):
+        t._sparse[i * 8 + int(rng.integers(1, 8))] = float(rng.normal())
+    t._sparse[0] = 1e-18        # tiny pivot with O(1) tail in its row
+    t._sparse[5] = 2.5
+    B = _mat(t, 1)
+    Q, C = calculate_qc(t, 1)
+    assert np.linalg.norm(_mat(Q, 1) @ _mat(C, 1) - B) < 1e-12 * np.linalg.norm(B)

@@ -73,9 +73,13 @@ class PerformanceData:
         return time.perf_counter() - self.start_time
 
     def get_runtime(self) -> float:
-        """Total wall time since start() ignoring timer pauses
-        (performanceData.h get_runtime)."""
-        return self.get_elapsed_time()
+        """Wall time since start(); frozen while the timer is stopped
+        (performanceData.h:119-125)."""
+        if self.start_time is None:
+            return 0.0
+        if self._stop_time is not None:
+            return self._stop_time - self.start_time
+        return time.perf_counter() - self.start_time
 
     def reset(self) -> None:
         """Clear recorded points and timers (performanceData.h:90-96)."""

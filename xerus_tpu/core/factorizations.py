@@ -247,6 +247,26 @@ def _solve_matrix(a, b):
     return _lstsq(a, b)
 
 
+def _try_sparse_solve(A: Tensor, B: Tensor, deg_m: int, m: int, n: int,
+                      p: int) -> Optional[Tensor]:
+    """Sparse path shared by solve/solve_least_squares: the reference's
+    SuiteSparseQR solve (tensor.cpp:1608-1630 ->
+    cholmod_wrapper.cpp:173-225).  Returns None when inapplicable."""
+    if not (A.is_sparse() and p == 1):
+        return None
+    from .sparse_qr import sparse_solve_ls
+    pos, vals = A.sparse_coo()
+    bh = np.asarray(B.to_jax(apply_factor=False)).reshape(m)
+    xh = sparse_solve_ls(pos, vals, m, n, bh, float(config.epsilon))
+    if xh is None:
+        return None
+    out_dims = A.dimensions[deg_m:] + B.dimensions[deg_m:]
+    X = Tensor.from_ndarray(xh.reshape(out_dims) if out_dims
+                            else xh.reshape(()))
+    X.factor = B.factor / A.factor
+    return X
+
+
 def solve(A: Tensor, B: Tensor, extra_degree: int = 0) -> Tensor:
     """Solve A x = b (tensor.cpp:1654-1704).  ``extra_degree`` trailing modes
     of B are independent right-hand sides."""
@@ -256,19 +276,9 @@ def solve(A: Tensor, B: Tensor, extra_degree: int = 0) -> Tensor:
     m = _prod(A.dimensions[:deg_m])
     n = _prod(A.dimensions[deg_m:])
     p = _prod(B.dimensions[deg_m:])
-    if A.is_sparse() and p == 1:
-        # sparse path = the reference's SuiteSparseQR solve
-        # (tensor.cpp:1608-1630 -> cholmod_wrapper.cpp:173-225)
-        from .sparse_qr import sparse_solve_ls
-        pos, vals = A.sparse_coo()
-        bh = np.asarray(B.to_jax(apply_factor=False)).reshape(m)
-        xh = sparse_solve_ls(pos, vals, m, n, bh, float(config.epsilon))
-        if xh is not None:
-            out_dims = A.dimensions[deg_m:] + B.dimensions[deg_m:]
-            X = Tensor.from_ndarray(xh.reshape(out_dims) if out_dims
-                                    else xh.reshape(()))
-            X.factor = B.factor / A.factor
-            return X
+    X = _try_sparse_solve(A, B, deg_m, m, n, p)
+    if X is not None:
+        return X
     a = A.to_jax(apply_factor=False).reshape(m, n)
     b = B.to_jax(apply_factor=False).reshape(m, p)
     x = _solve_matrix(a, b)
@@ -286,17 +296,9 @@ def solve_least_squares(A: Tensor, B: Tensor, extra_degree: int = 0) -> Tensor:
     m = _prod(A.dimensions[:deg_m])
     n = _prod(A.dimensions[deg_m:])
     p = _prod(B.dimensions[deg_m:])
-    if A.is_sparse() and p == 1:
-        from .sparse_qr import sparse_solve_ls
-        pos, vals = A.sparse_coo()
-        bh = np.asarray(B.to_jax(apply_factor=False)).reshape(m)
-        xh = sparse_solve_ls(pos, vals, m, n, bh, float(config.epsilon))
-        if xh is not None:
-            out_dims = A.dimensions[deg_m:] + B.dimensions[deg_m:]
-            X = Tensor.from_ndarray(xh.reshape(out_dims) if out_dims
-                                    else xh.reshape(()))
-            X.factor = B.factor / A.factor
-            return X
+    X = _try_sparse_solve(A, B, deg_m, m, n, p)
+    if X is not None:
+        return X
     a = A.to_jax(apply_factor=False).reshape(m, n)
     b = B.to_jax(apply_factor=False).reshape(m, p)
     x = _lstsq(a, b)

@@ -33,11 +33,13 @@ def _load() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO_PATH):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    # always invoke make (timestamp-based, cheap): a stale .so from an
+    # older source or another machine must never be used silently
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(_SO_PATH):
             return None
     try:
         lib = ctypes.CDLL(_SO_PATH)

@@ -443,7 +443,11 @@ def _round_gram_parallel(stacked: jnp.ndarray, target_rank: int):
                                 jnp.zeros((1,), dtype)])
     # core k: P~_k contributes (lam_k - rho_k)/4, P_{k+1} (rho_{k+1}-lam_{k+1})/4
     g = (lam_full[:-1] - lam_full[1:] + rho_full[1:] - rho_full[:-1]) / 4.0
-    return out * jnp.exp(jnp.sum(g) / d)
+    # sum(g) telescopes to exactly 0, so the REPRESENTED tensor is already
+    # correct without any correction; applying exp(g_k) per core merely
+    # redistributes magnitude between cores (the f32-health balancing the
+    # scan normalizations exist for) while leaving the product unchanged
+    return out * jnp.exp(g)[:, None, None, None]
 
 
 @lru_cache(maxsize=32)

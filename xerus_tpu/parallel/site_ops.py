@@ -122,6 +122,11 @@ def tt_add_sharded(a_cores: Sequence, b_cores: Sequence, mesh: Mesh,
                    axis: str = "dp") -> List:
     """TT addition (block-diagonal rank-sum embedding) with the site axis
     sharded; bond ranks add."""
+    if len(a_cores) == 1:
+        # single site: first==last, and the block embedding degenerates to
+        # a plain core sum (the sharded body would overwrite a with b)
+        return [jnp.asarray(np.asarray(a_cores[0])
+                            + np.asarray(b_cores[0]))]
     a_stack, b_stack, ra, rb, d, d_pad, p, mk = _prepare(
         a_cores, b_cores, mesh, axis)
     m = d_pad // p

@@ -521,10 +521,19 @@ class TTNetwork:
         object contract matches `round(int)` up to the methods' documented
         quasi-optimality; use `round()` for the reference's exact
         eps-per-edge semantics (ttNetwork.cpp:644-685)."""
+        import jax
+        import numpy as _np
         from ..ops import (tt_round_sweep_uniform, tt_round_randomized_uniform,
                            tt_round_streaming_uniform)
+        from ..config import host
         require(max_rank > 0, "cannot round to rank 0")
-        cores = [c.to_jax() for c in self.components]
+        with host():   # object-level f64 prep stays off the TPU (CLAUDE.md)
+            cores = [_np.asarray(c.to_ndarray()) for c in self.components]
+        # f64 on this TPU silently returns inf/NaN at scale: downcast the
+        # kernel stacks on TPU backends (same policy as the DMRG driver)
+        if (jax.devices()[0].platform == "tpu"
+                and cores[0].dtype == _np.float64):
+            cores = [c.astype(_np.float32) for c in cores]
         if method == "randomized":
             out = tt_round_randomized_uniform(cores, int(max_rank))
         elif method == "streaming":
@@ -532,9 +541,11 @@ class TTNetwork:
         else:
             out = tt_round_sweep_uniform(cores, int(max_rank), method=method)
         from ..core.tensor import Tensor
-        self.components = [Tensor.from_jax(c) for c in out]
-        self.canonicalized = False
-        self.move_core(0)
+        with host():
+            self.components = [Tensor.from_ndarray(
+                _np.asarray(c, dtype=_np.float64)) for c in out]
+            self.canonicalized = False
+            self.move_core(0)
 
     def soft_threshold(self, tau, prevent_zero: bool = False) -> None:
         """(ttNetwork.cpp:688-716)"""
