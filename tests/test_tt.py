@@ -357,3 +357,36 @@ def test_round_fast_methods_match_reference_round():
         t.round_fast(4, method=method)
         e = np.linalg.norm(t.to_tensor().to_ndarray() - orig)
         assert e < factor * e_ref + 1e-12, (method, e, e_ref)
+
+
+def test_round_fast_eps_and_operator():
+    """eps-adaptive fast rounding (randomized stage + exact svd-eps pass)
+    and TTOperator support in round_fast."""
+    from xerus_tpu import TTOperator
+
+    a = TTTensor.random([3] * 6, 2)
+    a /= a.frob_norm()
+    b = TTTensor.random([3] * 6, 2)
+    b /= b.frob_norm()
+    c = a + 1e-8 * b            # rank 4, two directions carry ~1e-8 mass
+    t = c.copy()
+    t.round_fast(4, method="randomized", eps=1e-6)
+    t.require_correct_format()
+    assert np.allclose(t.to_tensor().to_ndarray(),
+                       a.to_tensor().to_ndarray(), atol=1e-6)
+    assert max(t.ranks()) == 2   # eps dropped the 1e-8 directions
+
+    # kernel-level entry point
+    from xerus_tpu.ops import tt_round_eps_fast
+    out = tt_round_eps_fast([x.to_jax() for x in c.components], 4, 1e-6)
+    got = TTTensor._make([xe.Tensor.from_jax(x) for x in out])
+    assert got.ranks() == [2] * 5
+
+    # TTOperator round_fast (physical legs folded)
+    A = TTOperator.random([2] * 8, 3)   # dims = 4 sites x (2 out, 2 in)
+    orig = A.to_tensor().to_ndarray()
+    B = A.copy()
+    B.round_fast(6, method="svd")       # representable: exact
+    B.require_correct_format()
+    assert np.allclose(B.to_tensor().to_ndarray(), orig,
+                       atol=1e-8 * np.linalg.norm(orig))

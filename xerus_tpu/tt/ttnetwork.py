@@ -509,7 +509,8 @@ class TTNetwork:
         if initial_canon:
             self.move_core(initial_core)
 
-    def round_fast(self, max_rank: int, method: str = "randomized") -> None:
+    def round_fast(self, max_rank: int, method: str = "randomized",
+                   eps: float = 0.0) -> None:
         """TPU fast-path rounding to a uniform ``max_rank`` through the
         whole-sweep jitted kernels (ops/tt_kernels.py) instead of the
         edge-by-edge object loop of `round()`.
@@ -517,10 +518,12 @@ class TTNetwork:
         method: 'randomized' (randomize-then-orthogonalize, quasi-optimal,
         fastest on v5e), 'streaming' (two-sided Nyström, no sequential
         factorization), 'svd' / 'gram' / 'cholqr' / 'gram_parallel'
-        (deterministic).  The result is re-canonicalized to core 0, so the
-        object contract matches `round(int)` up to the methods' documented
-        quasi-optimality; use `round()` for the reference's exact
-        eps-per-edge semantics (ttNetwork.cpp:644-685)."""
+        (deterministic).  ``eps`` > 0 additionally drops relative singular
+        values below eps via the exact svd scan applied to the (small)
+        rounded cores (ops.tt_round_eps_fast).  Works for TTTensor and
+        TTOperator (physical legs folded for the kernels).  The result is
+        re-canonicalized to core 0; use `round()` for the reference's
+        exact eps-per-edge semantics (ttNetwork.cpp:644-685)."""
         import jax
         import numpy as _np
         from ..ops import (tt_round_sweep_uniform, tt_round_randomized_uniform,
@@ -529,6 +532,13 @@ class TTNetwork:
         require(max_rank > 0, "cannot round to rank 0")
         with host():   # object-level f64 prep stays off the TPU (CLAUDE.md)
             cores = [_np.asarray(c.to_ndarray()) for c in self.components]
+        # TT operators (N=2) fold the two physical legs into one for the
+        # 3-leg kernels; dims4 remembers the split for the way back
+        dims4 = None
+        if self.N == 2:
+            dims4 = [c.shape for c in cores]
+            cores = [c.reshape(c.shape[0], c.shape[1] * c.shape[2],
+                               c.shape[3]) for c in cores]
         # f64 on this TPU silently returns inf/NaN at scale: downcast the
         # kernel stacks on TPU backends (same policy as the DMRG driver)
         if (jax.devices()[0].platform == "tpu"
@@ -539,11 +549,24 @@ class TTNetwork:
         elif method == "streaming":
             out = tt_round_streaming_uniform(cores, int(max_rank))
         else:
-            out = tt_round_sweep_uniform(cores, int(max_rank), method=method)
+            out = tt_round_sweep_uniform(cores, int(max_rank), method=method,
+                                         eps=float(eps) if method == "svd"
+                                         else 0.0)
+        if eps > 0.0 and method != "svd":
+            # only the svd scan implements the eps mask; for every other
+            # method run it on the (small) rounded cores
+            out = tt_round_sweep_uniform(out, int(max_rank), method="svd",
+                                         eps=float(eps))
         from ..core.tensor import Tensor
         with host():
-            self.components = [Tensor.from_ndarray(
-                _np.asarray(c, dtype=_np.float64)) for c in out]
+            res = []
+            for k, c in enumerate(out):
+                c = _np.asarray(c, dtype=_np.float64)
+                if dims4 is not None:
+                    s = dims4[k]
+                    c = c.reshape(c.shape[0], s[1], s[2], c.shape[2])
+                res.append(Tensor.from_ndarray(c))
+            self.components = res
             self.canonicalized = False
             self.move_core(0)
 
