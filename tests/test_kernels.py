@@ -307,3 +307,45 @@ def test_randomized_round_cholqr1_matches_householder_quality():
     cs32 = [jnp.asarray(np.asarray(c), jnp.float32) for c in cs]
     r32 = tt_round_randomized_uniform(cs32, 4, qr_method="cholqr1")
     assert all(bool(jnp.all(jnp.isfinite(c))) for c in r32)
+
+
+def test_apply_operator_rounded_fused():
+    """Fused MPO apply + randomized rounding (ops/apply_kernels.py): the
+    (a*r)-rank product is never materialized; exact on representable
+    targets, quasi-optimal under truncation, f32-safe."""
+    from xerus_tpu.ops.apply_kernels import apply_operator_rounded
+    from xerus_tpu.examples import laplace_operator, heisenberg_mpo
+
+    d = 8
+    L = laplace_operator([2] * d)
+    x = TTTensor.random([2] * d, 3)
+    exact = xe.apply_operator(L, x)
+    want = exact.to_tensor().to_ndarray()
+
+    got = apply_operator_rounded(L, x, 8)
+    got.require_correct_format()
+    assert np.linalg.norm(got.to_tensor().to_ndarray() - want) \
+        < 1e-9 * np.linalg.norm(want)
+
+    ref = exact.copy()
+    ref.round(4)
+    e_ref = np.linalg.norm(ref.to_tensor().to_ndarray() - want)
+    g4 = apply_operator_rounded(L, x, 4)
+    e_g = np.linalg.norm(g4.to_tensor().to_ndarray() - want)
+    assert e_g < 4 * e_ref + 1e-12
+
+    H = heisenberg_mpo(d)
+    y = apply_operator_rounded(H, x, 12)
+    yw = xe.apply_operator(H, x).to_tensor().to_ndarray()
+    assert np.linalg.norm(y.to_tensor().to_ndarray() - yw) \
+        < 1e-9 * np.linalg.norm(yw)
+
+    # f32 kernel path stays finite and accurate at its precision
+    from xerus_tpu.ops.apply_kernels import apply_operator_rounded_cores
+    A32 = [np.asarray(c.to_ndarray(), np.float32) for c in L.components]
+    x32 = [np.asarray(c.to_ndarray(), np.float32) for c in x.components]
+    out = apply_operator_rounded_cores(A32, x32, 8)
+    t32 = TTTensor._make([xe.Tensor.from_ndarray(np.asarray(c, np.float64))
+                          for c in out])
+    err = np.linalg.norm(t32.to_tensor().to_ndarray() - want)
+    assert err < 1e-4 * np.linalg.norm(want)

@@ -5,6 +5,8 @@ from .tt_kernels import (tt_round_sweep, make_round_sweep, round_flops,
                          randomized_round_flops,
                          make_als_sweep, als_sweep_flops,
                          als_half_sweep_batched, make_timed_loop)
+from .apply_kernels import (apply_operator_rounded,
+                            apply_operator_rounded_cores)
 from .sparse_kernels import sparse_times_dense, dense_times_sparse
 from .pallas_tt_eval import tt_eval_at_points_pallas, pad_cores
 from . import df32

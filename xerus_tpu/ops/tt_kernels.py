@@ -659,10 +659,14 @@ def _round_randomized_scan(stacked: jnp.ndarray, target_rank: int,
         if qr_method == "cholqr":
             q = _cholqr2(Y, tiny)
         elif qr_method == "cholqr1":
-            # single shifted pass: sketch panels are well-conditioned
-            # w.h.p., so one Gram+chol+trsm reaches u*kappa^2 ~ u
-            # orthogonality; measured on v5e it undercuts the Householder
-            # panel chain (the randomized sweep's wall-clock bottleneck)
+            # single shifted pass: RANDOM-TT sketch panels are
+            # well-conditioned w.h.p., so one Gram+chol+trsm reaches
+            # u*kappa^2 ~ u orthogonality; measured on v5e it undercuts
+            # the Householder panel chain (the sweep's wall-clock
+            # bottleneck).  CAVEAT: unsafe for structured inputs whose
+            # panels carry large kappa (measured: fused Laplace-MPO apply
+            # panels lose to 0.26 rel err at f32) — default to
+            # 'householder' unless the input class is known benign.
             from jax.scipy.linalg import solve_triangular
             Gm = Y.T @ Y
             shift = (jnp.asarray(10 * Y.shape[0] * jnp.finfo(dtype).eps,
