@@ -140,3 +140,24 @@ def test_north_star_d32_poisson_rank30():
     x = TTTensor.random(dims, 30)
     resid = xe.ALS_SPD(A, x, b, 1e-14)
     assert resid < 1e-10
+
+
+def test_dmrg_solve_kernel_rank_growth():
+    """Whole-sweep jitted two-site DMRG linear solver (the reference's
+    DMRG_SPD variant, als.h:219): matrix-free CG local solves, masked SVD
+    splits; ranks GROW to the cap and the Poisson system solves to
+    machine precision."""
+    from xerus_tpu.ops.dmrg_kernels import dmrg_solve
+    from xerus_tpu.examples import laplace_operator
+
+    d = 10
+    L = laplace_operator([2] * d)
+    truth = TTTensor.random([2] * d, 4)
+    b = xe.apply_operator(L, truth)
+    b.round(8)
+    x = TTTensor.random([2] * d, 2)
+    res = dmrg_solve(L, x, b, max_rank=8, num_half_sweeps=12)
+    assert res < 1e-10
+    assert max(x.ranks()) == 8          # grew from 2 (two-site advantage)
+    err = (x - truth).frob_norm() / truth.frob_norm()
+    assert float(err) < 1e-10

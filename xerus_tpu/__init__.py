@@ -62,6 +62,7 @@ def one_norm(x) -> float:
 
 
 from .warmup import warmup
+from .ops.dmrg_kernels import dmrg_solve
 
 __version__ = "0.1.0"
 from . import models

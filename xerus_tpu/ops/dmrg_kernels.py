@@ -323,6 +323,188 @@ def make_dmrg_sweep_lobpcg(shape_key, rank: int, dtype_str: str,
                    dtype_str)
 
 
+def _cg_solve_local(L, A1, A2, R, rhs, v0, iters: int):
+    """Matrix-free CG on the SPD two-site local system (warm-started from
+    the current block).  Fixed iteration count (compiled); breakdown
+    guards keep degenerate directions inert in f32."""
+    dtype = v0.dtype
+    tiny = jnp.asarray(1e-30, dtype)
+    x = v0
+    r = rhs - _local_apply(L, A1, A2, R, x)
+    p = r
+    rs = jnp.sum(r * r)
+
+    def body(carry, _):
+        x, r, p, rs = carry
+        Ap = _local_apply(L, A1, A2, R, p)
+        denom = jnp.sum(p * Ap)
+        alpha = jnp.where(denom > tiny, rs / jnp.maximum(denom, tiny), 0.0)
+        x2 = x + alpha * p
+        r2 = r - alpha * Ap
+        rs2 = jnp.sum(r2 * r2)
+        beta = jnp.where(rs > tiny, rs2 / jnp.maximum(rs, tiny), 0.0)
+        p2 = r2 + beta * p
+        return (x2, r2, p2, rs2), None
+
+    (x, r, _, _), _ = jax.lax.scan(body, (x, r, p, rs), None, length=iters)
+    return x
+
+
+def _dmrg_solve_half_sweep_scan(x_stack, A_stack, b_stack, rank: int,
+                                cg_iters: int = 32):
+    """Two-site DMRG HALF-SWEEP for the SPD linear system A x = b — the
+    jitted fast path of the reference's ALSVariant with sites=2
+    (als.h:210-223 DMRG_SPD; the single-site fast path lives in
+    ops/tt_kernels.py).  Same padding / masked-SVD-split contract as the
+    ground-state kernel; local solves are matrix-free CG warm-started
+    from the current block.  Returns (new x_stack, local residual-norm^2
+    of the last site solve)."""
+    d, r, n, _ = x_stack.shape
+    a = A_stack.shape[1]
+    rb = b_stack.shape[1]
+    dtype = x_stack.dtype
+
+    def env_r_body(carry, inp):
+        opE, rhsE = carry
+        xc, Ac, bc = inp
+        opE2 = jnp.einsum("umU,amnb,vnV,UbV->uav", xc, Ac, xc, opE)
+        rhsE2 = jnp.einsum("umU,bmB,UB->ub", xc, bc, rhsE)
+        return (opE2, rhsE2), (opE2, rhsE2)
+
+    op0 = jnp.zeros((r, a, r), dtype=dtype).at[0, 0, 0].set(1.0)
+    rhs0 = jnp.zeros((r, rb), dtype=dtype).at[0, 0].set(1.0)
+    _, (op_envs_rev, rhs_envs_rev) = jax.lax.scan(
+        env_r_body, (op0, rhs0),
+        (x_stack[1:][::-1], A_stack[1:][::-1], b_stack[1:][::-1]))
+    op_envs = op_envs_rev[::-1]
+    rhs_envs = rhs_envs_rev[::-1]
+    Rops = jnp.concatenate([op_envs[1:], op0[None]], axis=0)
+    Rrhs = jnp.concatenate([rhs_envs[1:], rhs0[None]], axis=0)
+
+    def sweep_body(carry, inp):
+        op_left, rhs_left, x1 = carry
+        A1, A2, Rop, b1, b2, Rr, x2 = inp
+        v0 = jnp.einsum("umb,bMU->umMU", x1, x2)
+        rhs = jnp.einsum("up,pmq,qMs,Us->umMU", rhs_left, b1, b2, Rr)
+        y = _cg_solve_local(op_left, A1, A2, Rop, rhs, v0, cg_iters)
+        res = rhs - _local_apply(op_left, A1, A2, Rop, y)
+        uu, ss, vt = jnp.linalg.svd(y.reshape(r * n, n * r),
+                                    full_matrices=False)
+        k = min(rank, uu.shape[1])
+        m2 = (jnp.arange(uu.shape[1], dtype=jnp.int32) < k).astype(dtype)
+        uu = uu * m2[None, :]
+        sv = (ss * m2)[:, None] * vt
+        uu = uu[:, :r] if uu.shape[1] >= r else jnp.pad(
+            uu, ((0, 0), (0, r - uu.shape[1])))
+        sv = sv[:r, :] if sv.shape[0] >= r else jnp.pad(
+            sv, ((0, r - sv.shape[0]), (0, 0)))
+        U = uu.reshape(r, n, r)
+        nxt = sv.reshape(r, n, r)
+        op_left2 = jnp.einsum("uav,umU,amnb,vnV->UbV", op_left, U, A1, U)
+        rhs_left2 = jnp.einsum("up,umU,pmq->Uq", rhs_left, U, b1)
+        return (op_left2, rhs_left2, nxt), (U, jnp.sum(res * res))
+
+    left_op0 = jnp.zeros((r, a, r), dtype=dtype).at[0, 0, 0].set(1.0)
+    left_rhs0 = jnp.zeros((r, rb), dtype=dtype).at[0, 0].set(1.0)
+    (_, _, last), (Us, res2) = jax.lax.scan(
+        sweep_body, (left_op0, left_rhs0, x_stack[0]),
+        (A_stack[:-1], A_stack[1:], Rops, b_stack[:-1], b_stack[1:], Rrhs,
+         x_stack[1:]))
+    out = jnp.concatenate([Us, last[None]], axis=0)
+    return out, res2[-1]
+
+
+@lru_cache(maxsize=32)
+def make_dmrg_solve_sweep(shape_key, rank: int, dtype_str: str,
+                          cg_iters: int):
+    from .tt_kernels import jit_f32
+    return jit_f32(partial(_dmrg_solve_half_sweep_scan, rank=rank,
+                           cg_iters=cg_iters), dtype_str)
+
+
+def dmrg_solve(A, x, b, max_rank: int = 0, num_half_sweeps: int = 8,
+               conv_eps: float = 1e-10, cg_iters: int = 32) -> float:
+    """Object-level two-site SPD solver driver (the reference's DMRG_SPD,
+    als.h:219): pads to uniform stacks, alternates direction by stack
+    reversal, truncates at ``max_rank`` (0 = keep the padded max — ranks
+    may GROW up to it, the two-site advantage over ALS).  Returns the
+    final relative residual (computed at object level)."""
+    from ..core.tensor import Tensor
+    from .pallas_tt_eval import pad_cores
+    from .tt_kernels import res_rank
+    with _cpu_scope():
+        x.move_core(0)
+        x_stack, r = pad_cores(
+            [np.asarray(c.to_ndarray()) for c in x.components])
+        A_np = [np.asarray(c.to_ndarray()) for c in A.components]
+        b_np = [np.asarray(c.to_ndarray()) for c in b.components]
+    rank = int(max_rank) or int(r)
+    if rank > r:
+        # allow rank growth beyond x's current ranks: re-pad the stack
+        pad = rank - int(r)
+        x_stack = np.pad(np.asarray(x_stack),
+                         ((0, 0), (0, pad), (0, 0), (0, pad)))
+        r = rank
+    if (jax.devices()[0].platform == "tpu"
+            and np.asarray(x_stack).dtype == np.float64):
+        x_stack = np.asarray(x_stack).astype(np.float32)
+        A_np = [c.astype(np.float32) for c in A_np]
+        b_np = [c.astype(np.float32) for c in b_np]
+    x_stack = jnp.asarray(x_stack)
+    d = len(A_np)
+    n = A_np[0].shape[1]
+    a = max(max(c.shape[0], c.shape[3]) for c in A_np)
+    rb = max(max(c.shape[0], c.shape[2]) for c in b_np)
+    A_stack = np.zeros((d, a, n, n, a), dtype=np.asarray(x_stack).dtype)
+    b_stack = np.zeros((d, rb, n, rb), dtype=np.asarray(x_stack).dtype)
+    for k in range(d):
+        c = A_np[k]
+        A_stack[k, :c.shape[0], :, :, :c.shape[3]] = c
+        bc = b_np[k]
+        b_stack[k, :bc.shape[0], :, :bc.shape[2]] = bc
+    A_stack = jnp.asarray(A_stack)
+    b_stack = jnp.asarray(b_stack)
+
+    def rev_x(s):
+        return jnp.transpose(s[::-1], (0, 3, 2, 1))
+
+    def rev_A(s):
+        return jnp.transpose(s[::-1], (0, 4, 2, 3, 1))
+
+    fn = make_dmrg_solve_sweep(tuple(x_stack.shape), int(rank),
+                               str(x_stack.dtype), int(cg_iters))
+    prev = np.inf
+    reversed_state = False
+    for sweep in range(num_half_sweeps):
+        x_stack, res2 = fn(x_stack, A_stack, b_stack)
+        res2 = float(res2)
+        if abs(prev - res2) < conv_eps * max(res2, 1e-30):
+            prev = res2
+            break
+        prev = res2
+        x_stack = rev_x(x_stack)
+        A_stack = rev_A(A_stack)
+        b_stack = rev_x(b_stack)
+        reversed_state = not reversed_state
+    if reversed_state:
+        x_stack = rev_x(x_stack)
+    stack_np = np.asarray(x_stack)
+    with _cpu_scope():
+        comps = []
+        for i in range(d):
+            rl = 1 if i == 0 else res_rank(i, d, n, int(rank))
+            rr = 1 if i == d - 1 else res_rank(i + 1, d, n, int(rank))
+            comps.append(Tensor.from_ndarray(
+                np.asarray(stack_np[i][:rl, :, :rr], np.float64)))
+        x.components = comps
+        x.canonicalized = False
+        x.move_core(0)
+        from ..tt.ttnetwork import apply_operator
+        resid = (apply_operator(A, x) - b).frob_norm() / max(b.frob_norm(),
+                                                             1e-300)
+    return float(resid)
+
+
 @lru_cache(maxsize=32)
 def make_dmrg_sweep_batched(shape_key, rank: int, dtype_str: str,
                             lobpcg_iters: int, solver: str = "lanczos",
