@@ -161,3 +161,20 @@ def test_dmrg_solve_kernel_rank_growth():
     assert max(x.ranks()) == 8          # grew from 2 (two-site advantage)
     err = (x - truth).frob_norm() / truth.frob_norm()
     assert float(err) < 1e-10
+
+
+def test_asd_spd_fast_path_converges():
+    """Jitted ASD half-sweep (ops/tt_kernels.py _asd_half_sweep — the
+    als.cpp:73-92 gradient step with exact stepsize, matrix-free local
+    applies): the ASD_SPD preset now routes through the whole-sweep
+    kernel and converges on the Poisson system."""
+    d = 10
+    L = laplace_operator([2] * d)
+    truth = TTTensor.random([2] * d, 3)
+    b = xe.apply_operator(L, truth)
+    b.round(6)
+    x = TTTensor.random([2] * d, 6)
+    xe.ASD_SPD(L, x, b, 400)
+    x.require_correct_format()
+    resid = (xe.apply_operator(L, x) - b).frob_norm() / b.frob_norm()
+    assert float(resid) < 1e-6

@@ -90,8 +90,9 @@ class ALSVariant:
     def solve(self, A: Optional[TTOperator], x: TTTensor, b: TTTensor,
               num_half_sweeps: int, conv_eps: float,
               perf: PerformanceData = NoPerfData) -> float:
-        if (self.sites == 1 and self.local_solver == "lapack"
-                and A is not None):
+        if (self.sites == 1 and A is not None
+                and (self.local_solver == "lapack"
+                     or (self.local_solver == "asd" and self.assumeSPD))):
             return self._solve_fast(A, x, b, num_half_sweeps, conv_eps, perf)
         data = _ALSData(self, A, x, b)
         perf.start()
@@ -158,9 +159,22 @@ class ALSVariant:
         direction = "lr"
         spd = self.assumeSPD
         reversed_state = False
+        asd = self.local_solver == "asd"
         while True:
             shapes_key = tuple(tuple(c.shape) for c in cores)
-            if spd:
+            if asd:
+                # ASD (SPD): lr kernel only; odd half-sweeps run on the
+                # site-reversed system (ops/tt_kernels.py _asd_half_sweep)
+                if (direction == "rl") != reversed_state:
+                    cores = reverse_tt(cores)
+                    A_cores = reverse_op(A_cores)
+                    b_cores = reverse_tt(b_cores)
+                    reversed_state = not reversed_state
+                shapes_key = tuple(tuple(c.shape) for c in cores)
+                fn = make_als_sweep(shapes_key, str(cores[0].dtype), "lr",
+                                    spd=True, solver="asd")
+                cores = fn(cores, A_cores, b_cores)
+            elif spd:
                 fn = make_als_sweep(shapes_key, str(cores[0].dtype), direction)
                 cores = fn(cores, A_cores, b_cores)
             else:
@@ -193,10 +207,12 @@ class ALSVariant:
             cores = reverse_tt(cores)
         with host():
             x.components = to_host_tensors(cores)
-            if spd:
+            if spd and not asd:
                 x.assume_core_position(
                     x.num_components() - 1 if direction == "lr" else 0)
             else:
+                # reversal-style sweeps (non-SPD, ASD) end at site d-1 of
+                # the possibly-reversed system
                 x.assume_core_position(0 if reversed_state else
                                        x.num_components() - 1)
             if initial_canon and self.preserveCorePosition:

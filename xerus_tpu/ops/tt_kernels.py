@@ -1023,6 +1023,58 @@ def _als_half_sweep(x_cores, A_cores, b_cores):
     return tuple(x_cores)
 
 
+def _asd_half_sweep(x_cores, A_cores, b_cores):
+    """Single-site SPD ASD half-sweep (als.cpp:73-92 ASD_solver): one
+    exact-stepsize gradient step per site instead of the local solve —
+    x_k += alpha * (b_loc - A_loc x_k), alpha = <g,g>/<g,A_loc g>.  The
+    local operator is never materialized (matrix-free applies through
+    the environments)."""
+    d = len(x_cores)
+    dtype = x_cores[0].dtype
+    tiny = jnp.asarray(1e-30, dtype)
+    op_right = [None] * (d + 1)
+    rhs_right = [None] * (d + 1)
+    op_right[d] = jnp.ones((1, 1, 1), dtype=dtype)
+    rhs_right[d] = jnp.ones((1, 1), dtype=dtype)
+    for k in range(d - 1, 0, -1):
+        xc, Ac, bc = x_cores[k], A_cores[k], b_cores[k]
+        op_right[k] = jnp.einsum("umU,amnb,vnV,UbV->uav", xc, Ac, xc,
+                                 op_right[k + 1])
+        rhs_right[k] = jnp.einsum("umU,bmB,UB->ub", xc, bc, rhs_right[k + 1])
+
+    x_cores = list(x_cores)
+    op_left = jnp.ones((1, 1, 1), dtype=dtype)
+    rhs_left = jnp.ones((1, 1), dtype=dtype)
+    for k in range(d):
+        Ac, bc, xc = A_cores[k], b_cores[k], x_cores[k]
+        opR = op_right[k + 1]
+
+        def apply_loc(v, opL=op_left, Ak=Ac, opRk=opR):
+            t = jnp.einsum("uav,vnV->uanV", opL, v)
+            t = jnp.einsum("amnb,uanV->umbV", Ak, t)
+            return jnp.einsum("UbV,umbV->umU", opRk, t)
+
+        bloc = jnp.einsum("ub,bmB,UB->umU", rhs_left, bc, rhs_right[k + 1])
+        grad = bloc - apply_loc(xc)
+        Ag = apply_loc(grad)
+        denom = jnp.sum(grad * Ag)
+        alpha = jnp.where(denom > tiny,
+                          jnp.sum(grad * grad) / jnp.maximum(denom, tiny),
+                          0.0)
+        core = xc + alpha * grad
+        if k < d - 1:
+            rl, n, rr = core.shape
+            q, r = jnp.linalg.qr(core.reshape(rl * n, rr))
+            x_cores[k] = q.reshape(rl, n, q.shape[1])
+            x_cores[k + 1] = jnp.einsum("ab,bnc->anc", r, x_cores[k + 1])
+            op_left = jnp.einsum("uav,umU,amnb,vnV->UbV", op_left,
+                                 x_cores[k], Ac, x_cores[k])
+            rhs_left = jnp.einsum("ub,umU,bmB->UB", rhs_left, x_cores[k], bc)
+        else:
+            x_cores[k] = core
+    return tuple(x_cores)
+
+
 def _als_half_sweep_rl(x_cores, A_cores, b_cores):
     """Right-to-left SPD half-sweep; x assumed canonicalized at d-1.
     Returns updated cores with the core at 0 (mirror of _als_half_sweep)."""
@@ -1113,7 +1165,10 @@ def _als_half_sweep_nonspd(x_cores, A_cores, b_cores):
 
 @lru_cache(maxsize=64)
 def make_als_sweep(shapes_key: Tuple, dtype_str: str, direction: str = "lr",
-                   spd: bool = True):
+                   spd: bool = True, solver: str = "lapack"):
+    if solver == "asd":
+        # ASD: lr kernel only (the driver site-reverses for rl sweeps)
+        return jit_f32(_asd_half_sweep, dtype_str)
     if not spd:
         return jit_f32(_als_half_sweep_nonspd, dtype_str)
     return jit_f32(_als_half_sweep if direction == "lr"
