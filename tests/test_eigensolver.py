@@ -184,3 +184,19 @@ def test_dmrg_half_sweep_batched_matches_serial():
         assert abs(float(energies[i]) - float(want_e)) < 1e-10
         overlap = abs(float(np.dot(state(out[i]), state(want_stack))))
         assert overlap > 1.0 - 1e-9, (i, overlap)
+
+
+def test_multistart_eigensolver_matches_exact():
+    """num_starts > 1 races independent initializations in one batched
+    program per half-sweep (dmrg_groundstate_multistart); the winner
+    reaches the exact ground energy."""
+    d = 8
+    H = heisenberg_mpo(d)
+    Hm = H.to_tensor().to_ndarray().reshape(2 ** d, 2 ** d)
+    exact = np.linalg.eigvalsh(Hm)[0]
+    x = TTTensor.random([2] * d, 16)
+    e = smallest_eigenvalue(H, x, solver="lanczos", num_starts=4,
+                            max_rank=16)
+    assert abs(e - exact) < 1e-8
+    xv = x.to_tensor().to_ndarray().reshape(-1)
+    assert np.linalg.norm(Hm @ xv - e * xv) < 1e-8

@@ -143,7 +143,8 @@ def smallest_eigenvalue(A: TTOperator, x: TTTensor, sites: int = 2,
                         num_sweeps: int = 0, eps: float = 1e-10,
                         max_rank: int = 64,
                         perf_data: PerformanceData = NoPerfData,
-                        solver: str = "exact") -> float:
+                        solver: str = "exact",
+                        num_starts: int = 1) -> float:
     """solver="exact": adaptive-rank object-level sweeps with dense local
     eigh (the reference's approach).  solver="lanczos": the whole-sweep
     scan kernel with matrix-free Lanczos local solves
@@ -171,9 +172,18 @@ def smallest_eigenvalue(A: TTOperator, x: TTTensor, sites: int = 2,
                 x.components = bumped.components
                 x.canonicalized = bumped.canonicalized
                 x.corePosition = bumped.corePosition
-        energy = dmrg_groundstate_scan(
-            A, x, num_half_sweeps=2 * (num_sweeps or 8),
-            conv_eps=eps, solver="lanczos")
+        if num_starts > 1:
+            # race independent random initializations in ONE batched
+            # program per half-sweep; lowest energy wins
+            from ..ops.dmrg_kernels import dmrg_groundstate_multistart
+            energy = dmrg_groundstate_multistart(
+                A, x, num_starts=int(num_starts),
+                num_half_sweeps=2 * (num_sweeps or 8), conv_eps=eps,
+                solver="lanczos")
+        else:
+            energy = dmrg_groundstate_scan(
+                A, x, num_half_sweeps=2 * (num_sweeps or 8),
+                conv_eps=eps, solver="lanczos")
         if perf_data:
             perf_data.start()
             perf_data.add(energy, x, 1)

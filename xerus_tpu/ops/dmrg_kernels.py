@@ -537,6 +537,98 @@ def dmrg_half_sweep_batched(x_stacks, A_stack, rank: int,
     return fn(x_stacks, A_stack)
 
 
+def dmrg_groundstate_multistart(A, x, num_starts: int = 4,
+                                num_half_sweeps: int = 8,
+                                conv_eps: float = 1e-10,
+                                solver: str = "lanczos",
+                                lobpcg_iters: int = 32) -> float:
+    """Multi-start ground-state race: ``num_starts`` independent random
+    initializations (the first being x itself) run as ONE batched
+    program per half-sweep (make_dmrg_sweep_batched); the lowest-energy
+    instance wins and is written back into x.  Protects against local
+    minima of the fixed-rank sweep at the cost of a single batched
+    dispatch — the TPU-native answer to restart loops."""
+    from ..core.tensor import Tensor
+    from .pallas_tt_eval import pad_cores
+    from .tt_kernels import res_rank
+    with _cpu_scope():
+        x.move_core(0)
+        nrm = x.frob_norm()
+        if nrm > 0:
+            x /= nrm
+        stacks = [pad_cores([np.asarray(c.to_ndarray())
+                             for c in x.components])[0]]
+        r = stacks[0].shape[1]
+        dims = list(x.dimensions)
+        from ..tt.ttnetwork import TTTensor as _TT
+        for _ in range(num_starts - 1):
+            g = _TT.random(dims, int(r))
+            g.move_core(0)
+            g /= g.frob_norm()
+            s, _ = pad_cores([np.asarray(c.to_ndarray())
+                              for c in g.components])
+            stacks.append(s)
+        A_np = [np.asarray(c.to_ndarray()) for c in A.components]
+    x_stacks = np.stack(stacks)
+    if (jax.devices()[0].platform == "tpu"
+            and x_stacks.dtype == np.float64):
+        x_stacks = x_stacks.astype(np.float32)
+        A_np = [c.astype(np.float32) for c in A_np]
+    d = len(A_np)
+    n = A_np[0].shape[1]
+    a = max(max(c.shape[0], c.shape[3]) for c in A_np)
+    A_stack = np.zeros((d, a, n, n, a), dtype=x_stacks.dtype)
+    for k, c in enumerate(A_np):
+        A_stack[k, :c.shape[0], :, :, :c.shape[3]] = c
+    A_stack = jnp.asarray(A_stack)
+    x_stacks = jnp.asarray(x_stacks)
+
+    def rev_x(s):
+        return jnp.transpose(s[:, ::-1], (0, 1, 4, 3, 2))
+
+    def rev_A(s):
+        return jnp.transpose(s[::-1], (0, 4, 2, 3, 1))
+
+    fn = make_dmrg_sweep_batched(tuple(x_stacks.shape), int(r),
+                                 str(x_stacks.dtype), int(lobpcg_iters),
+                                 solver)
+    best_prev = np.inf
+    reversed_state = False
+    for sweep in range(num_half_sweeps):
+        x_stacks, energies = fn(x_stacks, A_stack)
+        # normalize each instance's core (last stack entry)
+        last = x_stacks[:, d - 1]
+        nl = jnp.sqrt(jnp.sum(last * last, axis=(1, 2, 3), keepdims=True))
+        x_stacks = x_stacks.at[:, d - 1].set(
+            last / jnp.maximum(nl, 1e-30))
+        best = float(jnp.min(energies))
+        if abs(best - best_prev) < conv_eps:
+            best_prev = best
+            break
+        best_prev = best
+        x_stacks = rev_x(x_stacks)
+        A_stack = rev_A(A_stack)
+        reversed_state = not reversed_state
+    if reversed_state:
+        x_stacks = rev_x(x_stacks)
+    winner = int(jnp.argmin(energies))
+    stack_np = np.asarray(x_stacks[winner])
+    with _cpu_scope():
+        comps = []
+        for i in range(d):
+            rl = 1 if i == 0 else res_rank(i, d, n, int(r))
+            rr = 1 if i == d - 1 else res_rank(i + 1, d, n, int(r))
+            comps.append(Tensor.from_ndarray(
+                np.asarray(stack_np[i][:rl, :, :rr], np.float64)))
+        x.components = comps
+        x.canonicalized = False
+        x.move_core(0)
+        nrm = x.frob_norm()
+        if nrm > 0:
+            x /= nrm
+    return best_prev
+
+
 def dmrg_groundstate_scan(A, x, num_half_sweeps: int = 8,
                           conv_eps: float = 1e-10, solver: str = "eigh",
                           lobpcg_iters: int = 24):
