@@ -260,3 +260,24 @@ def test_sharded_batched_sweeps_match_unsharded(mesh):
     g_out, g_e = sharded_dmrg_half_sweep_batched(x_stacks, A_stack, 8, mesh,
                                                  lobpcg_iters=16)
     assert np.allclose(np.asarray(w_e), np.asarray(g_e), atol=1e-10)
+
+
+def test_adf_mesh_matches_serial(mesh):
+    """ADF(mesh=...) dp-shards every iteration's measurement axis; the
+    result matches the unsharded solver bit-for-bit-ish (same program,
+    GSPMD-partitioned)."""
+    xe.set_seed(3)
+    truth = TTTensor.random([4] * 5, 2)
+    arr = truth.to_tensor().to_ndarray()
+    rng = np.random.default_rng(0)
+    meas = xe.SinglePointMeasurementSet()
+    for p in rng.integers(0, 4, size=(400, 5)):
+        meas.add([int(v) for v in p], float(arr[tuple(p)]))
+    x1 = TTTensor.random([4] * 5, 2)
+    x2 = x1.copy()
+    adf = xe.ADFVariant(40, 1e-10, 0.999)
+    adf(x1, meas)
+    adf(x2, meas, mesh=mesh)
+    a1 = x1.to_tensor().to_ndarray()
+    a2 = x2.to_tensor().to_ndarray()
+    assert np.linalg.norm(a1 - a2) < 1e-9 * np.linalg.norm(a1)

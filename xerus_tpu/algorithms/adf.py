@@ -39,11 +39,16 @@ class ADFVariant:
 
     def __call__(self, x: TTTensor, measurements,
                  max_ranks: Optional[Sequence[int]] = None,
-                 perf_data: PerformanceData = NoPerfData) -> float:
+                 perf_data: PerformanceData = NoPerfData,
+                 mesh=None) -> float:
+        """``mesh`` dp-shards the measurement axis of every iteration over
+        the device mesh (SURVEY.md section 2.6a; same contract as
+        uq_adf(mesh=...)); point measurements only."""
         solver = _InternalSolver(self, x,
                                  list(max_ranks) if max_ranks is not None
                                  else list(x.ranks()),
                                  measurements, perf_data)
+        solver.mesh = mesh
         return solver.solve()
 
 
@@ -165,8 +170,14 @@ class _InternalSolver:
         while self.v.maxIterations == 0 or self.iteration < self.v.maxIterations:
             self.iteration += 1
             shapes_key = tuple(tuple(c.shape) for c in cores)
-            fn = make_adf_iteration(shapes_key, str(cores[0].dtype),
-                                    self.rank_one)
+            mesh = getattr(self, "mesh", None)
+            if mesh is not None and not self.rank_one:
+                from ..ops.adf_kernels import make_adf_iteration_sharded
+                fn = make_adf_iteration_sharded(mesh, shapes_key,
+                                                str(cores[0].dtype))
+            else:
+                fn = make_adf_iteration(shapes_key, str(cores[0].dtype),
+                                        self.rank_one)
             new_cores, resid0 = fn(cores, onehots, jnp.asarray(self.values))
             self.last_residual = self.residual_norm
             self.residual_norm = float(resid0) / self.norm_values
