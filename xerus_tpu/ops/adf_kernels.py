@@ -111,10 +111,17 @@ def make_adf_iteration(shapes_key, dtype_str: str, rank_one: bool = False):
                    dtype_str)
 
 
+@lru_cache(maxsize=32)
 def make_adf_iteration_sharded(mesh, shapes_key, dtype_str: str):
     """dp-sharded variant: one-hot matrices and values shard over the
     measurement axis; cores and the output stay replicated (GSPMD inserts
-    the psum for the segment-summed gradients).  SURVEY.md §2.6a."""
+    the psum for the segment-summed gradients).  SURVEY.md §2.6a.
+
+    lru_cached on (mesh, shapes, dtype) — a fresh jit per iteration would
+    re-compile every ADF step (20-60s each through the TPU tunnel).
+    Follows the jit_f32 discipline for f32 stacks (CLAUDE.md): traces
+    under x64-off (x64 iota/scatter SIGABRTs this TPU compiler) with
+    HIGHEST matmul precision (default bf16 passes stall convergence)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     rep = NamedSharding(mesh, P())
     ms = NamedSharding(mesh, P("dp"))
@@ -125,7 +132,15 @@ def make_adf_iteration_sharded(mesh, shapes_key, dtype_str: str):
         values = jax.lax.with_sharding_constraint(values, ms)
         return _adf_iteration(cores, onehots, values)
 
-    return jax.jit(fn, out_shardings=((rep,) * len(shapes_key), rep))
+    jfn = jax.jit(fn, out_shardings=((rep,) * len(shapes_key), rep))
+    if dtype_str != "float32":
+        return jfn
+
+    def wrapped(*args, **kwargs):
+        with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+            return jfn(*args, **kwargs)
+
+    return wrapped
 
 
 def build_onehots(positions: np.ndarray, dims: Sequence[int], dtype):

@@ -323,6 +323,39 @@ def make_dmrg_sweep_lobpcg(shape_key, rank: int, dtype_str: str,
                    dtype_str)
 
 
+def _pad_operator_stack(A_np, dtype):
+    """Zero-pad MPO cores to a uniform (d, a, n, n, a) stack (shared by the
+    eigen / linear-solve / multistart drivers)."""
+    d = len(A_np)
+    n = A_np[0].shape[1]
+    a = max(max(c.shape[0], c.shape[3]) for c in A_np)
+    A_stack = np.zeros((d, a, n, n, a), dtype=dtype)
+    for k, c in enumerate(A_np):
+        A_stack[k, :c.shape[0], :, :, :c.shape[3]] = c
+    return jnp.asarray(A_stack)
+
+
+def _rev_x_stack(s):
+    """Site-reverse a (d, r, n, r) stack (or (B, d, r, n, r) batched)."""
+    if s.ndim == 5:
+        return jnp.transpose(s[:, ::-1], (0, 1, 4, 3, 2))
+    return jnp.transpose(s[::-1], (0, 3, 2, 1))
+
+
+def _rev_A_stack(s):
+    return jnp.transpose(s[::-1], (0, 4, 2, 3, 1))
+
+
+def _unpad_to_components(stack_np, d, n, rank, Tensor, res_rank):
+    comps = []
+    for i in range(d):
+        rl = 1 if i == 0 else res_rank(i, d, n, int(rank))
+        rr = 1 if i == d - 1 else res_rank(i + 1, d, n, int(rank))
+        comps.append(Tensor.from_ndarray(
+            np.asarray(stack_np[i][:rl, :, :rr], np.float64)))
+    return comps
+
+
 def _cg_solve_local(L, A1, A2, R, rhs, v0, iters: int):
     """Matrix-free CG on the SPD two-site local system (warm-started from
     the current block).  Fixed iteration count (compiled); breakdown
@@ -453,23 +486,13 @@ def dmrg_solve(A, x, b, max_rank: int = 0, num_half_sweeps: int = 8,
     x_stack = jnp.asarray(x_stack)
     d = len(A_np)
     n = A_np[0].shape[1]
-    a = max(max(c.shape[0], c.shape[3]) for c in A_np)
     rb = max(max(c.shape[0], c.shape[2]) for c in b_np)
-    A_stack = np.zeros((d, a, n, n, a), dtype=np.asarray(x_stack).dtype)
-    b_stack = np.zeros((d, rb, n, rb), dtype=np.asarray(x_stack).dtype)
-    for k in range(d):
-        c = A_np[k]
-        A_stack[k, :c.shape[0], :, :, :c.shape[3]] = c
-        bc = b_np[k]
+    dt = np.asarray(x_stack).dtype
+    A_stack = _pad_operator_stack(A_np, dt)
+    b_stack = np.zeros((d, rb, n, rb), dtype=dt)
+    for k, bc in enumerate(b_np):
         b_stack[k, :bc.shape[0], :, :bc.shape[2]] = bc
-    A_stack = jnp.asarray(A_stack)
     b_stack = jnp.asarray(b_stack)
-
-    def rev_x(s):
-        return jnp.transpose(s[::-1], (0, 3, 2, 1))
-
-    def rev_A(s):
-        return jnp.transpose(s[::-1], (0, 4, 2, 3, 1))
 
     fn = make_dmrg_solve_sweep(tuple(x_stack.shape), int(rank),
                                str(x_stack.dtype), int(cg_iters))
@@ -482,21 +505,16 @@ def dmrg_solve(A, x, b, max_rank: int = 0, num_half_sweeps: int = 8,
             prev = res2
             break
         prev = res2
-        x_stack = rev_x(x_stack)
-        A_stack = rev_A(A_stack)
-        b_stack = rev_x(b_stack)
+        x_stack = _rev_x_stack(x_stack)
+        A_stack = _rev_A_stack(A_stack)
+        b_stack = _rev_x_stack(b_stack)
         reversed_state = not reversed_state
     if reversed_state:
-        x_stack = rev_x(x_stack)
+        x_stack = _rev_x_stack(x_stack)
     stack_np = np.asarray(x_stack)
     with _cpu_scope():
-        comps = []
-        for i in range(d):
-            rl = 1 if i == 0 else res_rank(i, d, n, int(rank))
-            rr = 1 if i == d - 1 else res_rank(i + 1, d, n, int(rank))
-            comps.append(Tensor.from_ndarray(
-                np.asarray(stack_np[i][:rl, :, :rr], np.float64)))
-        x.components = comps
+        x.components = _unpad_to_components(stack_np, d, n, rank, Tensor,
+                                            res_rank)
         x.canonicalized = False
         x.move_core(0)
         from ..tt.ttnetwork import apply_operator
@@ -576,24 +594,15 @@ def dmrg_groundstate_multistart(A, x, num_starts: int = 4,
         A_np = [c.astype(np.float32) for c in A_np]
     d = len(A_np)
     n = A_np[0].shape[1]
-    a = max(max(c.shape[0], c.shape[3]) for c in A_np)
-    A_stack = np.zeros((d, a, n, n, a), dtype=x_stacks.dtype)
-    for k, c in enumerate(A_np):
-        A_stack[k, :c.shape[0], :, :, :c.shape[3]] = c
-    A_stack = jnp.asarray(A_stack)
+    A_stack = _pad_operator_stack(A_np, x_stacks.dtype)
     x_stacks = jnp.asarray(x_stacks)
-
-    def rev_x(s):
-        return jnp.transpose(s[:, ::-1], (0, 1, 4, 3, 2))
-
-    def rev_A(s):
-        return jnp.transpose(s[::-1], (0, 4, 2, 3, 1))
 
     fn = make_dmrg_sweep_batched(tuple(x_stacks.shape), int(r),
                                  str(x_stacks.dtype), int(lobpcg_iters),
                                  solver)
     best_prev = np.inf
     reversed_state = False
+    energies = jnp.full((num_starts,), np.inf, dtype=x_stacks.dtype)
     for sweep in range(num_half_sweeps):
         x_stacks, energies = fn(x_stacks, A_stack)
         # normalize each instance's core (last stack entry)
@@ -606,21 +615,16 @@ def dmrg_groundstate_multistart(A, x, num_starts: int = 4,
             best_prev = best
             break
         best_prev = best
-        x_stacks = rev_x(x_stacks)
-        A_stack = rev_A(A_stack)
+        x_stacks = _rev_x_stack(x_stacks)
+        A_stack = _rev_A_stack(A_stack)
         reversed_state = not reversed_state
     if reversed_state:
-        x_stacks = rev_x(x_stacks)
+        x_stacks = _rev_x_stack(x_stacks)
     winner = int(jnp.argmin(energies))
     stack_np = np.asarray(x_stacks[winner])
     with _cpu_scope():
-        comps = []
-        for i in range(d):
-            rl = 1 if i == 0 else res_rank(i, d, n, int(r))
-            rr = 1 if i == d - 1 else res_rank(i + 1, d, n, int(r))
-            comps.append(Tensor.from_ndarray(
-                np.asarray(stack_np[i][:rl, :, :rr], np.float64)))
-        x.components = comps
+        x.components = _unpad_to_components(stack_np, d, n, int(r), Tensor,
+                                            res_rank)
         x.canonicalized = False
         x.move_core(0)
         nrm = x.frob_norm()
@@ -652,18 +656,9 @@ def dmrg_groundstate_scan(A, x, num_half_sweeps: int = 8,
         x_stack = x_stack.astype(np.float32)
         A_np = [c.astype(np.float32) for c in A_np]
     d = len(A_np)
-    a = max(max(c.shape[0], c.shape[3]) for c in A_np)
     n = A_np[0].shape[1]
-    A_stack = np.zeros((d, a, n, n, a), dtype=x_stack.dtype)
-    for k, c in enumerate(A_np):
-        A_stack[k, :c.shape[0], :, :, :c.shape[3]] = c
-    A_stack = jnp.asarray(A_stack)
-
-    def rev_x(s):
-        return jnp.transpose(s[::-1], (0, 3, 2, 1))
-
-    def rev_A(s):
-        return jnp.transpose(s[::-1], (0, 4, 2, 3, 1))
+    A_stack = _pad_operator_stack(A_np, x_stack.dtype)
+    rev_x, rev_A = _rev_x_stack, _rev_A_stack
 
     energy = np.inf
     reversed_state = False
@@ -697,12 +692,8 @@ def dmrg_groundstate_scan(A, x, num_half_sweeps: int = 8,
     from .tt_kernels import res_rank
     stack_np = np.asarray(x_stack)
     with _cpu_scope():
-        comps = []
-        for i in range(d):
-            rl = 1 if i == 0 else res_rank(i, d, n, int(r))
-            rr = 1 if i == d - 1 else res_rank(i + 1, d, n, int(r))
-            comps.append(Tensor.from_ndarray(stack_np[i][:rl, :, :rr]))
-        x.components = comps
+        x.components = _unpad_to_components(stack_np, d, n, int(r), Tensor,
+                                            res_rank)
         x.canonicalized = False
         x.move_core(0)
         nrm = x.frob_norm()

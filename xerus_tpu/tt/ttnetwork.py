@@ -544,19 +544,27 @@ class TTNetwork:
         if (jax.devices()[0].platform == "tpu"
                 and cores[0].dtype == _np.float64):
             cores = [c.astype(_np.float32) for c in cores]
+        from ..ops.tt_kernels import tt_round_eps_fast
         if method == "randomized":
-            out = tt_round_randomized_uniform(cores, int(max_rank))
+            if eps > 0.0:
+                # one source of truth for the randomized+eps composite
+                out = tt_round_eps_fast(cores, int(max_rank), float(eps))
+            else:
+                out = tt_round_randomized_uniform(cores, int(max_rank))
         elif method == "streaming":
             out = tt_round_streaming_uniform(cores, int(max_rank))
+            if eps > 0.0:
+                out = tt_round_sweep_uniform(out, int(max_rank),
+                                             method="svd", eps=float(eps))
         else:
             out = tt_round_sweep_uniform(cores, int(max_rank), method=method,
                                          eps=float(eps) if method == "svd"
                                          else 0.0)
-        if eps > 0.0 and method != "svd":
-            # only the svd scan implements the eps mask; for every other
-            # method run it on the (small) rounded cores
-            out = tt_round_sweep_uniform(out, int(max_rank), method="svd",
-                                         eps=float(eps))
+            if eps > 0.0 and method != "svd":
+                # only the svd scan implements the eps mask; run it on the
+                # (small) rounded cores for the other deterministic methods
+                out = tt_round_sweep_uniform(out, int(max_rank),
+                                             method="svd", eps=float(eps))
         from ..core.tensor import Tensor
         with host():
             res = []
