@@ -87,6 +87,14 @@ def warmup(dims: Sequence[int], rank: int,
     if "streaming" in kinds:
         from .ops.tt_kernels import tt_round_streaming_uniform
         run("round_streaming", tt_round_streaming_uniform, dev_cores, target)
+    if "apply_round" in kinds:
+        from .ops.apply_kernels import apply_operator_rounded_cores
+        a = int(op_rank) or 3
+        A_shapes = [(1 if i == 0 else a, dims[i], dims[i],
+                     1 if i == d - 1 else a) for i in range(d)]
+        A_list = [rng.normal(size=s).astype(dtype) * 0.1 for s in A_shapes]
+        run("apply_round", apply_operator_rounded_cores, A_list, cores,
+            target)
     if "als" in kinds:
         a = int(op_rank) or 3
         A_shapes = []
