@@ -196,3 +196,33 @@ def test_solve_inside_product_materializes():
     out() << (b(j) / M(j, i)) * w(i)
     x = np.linalg.solve(M.to_ndarray(), b.to_ndarray())
     assert np.isclose(float(out[0]), float(x @ w.to_ndarray()))
+
+
+def test_matmul_tensor_contraction_and_tt_ranks():
+    """Strassen-style stress test (intent of the reference's disabled
+    strassen.cxx TTRanks test): the order-6 matrix-multiplication tensor
+    T[i,j,j,k,i,k]=1 contracted with A and B reproduces A @ B, and its
+    TT ranks equal the matricization ranks (n^2, n^2)."""
+    from xerus_tpu import TTTensor
+    for n in (2, 3):
+        T = Tensor([n] * 6, xe.Representation.Sparse)
+        for i in range(n):
+            for j in range(n):
+                for k in range(n):
+                    T[[i, j, j, k, i, k]] = 1.0
+        A = Tensor.random([n, n])
+        B = Tensor.random([n, n])
+        i1, i2, i3, i4, i5, i6 = xe.indices(6)
+        C1 = Tensor()
+        C1(i1, i3) << A(i1, i2) * B(i2, i3)
+        C2 = Tensor()
+        C2(i5, i6) << T(i1, i2, i3, i4, i5, i6) * A(i1, i2) * B(i3, i4)
+        assert np.allclose(C1.to_ndarray(), C2.to_ndarray(), atol=1e-12)
+        assert np.allclose(C1.to_ndarray(), A.to_ndarray() @ B.to_ndarray(),
+                           atol=1e-12)
+        ttT = TTTensor(T.copy())
+        ttT.round(1e-12)
+        # matricization ranks: the middle split [i2==i3][i1==i5][i4==i6]
+        # collapses to delta_{i1,i5} x delta_{i4,i6} with only n active
+        # rows, so the profile is (n, n^2, n, n^2, n)
+        assert ttT.ranks() == [n, n * n, n, n * n, n]
