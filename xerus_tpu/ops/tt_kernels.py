@@ -919,11 +919,12 @@ def tt_round_eps_fast(cores: Sequence[jnp.ndarray], max_rank: int,
     """Fast eps-adaptive rounding (reference semantics of
     round(maxRanks, eps), ttNetwork.cpp:644-685): randomized
     preconditioning down to ``max_rank`` (2 ms at the bench scale), then
-    the EXACT eps-truncating svd scan on the now-small cores — the
-    sequential SVD chain costs ~(l/r)^3 of the full deterministic sweep
-    (l = max_rank + oversample vs the original rank r), so full eps
-    semantics arrive ~5x faster than the 54 ms direct scan at the bench
-    shape.  Error: eps-optimal on the randomized stage's quasi-optimal
+    the EXACT eps-truncating svd scan on the now-small cores.  Measured
+    on v5e at d=32, 256->128+eps: 35.0 ms vs 84.6 ms for the direct
+    svd-eps scan at full rank — 2.4x (TPU SVD latency does not shrink
+    with the full (l/r)^3 flop ratio; the sequential chain's per-step
+    latency floor dominates).  Error: eps-optimal on the randomized
+    stage's quasi-optimal
     rank-l image (the stage-1 error, 2-3x the optimal rank-l error, adds
     in quadrature).  qr_method defaults to Householder — cholqr1 is
     unsafe for structured inputs (see the caveat in
