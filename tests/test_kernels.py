@@ -349,3 +349,20 @@ def test_apply_operator_rounded_fused():
                           for c in out])
     err = np.linalg.norm(t32.to_tensor().to_ndarray() - want)
     assert err < 1e-4 * np.linalg.norm(want)
+
+
+def test_gram_round_eps_truncation():
+    """eps mask in the Gram-eigh scan (sigma from sqrt(eigenvalues))
+    matches the svd scan's data-dependent rank trimming."""
+    from xerus_tpu.ops.tt_kernels import tt_round_sweep_uniform
+    a = TTTensor.random([3] * 6, 2)
+    a /= a.frob_norm()
+    b = TTTensor.random([3] * 6, 2)
+    b /= b.frob_norm()
+    c = a + 1e-8 * b
+    cores = [x.to_jax() for x in c.components]
+    out = tt_round_sweep_uniform(cores, 4, method="gram", eps=1e-6)
+    got = TTTensor._make([xe.Tensor.from_jax(x) for x in out])
+    assert np.allclose(got.to_tensor().to_ndarray(),
+                       a.to_tensor().to_ndarray(), atol=1e-6)
+    assert got.ranks() == [2] * 5

@@ -206,12 +206,15 @@ def _round_sweep_scan(stacked: jnp.ndarray, target_rank: int,
     return out
 
 
-def _round_sweep_scan_gram(stacked: jnp.ndarray, target_rank: int):
+def _round_sweep_scan_gram(stacked: jnp.ndarray, target_rank: int,
+                           eps: float = 0.0):
     """Deterministic rounding with the SVD replaced by a Gram-matrix eigh:
     G = M M^T (GEMM, MXU) + eigh(r x r).  Squares the condition number, so
     singular values below ~sqrt(eps) of the max lose accuracy — irrelevant
     for the dominant part kept by truncation; the f32 default loses ~3e-4
-    relative on the kept spectrum."""
+    relative on the kept spectrum.  ``eps`` adds the reference's relative
+    singular-value truncation as a data-dependent mask (sigma from
+    sqrt(eigenvalues))."""
     d, r, n, _ = stacked.shape
     dtype = stacked.dtype
     eye = jnp.eye(r, dtype=dtype)
@@ -230,6 +233,7 @@ def _round_sweep_scan_gram(stacked: jnp.ndarray, target_rank: int):
     qs = qs.at[d - 1].set(jnp.einsum("anb,bc->anc", qs[d - 1], Rlast))
 
     mask = (jnp.arange(r, dtype=jnp.int32) < target_rank).astype(dtype)
+    eps_c = jnp.asarray(eps, dtype)
 
     def gram_body(carry, core):
         US, logs = carry
@@ -240,6 +244,8 @@ def _round_sweep_scan_gram(stacked: jnp.ndarray, target_rank: int):
         lam = lam[::-1]
         V = V[:, ::-1]
         s = jnp.sqrt(jnp.maximum(lam, 0.0)) * mask
+        if eps > 0.0:
+            s = s * (s > eps_c * s[0]).astype(dtype)
         inv_s = jnp.where(s > tiny, 1.0 / jnp.maximum(s, tiny), 0.0)
         vt = (V.T @ cur) * inv_s[:, None]                 # rows ~ unit
         new_core = vt.reshape(r, n, r)
@@ -467,8 +473,8 @@ def make_round_sweep_scan(shape: Tuple[int, ...], target_rank: int,
         raise ValueError(f"unknown rounding method {method!r}; "
                          "expected 'svd', 'gram', 'cholqr' or "
                          "'gram_parallel'")
-    return jit_f32(partial(_round_sweep_scan_gram, target_rank=target_rank),
-                   dtype_str)
+    return jit_f32(partial(_round_sweep_scan_gram, target_rank=target_rank,
+                           eps=eps), dtype_str)
 
 
 def tt_round_sweep_uniform(cores: Sequence[jnp.ndarray], target_rank: int,
