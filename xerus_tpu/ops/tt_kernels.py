@@ -529,10 +529,15 @@ def make_timed_loop(kernel, iters: int):
     def loop(cores):
         def body(_, carry):
             cores_c, acc = carry
-            # perturb input by acc*0-like epsilon to create the dependency
-            # without changing values meaningfully
-            first = cores_c[0] + acc * 1e-30
-            out = kernel((first,) + tuple(cores_c[1:]))
+            # perturb EVERY input by an acc-dependent epsilon to create a
+            # loop-carried data dependency without changing values
+            # meaningfully.  Perturbing only the first input is NOT enough:
+            # kernels that never read it (the ALS half-sweep replaces core 0
+            # without reading it) become loop-invariant and XLA hoists the
+            # whole body out of the chain — measured: identical wall at 1,
+            # 21 and 101 iterations.
+            pert = tuple(c + acc * 1e-30 for c in cores_c)
+            out = kernel(pert)
             acc2 = jnp.sum(out[-1]).astype(cores_c[0].dtype)
             return (cores_c, acc2)
 
