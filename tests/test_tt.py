@@ -390,3 +390,61 @@ def test_round_fast_eps_and_operator():
     B.require_correct_format()
     assert np.allclose(B.to_tensor().to_ndarray(), orig,
                        atol=1e-8 * np.linalg.norm(orig))
+
+
+def test_round_fast_per_edge_rank_vector():
+    """Non-uniform rank-vector fast path == object round() result
+    (reference round(vector<maxRanks>, eps), ttNetwork.cpp:644-658)."""
+    a = TTTensor.random([2] * 8, 12)
+    ranks = [2, 3, 5, 6, 5, 3, 2]
+    exact = a.copy()
+    exact.round(list(ranks))
+    want = exact.to_tensor().to_ndarray()
+    for method in ("svd", "gram"):
+        t = a.copy()
+        t.round_fast(list(ranks), method=method)
+        t.require_correct_format()
+        assert t.ranks() == ranks, method
+        got = t.to_tensor().to_ndarray()
+        assert np.allclose(got, want, atol=1e-10 * np.linalg.norm(want)), \
+            method
+    # randomized preconditioning honours the vector too (quasi-optimal)
+    t = a.copy()
+    t.round_fast(list(ranks), method="randomized")
+    assert t.ranks() == ranks
+    orig = a.to_tensor().to_ndarray()
+    e_ref = np.linalg.norm(want - orig)
+    e = np.linalg.norm(t.to_tensor().to_ndarray() - orig)
+    assert e < 6 * e_ref + 1e-12
+
+    # representable non-uniform vector: exact reproduction
+    b = TTTensor.random([2] * 6, [2, 3, 4, 3, 2])
+    t = b.copy()
+    t.round_fast([2, 4, 4, 4, 2], method="svd")
+    assert np.allclose(t.to_tensor().to_ndarray(),
+                       b.to_tensor().to_ndarray(), atol=1e-10)
+
+
+def test_round_fast_per_edge_vector_with_eps():
+    """Rank vector + eps combine: eps drops the tiny directions below the
+    per-edge caps, matching round(vector, eps)."""
+    a = TTTensor.random([2] * 6, 2)
+    a /= a.frob_norm()
+    b = TTTensor.random([2] * 6, 2)
+    b /= b.frob_norm()
+    c = a + 1e-8 * b
+    t = c.copy()
+    t.round_fast([4] * 5, method="svd", eps=1e-6)
+    t.require_correct_format()
+    assert max(t.ranks()) == 2
+    assert np.allclose(t.to_tensor().to_ndarray(),
+                       a.to_tensor().to_ndarray(), atol=1e-6)
+
+
+def test_round_int_with_eps_argument():
+    """round(maxRank, eps) overload (ttNetwork.h round signatures)."""
+    a = TTTensor.random([2] * 6, 2)
+    a /= a.frob_norm()
+    c = a + 1e-9 * TTTensor.random([2] * 6, 2)
+    c.round(4, eps=1e-6)
+    assert max(c.ranks()) == 2

@@ -516,6 +516,197 @@ def res_rank(bond: int, d: int, n: int, target: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Segmented exact rounding: true shapes everywhere.  The uniform-rank scan
+# above pads EVERY core to (r_max, n, r_max), so the ~2*log2(r_max) boundary
+# ramp sites (ranks 1..r_max/2) waste most of their QR/SVD on zeros and the
+# whole sweep runs d-1 full-size factorizations.  Here the shape schedule is
+# computed in Python at trace time: ramp sites are unrolled at their TRUE
+# (tiny) shapes, and maximal runs of identical-shape sites (the plateau)
+# become one lax.scan each — one compiled QR/SVD body per run, no padding.
+# Because every site is traced at its own static shape, a PER-EDGE max-rank
+# vector (the reference's full round(vector<maxRanks>, eps) signature,
+# ttNetwork.cpp:644-658) costs nothing: truncation is static slicing.
+# ---------------------------------------------------------------------------
+
+def _qr_sweep_segmented(cores, min_run: int = 3):
+    """Left->right orthogonalization at true shapes; returns (qs, logs).
+    Scan-compiles maximal runs of square-bond sites; boundary ramps unroll."""
+    d = len(cores)
+    dtype = cores[0].dtype
+    tiny = jnp.asarray(1e-30, dtype)
+    out = [None] * d
+    logs = jnp.zeros((), dtype)
+    R = jnp.ones((1, 1), dtype)
+    i = 0
+    while i < d - 1:
+        rl, n, rr = cores[i].shape
+        kprev = R.shape[0]
+        run_end = i
+        if kprev == rl == rr and rl * n >= rr:
+            while (run_end < d - 1
+                   and cores[run_end].shape == (rl, n, rr)):
+                run_end += 1
+        if run_end - i >= min_run:
+            seg = jnp.stack(cores[i:run_end])
+
+            def body(carry, core, _n=n, _rl=rl, _rr=rr):
+                Rc, lg = carry
+                cur = jnp.einsum("ka,anb->knb", Rc, core,
+                                 preferred_element_type=dtype
+                                 ).reshape(_rl * _n, _rr)
+                q, R2 = jnp.linalg.qr(cur)
+                nrm = jnp.linalg.norm(R2) + tiny
+                return (R2 / nrm, lg + jnp.log(nrm)), q.reshape(_rl, _n, _rr)
+
+            (R, logs), qs = jax.lax.scan(body, (R, logs), seg)
+            for t in range(i, run_end):
+                out[t] = qs[t - i]
+            i = run_end
+        else:
+            cur = jnp.einsum("ka,anb->knb", R, cores[i],
+                             preferred_element_type=dtype
+                             ).reshape(kprev * n, rr)
+            q, R2 = jnp.linalg.qr(cur)
+            k = min(kprev * n, rr)
+            out[i] = q.reshape(kprev, n, k)
+            nrm = jnp.linalg.norm(R2) + tiny
+            logs = logs + jnp.log(nrm)
+            R = R2 / nrm
+            i += 1
+    out[d - 1] = jnp.einsum("ka,anb->knb", R, cores[d - 1],
+                            preferred_element_type=dtype)
+    return out, logs
+
+
+def _svd_truncate_step(cur_mat, keep: int, eps, method: str, dtype, tiny):
+    """One truncation step on the (rl, m) matricization: returns
+    (US (rl, keep), vt (keep, m)).  method 'svd' = exact jnp SVD;
+    'gram' = Gram+eigh (GEMM-heavy, squares the condition number)."""
+    if method == "gram":
+        G = cur_mat @ cur_mat.T                            # (rl, rl) GEMM
+        lam, V = jnp.linalg.eigh(G)                        # ascending
+        lam = lam[::-1]
+        V = V[:, ::-1]
+        s = jnp.sqrt(jnp.maximum(lam, 0.0))[:keep]
+        V = V[:, :keep]
+        if eps > 0.0:
+            s = s * (s > jnp.asarray(eps, dtype) * s[0]).astype(dtype)
+        inv_s = jnp.where(s > tiny, 1.0 / jnp.maximum(s, tiny), 0.0)
+        vt = (V.T @ cur_mat) * inv_s[:, None]
+        US = V * s[None, :]
+        return US, vt
+    u, s, vt = jnp.linalg.svd(cur_mat, full_matrices=False)
+    s = s[:keep]
+    u = u[:, :keep]
+    vt = vt[:keep]
+    if eps > 0.0:
+        mask = (s > jnp.asarray(eps, dtype) * s[0]).astype(dtype)
+        s = s * mask
+        vt = vt * mask[:, None]
+    return u * s[None, :], vt
+
+
+def _round_sweep_segmented(cores, max_ranks, eps: float = 0.0,
+                           method: str = "svd", min_run: int = 3):
+    """Exact-semantics rounding (reference round(vector<maxRanks>, eps),
+    ttNetwork.cpp:644-658 + round_edge tensorNetwork.cpp:678) at true
+    shapes with scan-compiled plateau runs.  ``max_ranks[j]`` bounds bond
+    j+1 (between cores j and j+1), len d-1.  Truncation to the static
+    per-bond rank is SLICING (downstream shapes shrink — real flops
+    saved); the data-dependent eps truncation stays a mask."""
+    d = len(cores)
+    dtype = cores[0].dtype
+    tiny = jnp.asarray(1e-30, dtype)
+    if d == 1:
+        return list(cores)
+    qs, logs = _qr_sweep_segmented(cores, min_run)
+
+    # static truncation schedule for the right->left sweep
+    out = [None] * d
+    US = jnp.eye(qs[d - 1].shape[2], dtype=dtype)
+    i = d - 1
+    while i > 0:
+        rl, n, rr = qs[i].shape
+        kprev = US.shape[1]
+        keep = min(int(max_ranks[i - 1]), rl, n * kprev)
+        run_start = i
+        if rl == keep == kprev and US.shape[0] == rl:
+            # stable run: identical core shape, carry (r, r), keep == r
+            while (run_start > 0 and qs[run_start].shape == (rl, n, rr)
+                   and min(int(max_ranks[run_start - 1]), rl, n * keep)
+                   == keep):
+                run_start -= 1
+        if i - run_start >= min_run:
+            seg = jnp.stack(qs[run_start + 1:i + 1][::-1])
+
+            def body(carry, core, _rl=rl, _n=n, _keep=keep):
+                USc, lg = carry
+                cur = jnp.einsum("anb,bk->ank", core, USc,
+                                 preferred_element_type=dtype
+                                 ).reshape(_rl, _n * _keep)
+                US2, vt = _svd_truncate_step(cur, _keep, eps, method,
+                                             dtype, tiny)
+                nrm = jnp.linalg.norm(US2) + tiny
+                return (US2 / nrm, lg + jnp.log(nrm)), \
+                    vt.reshape(_keep, _n, _keep)
+
+            (US, logs), vts = jax.lax.scan(body, (US, logs), seg)
+            for t in range(i, run_start, -1):
+                out[t] = vts[i - t]
+            i = run_start
+        else:
+            cur = jnp.einsum("anb,bk->ank", qs[i], US,
+                             preferred_element_type=dtype
+                             ).reshape(rl, n * kprev)
+            US2, vt = _svd_truncate_step(cur, keep, eps, method, dtype, tiny)
+            out[i] = vt.reshape(keep, n, kprev)
+            nrm = jnp.linalg.norm(US2) + tiny
+            logs = logs + jnp.log(nrm)
+            US = US2 / nrm
+            i -= 1
+    out[0] = jnp.einsum("anb,bk->ank", qs[0], US,
+                        preferred_element_type=dtype)
+    per_core = jnp.exp(logs / d)
+    return [c * per_core for c in out]
+
+
+@lru_cache(maxsize=64)
+def make_round_sweep_segmented(shapes: Tuple[Tuple[int, ...], ...],
+                               max_ranks: Tuple[int, ...], eps: float,
+                               method: str, dtype_str: str):
+    return jit_f32(partial(_round_sweep_segmented, max_ranks=max_ranks,
+                           eps=eps, method=method), dtype_str)
+
+
+def tt_round_sweep_segmented(cores: Sequence[jnp.ndarray], max_ranks,
+                             eps: float = 0.0, method: str = "svd"):
+    """Deterministic rounding at true shapes with a per-edge rank vector.
+    ``max_ranks``: int (uniform) or length-(d-1) sequence.  Returns cores
+    at their truncated TRUE shapes (no padding); with eps > 0 the
+    eps-dropped directions are exactly zero and trimmed on host."""
+    d = len(cores)
+    if isinstance(max_ranks, (int, np.integer)):
+        max_ranks = [int(max_ranks)] * (d - 1)
+    max_ranks = tuple(int(r) for r in max_ranks)
+    shapes = tuple(tuple(c.shape) for c in cores)
+    fn = make_round_sweep_segmented(shapes, max_ranks, float(eps), method,
+                                    str(jnp.asarray(cores[0]).dtype))
+    out = fn(tuple(jnp.asarray(c) for c in cores))
+    if eps > 0.0:
+        # trim exactly-zeroed eps-dropped bonds (host-side, like
+        # tt_round_sweep_uniform)
+        host = [np.asarray(c) for c in out]
+        for j in range(d - 1):
+            nz = np.flatnonzero(np.any(host[j + 1] != 0.0, axis=(1, 2)))
+            k = int(nz[-1]) + 1 if nz.size else 1
+            if k < host[j + 1].shape[0]:
+                host[j + 1] = host[j + 1][:k]
+                host[j] = host[j][:, :, :k]
+        return [jnp.asarray(c) for c in host]
+    return list(out)
+
+
+# ---------------------------------------------------------------------------
 # Honest on-device timing: N chained iterations inside ONE XLA program.
 # Remote/tunnelled dispatch (axon) has ~150ms RTT and block_until_ready does
 # not reliably sync, so per-call wall timing lies; a fori_loop with a data

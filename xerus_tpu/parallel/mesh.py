@@ -27,6 +27,14 @@ def default_mesh(n_devices: Optional[int] = None,
     """2D mesh over the available devices: dp gets the larger factor."""
     devices = jax.devices()
     n = len(devices) if n_devices is None else n_devices
+    if n > len(devices):
+        raise ValueError(
+            f"default_mesh: requested {n} devices but the {devices[0].platform} "
+            f"backend has only {len(devices)}. For a virtual multi-device CPU "
+            f"backend set JAX_PLATFORMS=cpu and XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n} before jax "
+            f"initialises (tests/conftest.py recipe)."
+        )
     devices = devices[:n]
     tp = 1
     for cand in (2, 4, 8):

@@ -485,10 +485,12 @@ class TTNetwork:
         num = self.num_components()
         if arg is None and eps is not None:
             max_ranks = [MAX_RANK] * self.num_ranks()
-        elif isinstance(arg, (int, np.integer)) and eps is None:
+        elif isinstance(arg, (int, np.integer)):
+            # round(maxRank) and round(maxRank, eps) — ttNetwork.h round
+            # overloads take the rank with an optional eps
             require(arg > 0, "maxRank must be positive")
             max_ranks = [int(arg)] * self.num_ranks()
-            eps = config.epsilon
+            eps = config.epsilon if eps is None else eps
         elif isinstance(arg, float) and eps is None:
             max_ranks = [MAX_RANK] * self.num_ranks()
             eps = arg
@@ -509,26 +511,38 @@ class TTNetwork:
         if initial_canon:
             self.move_core(initial_core)
 
-    def round_fast(self, max_rank: int, method: str = "randomized",
+    def round_fast(self, max_rank, method: str = "randomized",
                    eps: float = 0.0) -> None:
-        """TPU fast-path rounding to a uniform ``max_rank`` through the
-        whole-sweep jitted kernels (ops/tt_kernels.py) instead of the
-        edge-by-edge object loop of `round()`.
+        """TPU fast-path rounding through the whole-sweep jitted kernels
+        (ops/tt_kernels.py) instead of the edge-by-edge object loop of
+        `round()`.  ``max_rank``: int (uniform) or per-edge rank vector of
+        length num_ranks() (the reference's full round(vector<maxRanks>,
+        eps) signature, ttNetwork.cpp:644-658).
 
         method: 'randomized' (randomize-then-orthogonalize, quasi-optimal,
         fastest on v5e), 'streaming' (two-sided Nyström, no sequential
-        factorization), 'svd' / 'gram' / 'cholqr' / 'gram_parallel'
-        (deterministic).  ``eps`` > 0 additionally drops relative singular
-        values below eps via the exact svd scan applied to the (small)
-        rounded cores (ops.tt_round_eps_fast).  Works for TTTensor and
-        TTOperator (physical legs folded for the kernels).  The result is
+        factorization), 'svd' / 'gram' (deterministic, segmented true-shape
+        sweep), 'cholqr' / 'gram_parallel' (deterministic, padded uniform
+        scan).  ``eps`` > 0 additionally drops relative singular values
+        below eps.  A non-uniform rank vector routes to the segmented
+        deterministic kernel (randomized preconditioning first when method
+        is 'randomized'/'streaming').  Works for TTTensor and TTOperator
+        (physical legs folded for the kernels).  The result is
         re-canonicalized to core 0; use `round()` for the reference's
-        exact eps-per-edge semantics (ttNetwork.cpp:644-685)."""
+        eps-per-edge object semantics (ttNetwork.cpp:644-685)."""
         import jax
         import numpy as _np
         from ..ops import (tt_round_sweep_uniform, tt_round_randomized_uniform,
                            tt_round_streaming_uniform)
+        from ..ops.tt_kernels import tt_round_sweep_segmented
         from ..config import host
+        rank_vec = None
+        if not isinstance(max_rank, (int, _np.integer)):
+            rank_vec = [int(r) for r in max_rank]
+            require(len(rank_vec) == self.num_ranks(),
+                    "need degree/N - 1 maxRanks")
+            require(all(r > 0 for r in rank_vec), "cannot round to rank 0")
+            max_rank = max(rank_vec)
         require(max_rank > 0, "cannot round to rank 0")
         with host():   # object-level f64 prep stays off the TPU (CLAUDE.md)
             cores = [_np.asarray(c.to_ndarray()) for c in self.components]
@@ -545,7 +559,18 @@ class TTNetwork:
                 and cores[0].dtype == _np.float64):
             cores = [c.astype(_np.float32) for c in cores]
         from ..ops.tt_kernels import tt_round_eps_fast
-        if method == "randomized":
+        if rank_vec is not None:
+            # per-edge vector: segmented deterministic truncation; the
+            # randomized/streaming methods act as a cheap uniform
+            # preconditioner down to max(rank_vec) first
+            if method == "randomized":
+                cores = tt_round_randomized_uniform(cores, int(max_rank))
+            elif method == "streaming":
+                cores = tt_round_streaming_uniform(cores, int(max_rank))
+            seg_method = method if method in ("svd", "gram") else "svd"
+            out = tt_round_sweep_segmented(cores, rank_vec, eps=float(eps),
+                                           method=seg_method)
+        elif method == "randomized":
             if eps > 0.0:
                 # one source of truth for the randomized+eps composite
                 out = tt_round_eps_fast(cores, int(max_rank), float(eps))
@@ -556,15 +581,19 @@ class TTNetwork:
             if eps > 0.0:
                 out = tt_round_sweep_uniform(out, int(max_rank),
                                              method="svd", eps=float(eps))
+        elif method in ("svd", "gram"):
+            # segmented true-shape sweep: no padding waste on the boundary
+            # ramps, plateau runs scan-compiled (ops/tt_kernels.py)
+            out = tt_round_sweep_segmented(cores, int(max_rank),
+                                           eps=float(eps), method=method)
         else:
             out = tt_round_sweep_uniform(cores, int(max_rank), method=method,
-                                         eps=float(eps) if method == "svd"
-                                         else 0.0)
-            if eps > 0.0 and method != "svd":
-                # only the svd scan implements the eps mask; run it on the
+                                         eps=0.0)
+            if eps > 0.0:
+                # only the svd path implements the eps mask; run it on the
                 # (small) rounded cores for the other deterministic methods
-                out = tt_round_sweep_uniform(out, int(max_rank),
-                                             method="svd", eps=float(eps))
+                out = tt_round_sweep_segmented(out, int(max_rank),
+                                               eps=float(eps), method="svd")
         from ..core.tensor import Tensor
         with host():
             res = []
