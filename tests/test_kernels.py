@@ -366,3 +366,41 @@ def test_gram_round_eps_truncation():
     assert np.allclose(got.to_tensor().to_ndarray(),
                        a.to_tensor().to_ndarray(), atol=1e-6)
     assert got.ranks() == [2] * 5
+
+
+def test_tt_residual_rel_device():
+    """Device-side ||Ax-b||/||b|| (block-TT + orthogonalization sweep)
+    matches the object-level residual, including far below the
+    sqrt(eps)-floor of the naive quadratic form (als.cpp:291 semantics)."""
+    import jax.numpy as jnp
+    import xerus_tpu as xe
+    from xerus_tpu.ops.tt_kernels import tt_residual_rel
+    from xerus_tpu.tt.ttnetwork import apply_operator
+    from xerus_tpu.examples import laplace_operator
+
+    dims = [2] * 6
+    A = laplace_operator(dims)
+    b = xe.TTTensor.random(dims, 3)
+    b /= b.frob_norm()
+    x = xe.TTTensor.random(dims, 3)
+    dev = float(tt_residual_rel(
+        tuple(c.to_jax() for c in x.components),
+        tuple(c.to_jax() for c in A.components),
+        tuple(c.to_jax() for c in b.components)))
+    true = float((apply_operator(A, x) - b).frob_norm() / b.frob_norm())
+    assert abs(dev - true) < 1e-10 * max(true, 1.0)
+
+    # tiny-residual regime (below the sqrt(eps) quadratic-form floor):
+    # make the solution representable at the sweep rank, solve, measure
+    x_true = xe.TTTensor.random(dims, 3)
+    x_true /= x_true.frob_norm()
+    b2 = apply_operator(A, x_true)
+    x2 = xe.TTTensor.random(dims, 3)
+    xe.ALS_SPD(A, x2, b2, 1e-14)
+    dev = float(tt_residual_rel(
+        tuple(c.to_jax() for c in x2.components),
+        tuple(c.to_jax() for c in A.components),
+        tuple(c.to_jax() for c in b2.components)))
+    true = float((apply_operator(A, x2) - b2).frob_norm() / b2.frob_norm())
+    assert true < 1e-12            # genuinely converged
+    assert dev < 10 * true + 1e-14  # device readout follows it down

@@ -281,3 +281,35 @@ def test_adf_mesh_matches_serial(mesh):
     a1 = x1.to_tensor().to_ndarray()
     a2 = x2.to_tensor().to_ndarray()
     assert np.linalg.norm(a1 - a2) < 1e-9 * np.linalg.norm(a1)
+
+
+def test_tp_als_half_sweep_matches_serial():
+    """Tensor-parallel single-instance ALS half-sweep (SURVEY.md §2.6(b),
+    parallel/tp_als.py) == serial whole-sweep kernel, 1-D tp mesh."""
+    from jax.sharding import Mesh
+    from xerus_tpu.parallel.tp_als import tp_als_half_sweep
+    from xerus_tpu.ops.tt_kernels import _als_half_sweep
+    from xerus_tpu.examples import laplace_operator
+
+    mesh1d = Mesh(np.array(jax.devices()[:8]), ("tp",))
+    dims = [2] * 6
+    A = laplace_operator(dims)
+    x = TTTensor.random(dims, 3)
+    x.canonicalize_left()        # core at 0 (the sweep kernels' contract)
+    b = TTTensor.random(dims, 2)
+    x_cores = [c.to_jax() for c in x.components]
+    A_cores = [c.to_jax() for c in A.components]
+    b_cores = [c.to_jax() for c in b.components]
+
+    got = tp_als_half_sweep(x_cores, A_cores, b_cores, mesh1d,
+                            cg_iters=200)
+    want = _als_half_sweep(tuple(x_cores), tuple(A_cores), tuple(b_cores))
+
+    def full(cores):
+        out = np.asarray(cores[0])
+        for c in cores[1:]:
+            out = np.einsum("...a,anb->...nb", out, np.asarray(c))
+        return out.squeeze(axis=(0, -1))
+
+    fw, fg = full(want), full(got)
+    assert np.linalg.norm(fw - fg) / np.linalg.norm(fw) < 1e-8

@@ -114,9 +114,13 @@ class ALSVariant:
                     num_half_sweeps: int, conv_eps: float,
                     perf: PerformanceData) -> float:
         """Whole-halfsweep jitted path for single-site SPD ALS: each
-        half-sweep is ONE XLA program (ops/tt_kernels.py); the convergence
-        loop stays on host (SURVEY.md §7 design stance)."""
-        from ..ops.tt_kernels import make_als_sweep
+        half-sweep is ONE XLA program computing the sweep AND the relative
+        residual (ops/tt_kernels.py make_als_sweep_res); the convergence
+        loop stays on host (SURVEY.md §7 design stance) but fetches only
+        ONE scalar per half-sweep — the cores never leave the device until
+        the loop ends (the ~150ms-RTT tunnel made per-sweep host
+        round-trips the dominant cost, VERDICT r1)."""
+        from ..ops.tt_kernels import make_als_sweep_res
         from ..config import host
         initial_canon = x.canonicalized
         initial_core = x.corePosition if x.canonicalized else 0
@@ -142,11 +146,6 @@ class ALSVariant:
             return [Tensor.from_ndarray(
                 np.asarray(c).astype(obj_dtype)) for c in cores_now]
 
-        def residual_of(cores_now) -> float:
-            with host():
-                x.components = to_host_tensors(cores_now)
-                return ((apply_operator(A, x) - b).frob_norm()) / norm_b
-
         def reverse_tt(cs):
             return tuple(jnp.transpose(c, (2, 1, 0)) for c in reversed(cs))
 
@@ -171,12 +170,13 @@ class ALSVariant:
                     b_cores = reverse_tt(b_cores)
                     reversed_state = not reversed_state
                 shapes_key = tuple(tuple(c.shape) for c in cores)
-                fn = make_als_sweep(shapes_key, str(cores[0].dtype), "lr",
-                                    spd=True, solver="asd")
-                cores = fn(cores, A_cores, b_cores)
+                fn = make_als_sweep_res(shapes_key, str(cores[0].dtype), "lr",
+                                        spd=True, solver="asd")
+                cores, res = fn(cores, A_cores, b_cores)
             elif spd:
-                fn = make_als_sweep(shapes_key, str(cores[0].dtype), direction)
-                cores = fn(cores, A_cores, b_cores)
+                fn = make_als_sweep_res(shapes_key, str(cores[0].dtype),
+                                        direction)
+                cores, res = fn(cores, A_cores, b_cores)
             else:
                 # non-SPD: lr kernel only; odd half-sweeps run on the
                 # site-reversed system (equivalent to an rl sweep)
@@ -186,17 +186,25 @@ class ALSVariant:
                     b_cores = reverse_tt(b_cores)
                     reversed_state = not reversed_state
                 shapes_key = tuple(tuple(c.shape) for c in cores)
-                fn = make_als_sweep(shapes_key, str(cores[0].dtype), "lr",
-                                    spd=False)
-                cores = fn(cores, A_cores, b_cores)
-            from ..misc.profiling import guard_finite
-            guard_finite(cores[0], f"ALS half-sweep {half_sweeps}")
+                fn = make_als_sweep_res(shapes_key, str(cores[0].dtype), "lr",
+                                        spd=False)
+                cores, res = fn(cores, A_cores, b_cores)
             half_sweeps += 1
             last2, last = last, energy
-            energy = residual_of(reverse_tt(cores) if reversed_state else cores)
+            # the ONLY device fetch of the loop: one scalar (fused
+            # residual); it also serves as the finiteness guard
+            energy = float(res)
+            if not math.isfinite(energy):
+                from ..misc.profiling import guard_finite
+                guard_finite(cores[0], f"ALS half-sweep {half_sweeps}")
             if perf:
                 flags = FLAG_FINISHED_HALFSWEEP if direction == "lr" \
                     else FLAG_FINISHED_FULLSWEEP
+                if perf.error_function or perf.checkpoint_path:
+                    # instrumented run: materialize x for the callback
+                    with host():
+                        x.components = to_host_tensors(
+                            reverse_tt(cores) if reversed_state else cores)
                 perf.add(energy, x, flags)
             if (half_sweeps == num_half_sweeps
                     or abs(last - energy) < conv_eps

@@ -143,7 +143,7 @@ def smallest_eigenvalue(A: TTOperator, x: TTTensor, sites: int = 2,
                         num_sweeps: int = 0, eps: float = 1e-10,
                         max_rank: int = 64,
                         perf_data: PerformanceData = NoPerfData,
-                        solver: str = "exact",
+                        solver: Optional[str] = None,
                         num_starts: int = 1) -> float:
     """solver="exact": adaptive-rank object-level sweeps with dense local
     eigh (the reference's approach).  solver="lanczos": the whole-sweep
@@ -151,7 +151,17 @@ def smallest_eigenvalue(A: TTOperator, x: TTTensor, sites: int = 2,
     (ops/dmrg_kernels.py; 8.6ms vs 632-783ms per d=32 rank-16 half-sweep
     on v5e) — requires sites=2, uniform mode dimensions and a NEGATIVE
     ground energy (zero-padded frame contract); ranks are fixed at
-    max_rank (x is rank-bumped if needed)."""
+    max_rank (x is rank-bumped if needed).
+
+    solver=None picks automatically: "lanczos" on TPU backends whenever
+    its structural requirements hold (the dense local eigh takes 632-783
+    ms per half-sweep plus multi-minute compiles on v5e — CPU-validation
+    only there), "exact" otherwise."""
+    if solver is None:
+        import jax as _jax
+        on_tpu = _jax.devices()[0].platform == "tpu"
+        solver = ("lanczos" if on_tpu and sites == 2
+                  and len(set(x.dimensions)) == 1 else "exact")
     require(solver in ("exact", "lanczos"),
             f"unknown solver {solver!r}; expected 'exact' or 'lanczos'")
     if solver == "lanczos":
