@@ -240,6 +240,37 @@ def make_df_als_sweep(shapes_key, dtype_str: str, refine_iters: int = 3):
                    dtype_str)
 
 
+def _reverse_df(cores, op=False):
+    perm = (3, 1, 2, 0) if op else (2, 1, 0)
+    return tuple((jnp.transpose(h, perm), jnp.transpose(l, perm))
+                 for (h, l) in reversed(cores))
+
+
+@lru_cache(maxsize=8)
+def make_df_als_multi_sweep(shapes_key, dtype_str: str, n_half_sweeps: int,
+                            refine_iters: int = 3):
+    """N df half-sweeps chained inside ONE XLA program, alternating
+    direction via in-program site reversal (exact transposes).  One
+    dispatch for the whole f64-quality refinement phase — through the
+    ~150ms-RTT tunnel this beats one dispatch per half-sweep."""
+    from .tt_kernels import jit_f32
+
+    def multi(x_df, A_df, b_df):
+        rev = False
+        for s in range(n_half_sweeps):
+            x_df = _als_half_sweep_df(x_df, A_df, b_df,
+                                      refine_iters=refine_iters)
+            x_df = _reverse_df(x_df)
+            A_df = _reverse_df(A_df, op=True)
+            b_df = _reverse_df(b_df)
+            rev = not rev
+        if rev:
+            x_df = _reverse_df(x_df)
+        return x_df
+
+    return jit_f32(multi, dtype_str)
+
+
 def als_spd_mixed(A, x, b, num_half_sweeps: int = 6):
     """Mixed-precision single-site SPD ALS on TT objects: each half-sweep is
     one jitted df program; direction alternates via site reversal (exact

@@ -1614,6 +1614,30 @@ def make_als_sweep_res(shapes_key: Tuple, dtype_str: str,
     return jit_f32(fused, dtype_str)
 
 
+@lru_cache(maxsize=16)
+def make_als_multi_sweep_res(shapes_key: Tuple, dtype_str: str,
+                             n_half_sweeps: int, spd: bool = True):
+    """N alternating-direction half-sweeps + per-sweep relative residual,
+    ALL inside one XLA program — one dispatch for a whole solve phase
+    (each dispatch through the axon tunnel costs ~150ms RTT, so chaining
+    beats early-stopping for short solves).  Returns (cores, res_history
+    (n,)).  x must enter canonicalized at core 0."""
+
+    def multi(x_cores, A_cores, b_cores):
+        res_hist = []
+        cores = x_cores
+        for s in range(n_half_sweeps):
+            if spd:
+                body = _als_half_sweep if s % 2 == 0 else _als_half_sweep_rl
+                cores = body(cores, A_cores, b_cores)
+            else:
+                cores = _als_half_sweep_nonspd(cores, A_cores, b_cores)
+            res_hist.append(tt_residual_rel(cores, A_cores, b_cores))
+        return cores, jnp.stack(res_hist)
+
+    return jit_f32(multi, dtype_str)
+
+
 @lru_cache(maxsize=64)
 def make_als_sweep(shapes_key: Tuple, dtype_str: str, direction: str = "lr",
                    spd: bool = True, solver: str = "lapack"):
