@@ -74,3 +74,50 @@ def test_sparse_svd():
     U, S, Vt = fact.calculate_svd(t, 1)
     rec = xe.contract(xe.contract(U, S, 1), Vt, 1)
     assert xe.approx_equal(rec, t, 1e-12)
+
+
+def _sparse_tt(dims, rank, nnz=4, seed_shift=0):
+    import numpy as np
+    from xerus_tpu import Tensor, TTTensor
+    from xerus_tpu.core.tensor import Representation
+    t = TTTensor.random(dims, rank)
+    comps = []
+    for c in t.components:
+        s = Tensor(list(c.dimensions), Representation.Sparse)
+        flat = c.to_ndarray().reshape(-1)
+        for i in np.argsort(-np.abs(flat))[:nnz]:
+            s._sparse[int(i)] = float(flat[i])
+        comps.append(s)
+    tt = TTTensor._make(comps)
+    tt.canonicalized = False
+    return tt
+
+
+def test_tt_entrywise_product_preserves_sparse_components():
+    """Sparse x sparse component pairs stay sparse through the Hadamard
+    rank-kron (reference sparse branch, ttNetwork.cpp:1275-1303)."""
+    import numpy as np
+    a = _sparse_tt([3] * 5, 3)
+    b = _sparse_tt([3] * 5, 2)
+    h = a.entrywise_product(b)
+    assert all(c.is_sparse() for c in h.components)
+    want = a.to_tensor().to_ndarray() * b.to_tensor().to_ndarray()
+    got = h.to_tensor().to_ndarray()
+    assert np.allclose(got, want, atol=1e-12)
+    # mixed dense/sparse still correct (densifies that site only)
+    a.components[2].use_dense_representation()
+    h2 = a.entrywise_product(b)
+    assert not h2.components[2].is_sparse()
+    assert np.allclose(h2.to_tensor().to_ndarray(), want, atol=1e-12)
+
+
+def test_tt_sum_preserves_sparse_components():
+    """Block-diagonal += keeps sparse components sparse (ttNetwork.cpp
+    :797-846 sparse branch) when both summands' cores are sparse."""
+    import numpy as np
+    a = _sparse_tt([3] * 5, 3)
+    b = _sparse_tt([3] * 5, 2)
+    s = a + b
+    assert all(c.is_sparse() for c in s.components)
+    want = a.to_tensor().to_ndarray() + b.to_tensor().to_ndarray()
+    assert np.allclose(s.to_tensor().to_ndarray(), want, atol=1e-12)

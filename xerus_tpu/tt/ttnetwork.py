@@ -681,14 +681,25 @@ class TTNetwork:
             rep = (Representation.Sparse if mine.is_sparse() and theirs.is_sparse()
                    else Representation.Dense)
             new = Tensor(shape, rep)
-            if rep is Representation.Sparse:
-                new.use_dense_representation()
-            zero_off = [0] * (self.N + 2)
-            new.offset_add(mine, zero_off)
             left_off = 0 if pos == 0 else mine.dimensions[0]
             right_off = 0 if pos == num - 1 else mine.dimensions[-1]
             off = [left_off] + [0] * self.N + [right_off]
-            new.offset_add(theirs, off)
+            if rep is Representation.Sparse:
+                # sparse-preserving block embedding (reference sparse
+                # branch of operator+=, ttNetwork.cpp:797-846): shift the
+                # position dicts directly, no densification
+                for src, offs in ((mine, [0] * (self.N + 2)), (theirs, off)):
+                    f = src.factor
+                    for p, v in src._sparse.items():
+                        idx = Tensor.position_to_multiIndex(
+                            p, src.dimensions)
+                        idx = [i + o for i, o in zip(idx, offs)]
+                        q = Tensor.multiIndex_to_position(idx, shape)
+                        new._sparse[q] = new._sparse.get(q, 0.0) + f * v
+            else:
+                zero_off = [0] * (self.N + 2)
+                new.offset_add(mine, zero_off)
+                new.offset_add(theirs, off)
             self.components[pos] = new
         self.canonicalized = False
         if initial_canon:
@@ -927,12 +938,48 @@ def inner(a: TTNetwork, b: TTNetwork) -> float:
     return float(env[[0, 0]])
 
 
+def _sparse_core_kron(ca, cb, is_op: bool):
+    """Sparse-preserving per-site rank-kron for the Hadamard product
+    (the reference's sparse branch, ttNetwork.cpp:1275-1303): both cores
+    sparse -> sparse result built from the position dicts, cost
+    O(nnz_a * nnz_b / n) instead of densifying."""
+    from ..core.tensor import Tensor, Representation
+    da, db = ca.dimensions, cb.dimensions
+    if is_op:
+        dims = [da[0] * db[0], da[1], da[2], da[3] * db[3]]
+    else:
+        dims = [da[0] * db[0], da[1], da[2] * db[2]]
+    out = Tensor(dims, Representation.Sparse)
+    fa, fb = ca.factor, cb.factor
+    items_b = [(Tensor.position_to_multiIndex(p, db), v)
+               for p, v in cb._sparse.items()]
+    for pa, va in ca._sparse.items():
+        ia = Tensor.position_to_multiIndex(pa, da)
+        for ib, vb in items_b:
+            if is_op:
+                if ia[1] != ib[1] or ia[2] != ib[2]:
+                    continue
+                idx = [ia[0] * db[0] + ib[0], ia[1], ia[2],
+                       ia[3] * db[3] + ib[3]]
+            else:
+                if ia[1] != ib[1]:
+                    continue
+                idx = [ia[0] * db[0] + ib[0], ia[1], ia[2] * db[2] + ib[2]]
+            out._sparse[Tensor.multiIndex_to_position(idx, dims)] = \
+                float(fa * va * fb * vb)
+    return out
+
+
 def entrywise_product(a: TTNetwork, b: TTNetwork) -> TTNetwork:
-    """Hadamard product: per-site rank-kron (ttNetwork.cpp:1275-1303)."""
+    """Hadamard product: per-site rank-kron (ttNetwork.cpp:1275-1303);
+    sparse x sparse component pairs stay sparse (reference sparse branch)."""
     require(type(a) is type(b), "entrywise product requires same TT type")
     require(a.dimensions == b.dimensions, "entrywise product dimension mismatch")
     comps = []
     for ca, cb in zip(a.components, b.components):
+        if ca.is_sparse() and cb.is_sparse():
+            comps.append(_sparse_core_kron(ca, cb, a.is_operator))
+            continue
         arr_a = ca.to_jax()
         arr_b = cb.to_jax()
         if a.is_operator:
