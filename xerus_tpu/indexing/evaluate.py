@@ -363,7 +363,24 @@ def assign_factorisation(f: Factorisation, targets: List[IndexedTensor]) -> None
         src = core_reshuffle(src, [src_order.index(l) for l in src_labels])
 
     if f.kind == "svd":
-        results = fact.calculate_svd(src, split_pos, f.max_rank, f.eps)
+        U, S, Vt = fact.calculate_svd(src, split_pos, f.max_rank, f.eps)
+        if f.soft_threshold > 0.0:
+            # shrink singular values by tau and drop the zeros
+            # (reference SVD(..., softThreshold) argument,
+            # indexedTensor_tensor_factorisations.h:40-100)
+            import numpy as _np
+            s = _np.diag(_np.asarray(S.to_ndarray()))
+            s = _np.maximum(s - f.soft_threshold, 0.0)
+            keep = max(int(_np.sum(s > 0)), 1)
+            if f.max_rank:
+                keep = min(keep, f.max_rank)
+            U.resize_mode(U.degree() - 1, keep)
+            Vt.resize_mode(0, keep)
+            from ..core.tensor import Tensor as _T, Representation as _R
+            S = _T([keep, keep], _R.Sparse)
+            for i2 in range(keep):
+                S._sparse[i2 * keep + i2] = float(s[i2])
+        results = (U, S, Vt)
     elif f.kind == "qr":
         results = fact.calculate_qr(src, split_pos)
     elif f.kind == "rq":
