@@ -49,3 +49,12 @@ def pytest_runtest_makereport(item, call):
         if seed is not None:
             print(f"\n[xerus_tpu] failing seed: replay with "
                   f"XERUS_TEST_SEED={seed}")
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """XERUS_TEST_COVERAGE=1: dump the require()-landmark hit set
+    (reference XERUS_TEST_COVERAGE, test.h:40-51); report with
+    `python -m xerus_tpu.misc.coverage`."""
+    if os.environ.get("XERUS_TEST_COVERAGE"):
+        from xerus_tpu.misc import coverage
+        coverage.dump(os.path.join(".require_coverage", f"{os.getpid()}.txt"))

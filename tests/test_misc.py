@@ -151,3 +151,27 @@ def test_ring_buffer_log_on_error():
         assert "step 3" not in cap.records           # evicted from the ring
     finally:
         xe.misc.get_logger().removeHandler(h)
+
+
+def test_require_coverage_landmarks(tmp_path, monkeypatch):
+    """XERUS_TEST_COVERAGE landmark machinery (reference test.h:40-51):
+    executed require() sites are recorded; the reporter finds hits and
+    misses against the scanned call sites."""
+    import sys
+    cfg = sys.modules["xerus_tpu.config"]   # the attribute shadows the module
+    from xerus_tpu.misc import coverage
+
+    monkeypatch.setattr(cfg, "_COVERAGE", True)
+    coverage._HITS.clear()
+    cfg.require(True, "landmark")
+    assert len(coverage._HITS) == 1
+    hit_site = next(iter(coverage._HITS))
+    assert __file__.split("/")[-1] in hit_site  # records the CALLER
+
+    p = tmp_path / "hits.txt"
+    coverage.dump(str(p))
+    total, hit, missed = coverage.report([str(p)])
+    assert total > 100          # the package is full of require() sites
+    assert hit == 0             # our hit is in tests/, not the package
+    sites = coverage.scan_sites()
+    assert all(":" in s for s in sites)

@@ -64,8 +64,17 @@ def checks_enabled() -> bool:
     return config.runtime_checks
 
 
+_COVERAGE = bool(os.environ.get("XERUS_TEST_COVERAGE"))
+
+
 def require(cond: bool, msg: str = "") -> None:
-    """REQUIRE analogue (misc/check.h:40): raises when runtime checks are on."""
+    """REQUIRE analogue (misc/check.h:40): raises when runtime checks are on.
+
+    With XERUS_TEST_COVERAGE=1 every executed call records its call site
+    as a coverage landmark (reference test.h:40-51; misc/coverage.py)."""
+    if _COVERAGE:
+        from .misc import coverage
+        coverage.record_caller()
     if config.runtime_checks and not cond:
         raise ValueError(msg or "xerus_tpu runtime check failed")
 
