@@ -93,16 +93,24 @@ def _dispatch_rtt():
 
 def _time_looped(kernel, cores, iters):
     """Per-iteration seconds via the chained-loop method: iters chained
-    executions inside one program; dispatch RTT subtracted."""
+    executions inside one program; dispatch RTT subtracted.  Runs under
+    the f32 kernel discipline (x64 off, matmul precision 'highest' —
+    genuine f32 MXU arithmetic, ops/tt_kernels.jit_f32 policy)."""
+    import jax
     from xerus_tpu.ops.tt_kernels import make_timed_loop
     rtt = _dispatch_rtt()
     many = make_timed_loop(kernel, iters)
-    v = float(many(cores))  # compile + first run
+
+    def run():
+        with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+            return float(many(cores))
+
+    v = run()  # compile + first run
     assert np.isfinite(v), "kernel produced non-finite values"
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        float(many(cores))
+        run()
         best = min(best, time.perf_counter() - t0)
     return max(best - rtt, 1e-9) / iters
 

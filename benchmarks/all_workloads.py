@@ -9,7 +9,17 @@ full object-level API the way a user would; it runs anywhere (CPU or TPU).
   4. Two-site DMRG ground state of the d=32 Heisenberg chain (adaptive rank)
   5. ADF completion + largest-entry search
 
-Usage: python benchmarks/all_workloads.py [--cpu]
+Usage: python benchmarks/all_workloads.py [--cpu|--tpu]
+
+Each workload re-seeds (0xBAADF00D + workload index) so the instances are
+IDENTICAL across modes (BASELINE.md measurement rules).
+
+--tpu runs the SAME instances through the TPU-session mode (CLAUDE.md):
+object-level f64 prep pinned to host, solver fast paths dispatched to the
+device in f32 (round_fast / _solve_fast / lanczos-DMRG / ADF iteration
+kernels).  Each device kernel is warmed once before timing (compiles
+through the ~150ms-RTT tunnel take minutes, cached in .jax_cache); the
+warm (compile) time is reported separately as "warm_s".
 """
 
 from __future__ import annotations
@@ -25,6 +35,14 @@ if "--cpu" in sys.argv:
     import jax
     jax.config.update("jax_platforms", "cpu")
 
+TPU_MODE = "--tpu" in sys.argv
+if TPU_MODE:
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 
 
@@ -32,93 +50,213 @@ def main() -> None:
     import xerus_tpu as xe
     from xerus_tpu import Tensor, TTTensor, TTOperator
     from xerus_tpu.examples import laplace_operator, heisenberg_mpo
+    from xerus_tpu.config import host
 
-    xe.set_seed(0xBAADF00D)
     results = []
 
     # -- workload 1: TT-SVD + rounding of dense order-6 tensor ----------
-    t0 = time.perf_counter()
-    dense = Tensor.random([8] * 6)
-    tt = TTTensor(dense, eps=0.0)
-    tt.round(16)
-    err = (tt.to_tensor() - dense).frob_norm() / dense.frob_norm()
-    results.append({"workload": "ttsvd_round_order6_n8",
-                    "seconds": round(time.perf_counter() - t0, 3),
-                    "rel_err_at_rank16": f"{err:.3e}",
-                    "ranks": tt.ranks()})
+    xe.set_seed(0xBAADF00D + 1)
+    with host():
+        dense = Tensor.random([8] * 6)
+    if TPU_MODE:
+        with host():
+            tt_w = TTTensor(dense, eps=0.0)
+        t0 = time.perf_counter()
+        tt_w.round_fast(16, method="svd")      # warm (compile) run
+        warm = time.perf_counter() - t0
+        with host():
+            tt = TTTensor(dense, eps=0.0)
+        t0 = time.perf_counter()
+        tt.round_fast(16, method="svd")
+        secs = time.perf_counter() - t0
+        with host():
+            err = (tt.to_tensor() - dense).frob_norm() / dense.frob_norm()
+        results.append({"workload": "ttsvd_round_order6_n8",
+                        "seconds": round(secs, 3), "warm_s": round(warm, 1),
+                        "rel_err_at_rank16": f"{err:.3e}",
+                        "ranks": tt.ranks(), "mode": "tpu round_fast(svd)"})
+    else:
+        t0 = time.perf_counter()
+        tt = TTTensor(dense, eps=0.0)
+        tt.round(16)
+        err = (tt.to_tensor() - dense).frob_norm() / dense.frob_norm()
+        results.append({"workload": "ttsvd_round_order6_n8",
+                        "seconds": round(time.perf_counter() - t0, 3),
+                        "rel_err_at_rank16": f"{err:.3e}",
+                        "ranks": tt.ranks()})
 
     # -- workload 2: indexed einsum chain suite -------------------------
-    t0 = time.perf_counter()
-    i, j, k, l, m = xe.indices(5)
-    B = Tensor.random([40, 30, 20])
-    C = Tensor.random([30, 40, 20])
-    A = Tensor()
-    A(i, j) << B(i, k, l) * C(k, j, l)
-    chain = [Tensor.random([30, 30]) for _ in range(8)]
-    out = Tensor()
-    expr = chain[0](i, j)
-    idxs = xe.indices(9)
-    expr = chain[0](idxs[0], idxs[1])
-    for p in range(1, 8):
-        expr = expr * chain[p](idxs[p], idxs[p + 1])
-    out(idxs[0], idxs[8]) << expr
-    ref = chain[0].to_ndarray()
-    for p in range(1, 8):
-        ref = ref @ chain[p].to_ndarray()
-    ok = bool(np.allclose(out.to_ndarray(), ref, atol=1e-10))
-    results.append({"workload": "einsum_chain_suite",
-                    "seconds": round(time.perf_counter() - t0, 3),
-                    "correct": ok})
+    xe.set_seed(0xBAADF00D + 2)
+    if TPU_MODE:
+        # the object DSL's evaluation is a cached jitted einsum; the TPU
+        # number times the SAME contraction suite as one chained-loop
+        # device program in f32 (bench.py methodology)
+        import jax.numpy as jnp
+        from bench import _time_looped
+        rng = np.random.Generator(np.random.PCG64(0xBAADF00D + 2))
+        B = rng.normal(size=(40, 30, 20)).astype(np.float32)
+        C = rng.normal(size=(30, 40, 20)).astype(np.float32)
+        chain = [rng.normal(size=(30, 30)).astype(np.float32)
+                 for _ in range(8)]
+
+        def suite(inputs):
+            Bv, Cv, *ch = inputs
+            A = jnp.einsum("ikl,kjl->ij", Bv, Cv)
+            out = ch[0]
+            for c in ch[1:]:
+                out = out @ c
+            return (A, out)
+
+        t0 = time.perf_counter()
+        per = _time_looped(suite, (jnp.asarray(B), jnp.asarray(C),
+                                   *map(jnp.asarray, chain)), 64)
+        warm = time.perf_counter() - t0
+        ref1 = np.einsum("ikl,kjl->ij", B.astype(np.float64),
+                         C.astype(np.float64))
+        got = np.asarray(suite((jnp.asarray(B), jnp.asarray(C),
+                                *map(jnp.asarray, chain)))[0])
+        ok = bool(np.allclose(got, ref1, rtol=1e-4, atol=1e-2))
+        results.append({"workload": "einsum_chain_suite",
+                        "seconds": round(per, 6), "warm_s": round(warm, 1),
+                        "correct": ok,
+                        "mode": "tpu f32 chained-loop per-suite"})
+    else:
+        t0 = time.perf_counter()
+        i, j, k, l, m = xe.indices(5)
+        B = Tensor.random([40, 30, 20])
+        C = Tensor.random([30, 40, 20])
+        A = Tensor()
+        A(i, j) << B(i, k, l) * C(k, j, l)
+        chain = [Tensor.random([30, 30]) for _ in range(8)]
+        out = Tensor()
+        idxs = xe.indices(9)
+        expr = chain[0](idxs[0], idxs[1])
+        for p in range(1, 8):
+            expr = expr * chain[p](idxs[p], idxs[p + 1])
+        out(idxs[0], idxs[8]) << expr
+        ref = chain[0].to_ndarray()
+        for p in range(1, 8):
+            ref = ref @ chain[p].to_ndarray()
+        ok = bool(np.allclose(out.to_ndarray(), ref, atol=1e-10))
+        results.append({"workload": "einsum_chain_suite",
+                        "seconds": round(time.perf_counter() - t0, 3),
+                        "correct": ok})
 
     # -- workload 3: d=10 Poisson ALS solve ------------------------------
-    t0 = time.perf_counter()
+    xe.set_seed(0xBAADF00D + 3)
     dims = [2] * 10
-    Aop = laplace_operator(dims)
-    b = TTTensor.ones(dims)
-    x = TTTensor.random(dims, 6)
-    resid = xe.ALS_SPD(Aop, x, b, 1e-12)
-    results.append({"workload": "als_poisson_d10",
-                    "seconds": round(time.perf_counter() - t0, 3),
-                    "relative_residual": f"{resid:.3e}",
-                    "ranks": x.ranks()})
+    with host():
+        Aop = laplace_operator(dims)
+        b = TTTensor.ones(dims)
+        x0 = TTTensor.random(dims, 6)
+    if TPU_MODE:
+        xw = x0.copy()
+        t0 = time.perf_counter()
+        xe.ALS_SPD(Aop, xw, b, 1e-7)           # warm (compile) run
+        warm = time.perf_counter() - t0
+        x = x0.copy()
+        t0 = time.perf_counter()
+        resid = xe.ALS_SPD(Aop, x, b, 1e-7)
+        secs = time.perf_counter() - t0
+        with host():
+            from xerus_tpu.tt.ttnetwork import apply_operator
+            res64 = float((apply_operator(Aop, x) - b).frob_norm()
+                          / b.frob_norm())
+        results.append({"workload": "als_poisson_d10",
+                        "seconds": round(secs, 3), "warm_s": round(warm, 1),
+                        "relative_residual": f"{res64:.3e}",
+                        "ranks": x.ranks(),
+                        "mode": "tpu f32 _solve_fast (device-resident)"})
+    else:
+        x = x0.copy()
+        t0 = time.perf_counter()
+        resid = xe.ALS_SPD(Aop, x, b, 1e-12)
+        results.append({"workload": "als_poisson_d10",
+                        "seconds": round(time.perf_counter() - t0, 3),
+                        "relative_residual": f"{resid:.3e}",
+                        "ranks": x.ranks()})
 
     # -- workload 4: two-site DMRG Heisenberg ground state (d=32) -------
-    t0 = time.perf_counter()
+    xe.set_seed(0xBAADF00D + 4)
     d = 32
-    H = heisenberg_mpo(d)
-    g = TTTensor.random([2] * d, 4)
-    lam = xe.smallest_eigenvalue(H, g, sites=2, max_rank=16, num_sweeps=6)
-    # exact thermodynamic-limit reference: E/N -> 1/4 - ln 2 per bond;
-    # finite-chain value differs, so report energy and variance instead
-    Hg = xe.apply_operator(H, g)
-    var = (Hg - lam * g).frob_norm()
-    results.append({"workload": "dmrg_heisenberg_d32",
-                    "seconds": round(time.perf_counter() - t0, 3),
-                    "ground_energy": round(lam, 8),
-                    "eig_residual": f"{var:.3e}",
-                    "max_rank": max(g.ranks())})
+    with host():
+        H = heisenberg_mpo(d)
+        g0 = TTTensor.random([2] * d, 4)
+    if TPU_MODE:
+        gw = g0.copy()
+        t0 = time.perf_counter()
+        xe.smallest_eigenvalue(H, gw, sites=2, max_rank=16, num_sweeps=6)
+        warm = time.perf_counter() - t0
+        g = g0.copy()
+        t0 = time.perf_counter()
+        lam = xe.smallest_eigenvalue(H, g, sites=2, max_rank=16,
+                                     num_sweeps=6)
+        secs = time.perf_counter() - t0
+        with host():
+            Hg = xe.apply_operator(H, g)
+            var = (Hg - lam * g).frob_norm()
+        results.append({"workload": "dmrg_heisenberg_d32",
+                        "seconds": round(secs, 3), "warm_s": round(warm, 1),
+                        "ground_energy": round(lam, 8),
+                        "eig_residual": f"{var:.3e}",
+                        "max_rank": max(g.ranks()),
+                        "mode": "tpu lanczos scan kernel"})
+    else:
+        g = g0.copy()
+        t0 = time.perf_counter()
+        lam = xe.smallest_eigenvalue(H, g, sites=2, max_rank=16,
+                                     num_sweeps=6, solver="exact")
+        Hg = xe.apply_operator(H, g)
+        var = (Hg - lam * g).frob_norm()
+        results.append({"workload": "dmrg_heisenberg_d32",
+                        "seconds": round(time.perf_counter() - t0, 3),
+                        "ground_energy": round(lam, 8),
+                        "eig_residual": f"{var:.3e}",
+                        "max_rank": max(g.ranks())})
 
     # -- workload 5: ADF completion + largest entry ----------------------
-    t0 = time.perf_counter()
+    xe.set_seed(0xBAADF00D + 5)
     dims = [4] * 5
-    truth = TTTensor.random(dims, 3)
-    truth /= truth.frob_norm()
-    ms = xe.SinglePointMeasurementSet.random(400, dims)
-    ms.measure(truth)
-    xc = TTTensor.random(dims, 1)  # rank-adaptive start (adf.cpp:589-601)
+    with host():
+        truth = TTTensor.random(dims, 3)
+        truth /= truth.frob_norm()
+        ms = xe.SinglePointMeasurementSet.random(400, dims)
+        ms.measure(truth)
+        xc0 = TTTensor.random(dims, 1)  # rank-adaptive start (adf.cpp:589)
     variant = xe.ADFVariant(400, 1e-8, 0.9999)
-    resid = variant(xc, ms, max_ranks=[3] * 4)
-    pos = xe.find_largest_entry(xc, accuracy=0.05)
-    arr = np.abs(xc.to_tensor().to_ndarray()).reshape(-1)
-    results.append({"workload": "adf_completion_largest_entry",
-                    "seconds": round(time.perf_counter() - t0, 3),
-                    "sample_residual": f"{resid:.3e}",
-                    "recovery_err_vs_truth": f"{ms.test(xc):.3e}",
-                    "found_entry_frac_of_max": round(
-                        float(arr[pos] / arr.max()), 4)})
+    if TPU_MODE:
+        xw = xc0.copy()
+        t0 = time.perf_counter()
+        variant(xw, ms, max_ranks=[3] * 4)     # warm (compile) run
+        warm = time.perf_counter() - t0
+        xc = xc0.copy()
+        t0 = time.perf_counter()
+        resid = variant(xc, ms, max_ranks=[3] * 4)
+        pos = xe.find_largest_entry(xc, accuracy=0.05)
+        secs = time.perf_counter() - t0
+        arr = np.abs(xc.to_tensor().to_ndarray()).reshape(-1)
+        results.append({"workload": "adf_completion_largest_entry",
+                        "seconds": round(secs, 3), "warm_s": round(warm, 1),
+                        "sample_residual": f"{resid:.3e}",
+                        "recovery_err_vs_truth": f"{ms.test(xc):.3e}",
+                        "found_entry_frac_of_max": round(
+                            float(arr[pos] / arr.max()), 4),
+                        "mode": "tpu ADF iteration kernel"})
+    else:
+        xc = xc0.copy()
+        t0 = time.perf_counter()
+        resid = variant(xc, ms, max_ranks=[3] * 4)
+        pos = xe.find_largest_entry(xc, accuracy=0.05)
+        arr = np.abs(xc.to_tensor().to_ndarray()).reshape(-1)
+        results.append({"workload": "adf_completion_largest_entry",
+                        "seconds": round(time.perf_counter() - t0, 3),
+                        "sample_residual": f"{resid:.3e}",
+                        "recovery_err_vs_truth": f"{ms.test(xc):.3e}",
+                        "found_entry_frac_of_max": round(
+                            float(arr[pos] / arr.max()), 4)})
 
     for r in results:
-        print(json.dumps(r))
+        print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":

@@ -448,3 +448,21 @@ def test_round_int_with_eps_argument():
     c = a + 1e-9 * TTTensor.random([2] * 6, 2)
     c.round(4, eps=1e-6)
     assert max(c.ranks()) == 2
+
+
+def test_move_core_rank_excess_repair():
+    """move_core reduces boundary rank excess via per-offending-boundary
+    core excursions (ttNetwork.cpp:609-624), preserving value and the
+    canonical invariant."""
+    a = TTTensor.random([2] * 4, 3)
+    b = TTTensor.random([2] * 4, 3)
+    for pos in range(4):
+        s = a + b
+        s.canonicalized = False       # force the full move_core path
+        want = s.to_tensor().to_ndarray()
+        s.move_core(pos)
+        s.require_correct_format()
+        assert not s.exceeds_maximal_ranks()
+        assert s.ranks() == [2, 4, 2]     # clamped to maximal
+        got = s.to_tensor().to_ndarray()
+        assert np.allclose(got, want, atol=1e-12 * np.linalg.norm(want))
