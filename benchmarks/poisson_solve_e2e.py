@@ -84,8 +84,11 @@ t_upload = time.perf_counter() - t0
 print("upload: %.2f s" % t_upload, flush=True)
 
 shapes_key = tuple(tuple(c.shape) for c in x32)
-fn1 = make_als_multi_sweep_res(shapes_key, "float32", N1)
-fn2 = make_df_als_multi_sweep(shapes_key, "float32", N2)
+# SMALL programs (2 half-sweeps each), dispatched repeatedly: each extra
+# dispatch costs ~150ms tunnel RTT, each extra sweep-in-program costs
+# minutes of tunnel compile — small-and-repeated wins decisively
+fn1 = make_als_multi_sweep_res(shapes_key, "float32", 2)
+fn2 = make_df_als_multi_sweep(shapes_key, "float32", 2)
 
 # ---- compile (warm the programs once; excluded, reported) ----
 t0 = time.perf_counter()
@@ -101,16 +104,22 @@ print("phase2 compile+first-run: %.1f s" % t_c2, flush=True)
 
 # ---- the measured solve: fresh start, warm programs ----
 t0 = time.perf_counter()
-c1, res_hist = fn1(x32, A32, b32)
-r1 = float(res_hist[-1])                      # sync point 1
+c1 = x32
+hist = []
+for _ in range((N1 + 1) // 2):
+    c1, res_hist = fn1(c1, A32, b32)
+    hist += [float(v) for v in res_hist]      # sync per call (2 sweeps)
+    if len(hist) >= 4 and abs(hist[-1] - hist[-3]) < 1e-9 + 1e-3 * hist[-1]:
+        break                                 # f32 plateau reached
 # seed the df phase with the f32 result (hi = f32 cores, lo = 0)
-x_df_seed = tuple((c.astype(jnp.float32), jnp.zeros_like(c)) for c in c1)
-c2 = fn2(x_df_seed, A_df, b_df)
-float(jnp.sum(c2[0][0]))                      # sync point 2
+c2 = tuple((c.astype(jnp.float32), jnp.zeros_like(c)) for c in c1)
+for _ in range((N2 + 1) // 2):
+    c2 = fn2(c2, A_df, b_df)
+float(jnp.sum(c2[0][0]))                      # final sync
 t_solve = time.perf_counter() - t0
-print("f32 residual history:", [float(v) for v in res_hist], flush=True)
-print("SOLVE WALL (2 dispatches, %d f32 + %d df half-sweeps): %.3f s"
-      % (N1, N2, t_solve), flush=True)
+print("f32 residual history:", hist, flush=True)
+print("SOLVE WALL (%d f32 + %d df half-sweeps, 2-sweep programs): %.3f s"
+      % (len(hist), 2 * ((N2 + 1) // 2), t_solve), flush=True)
 
 # ---- download + host-f64 verification (excluded, reported) ----
 t0 = time.perf_counter()

@@ -226,3 +226,32 @@ def test_matmul_tensor_contraction_and_tt_ranks():
         # collapses to delta_{i1,i5} x delta_{i4,i6} with only n active
         # rows, so the profile is (n, n^2, n, n^2, n)
         assert ttT.ranks() == [n, n * n, n, n * n, n]
+
+
+def test_matmul_tensor_identity_and_tt_ranks():
+    """Matrix-multiplication-tensor stress (intent of the reference's
+    strassen.cxx TTRanks sketch, src/unitTests/strassen.cxx:26-53 —
+    commented out upstream, kept here as a live DSL+TT oracle):
+    C(i5,i6) = T(i1..i6) A(i1,i2) B(i3,i4) equals A@B, and the TT ranks
+    of T are bounded by n^2."""
+    import numpy as np
+    from xerus_tpu import Tensor, TTTensor
+    import xerus_tpu as xe
+
+    for n in (2, 3, 4):
+        T = Tensor([n] * 6)
+        for i in range(n):
+            for j in range(n):
+                for k in range(n):
+                    T[[i, j, j, k, i, k]] = 1.0
+        A = Tensor.random([n, n])
+        B = Tensor.random([n, n])
+        i1, i2, i3, i4, i5, i6 = xe.indices(6)
+        C1, C2 = Tensor(), Tensor()
+        C1(i1, i3) << A(i1, i2) * B(i2, i3)
+        C2(i5, i6) << T(i1, i2, i3, i4, i5, i6) * A(i1, i2) * B(i3, i4)
+        assert np.allclose(C1.to_ndarray(), C2.to_ndarray(), atol=1e-12)
+        assert np.allclose(C1.to_ndarray(),
+                           A.to_ndarray() @ B.to_ndarray(), atol=1e-12)
+        tt = TTTensor(T, eps=1e-12)
+        assert max(tt.ranks()) <= n * n

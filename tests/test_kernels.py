@@ -404,3 +404,68 @@ def test_tt_residual_rel_device():
     true = float((apply_operator(A, x2) - b2).frob_norm() / b2.frob_norm())
     assert true < 1e-12            # genuinely converged
     assert dev < 10 * true + 1e-14  # device readout follows it down
+
+
+def test_als_multi_sweep_res_matches_single_sweeps():
+    """N chained alternating half-sweeps + residual history in one program
+    == N single-sweep kernel calls (the e2e solve drivers' fast path)."""
+    import jax.numpy as jnp
+    import xerus_tpu as xe
+    from xerus_tpu.ops.tt_kernels import (make_als_multi_sweep_res,
+                                          make_als_sweep, tt_residual_rel)
+    from xerus_tpu.examples import laplace_operator
+
+    dims = [2] * 6
+    A = laplace_operator(dims)
+    x = xe.TTTensor.random(dims, 3)
+    x.canonicalize_left()
+    b = xe.TTTensor.ones(dims)
+    xc = tuple(c.to_jax() for c in x.components)
+    Ac = tuple(c.to_jax() for c in A.components)
+    bc = tuple(c.to_jax() for c in b.components)
+
+    shapes = tuple(tuple(c.shape) for c in xc)
+    multi = make_als_multi_sweep_res(shapes, "float64", 4)
+    out, hist = multi(xc, Ac, bc)
+    assert hist.shape == (4,)
+
+    cur = xc
+    for s in range(4):
+        fn = make_als_sweep(shapes, "float64", "lr" if s % 2 == 0 else "rl")
+        cur = fn(cur, Ac, bc)
+    import numpy as np
+    for a_, b_ in zip(out, cur):
+        assert np.allclose(np.asarray(a_), np.asarray(b_), atol=1e-12)
+    assert abs(float(hist[-1])
+               - float(tt_residual_rel(cur, Ac, bc))) < 1e-12
+
+
+def test_df_als_multi_sweep_reaches_f64_quality():
+    """Chained df32 half-sweeps (one program) refine an f32-converged
+    start to ~f64-level residual (mixed_precision.make_df_als_multi_sweep)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import xerus_tpu as xe
+    from xerus_tpu.ops.mixed_precision import make_df_als_multi_sweep
+    from xerus_tpu.ops.df32 import df_from_f64, df_to_f64
+    from xerus_tpu.examples import laplace_operator
+    from xerus_tpu.tt.ttnetwork import apply_operator
+    from xerus_tpu.core.tensor import Tensor
+
+    dims = [2] * 6
+    A = laplace_operator(dims)
+    x = xe.TTTensor.random(dims, 4)
+    x.canonicalize_left()
+    b = xe.TTTensor.ones(dims)
+    x64 = [np.asarray(c.to_ndarray(), np.float64) for c in x.components]
+    shapes = tuple(tuple(c.shape) for c in x64)
+    fn = make_df_als_multi_sweep(shapes, "float32", 4)
+    x_df = tuple(df_from_f64(c) for c in x64)
+    A_df = tuple(df_from_f64(np.asarray(c.to_ndarray(), np.float64))
+                 for c in A.components)
+    b_df = tuple(df_from_f64(np.asarray(c.to_ndarray(), np.float64))
+                 for c in b.components)
+    out = fn(x_df, A_df, b_df)
+    x.components = [Tensor.from_ndarray(df_to_f64(h, l)) for (h, l) in out]
+    res = float((apply_operator(A, x) - b).frob_norm() / b.frob_norm())
+    assert res < 1e-11, res
