@@ -2,6 +2,8 @@ from .tt_kernels import (tt_round_sweep, make_round_sweep, round_flops,
                          tt_round_sweep_uniform, make_round_sweep_scan,
                          tt_round_randomized, tt_round_randomized_uniform,
                          tt_round_streaming_uniform, tt_round_eps_fast,
+                         tt_round_sweep_segmented, tt_residual_rel,
+                         make_als_sweep_res, make_als_multi_sweep_res,
                          randomized_round_flops,
                          make_als_sweep, als_sweep_flops,
                          als_half_sweep_batched, make_timed_loop)
