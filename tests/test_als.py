@@ -178,3 +178,18 @@ def test_asd_spd_fast_path_converges():
     x.require_correct_format()
     resid = (xe.apply_operator(L, x) - b).frob_norm() / b.frob_norm()
     assert float(resid) < 1e-6
+
+
+def test_als_cg_matrix_free_local_solver():
+    """local_solver='cg' (matrix-free local solves, never materializes
+    the (r n r)^2 local operator — TPU-native extension) converges like
+    the lapack path on the SPD Poisson system."""
+    dims = [2] * 8
+    A = laplace_operator(dims)
+    b = TTTensor.ones(dims)
+    b /= b.frob_norm()
+    x = TTTensor.random(dims, 5)
+    resid = xe.ALS_SPD_CG(A, x, b, 1e-10)
+    from xerus_tpu.tt.ttnetwork import apply_operator
+    true = float((apply_operator(A, x) - b).frob_norm() / b.frob_norm())
+    assert true < 1e-7, true

@@ -35,7 +35,7 @@ from .misc import (FileFormat, save_to_file, load_from_file, LogHistogram,
 from .core import serialization as _serialization  # registers Tensor I/O
 
 from .algorithms import (PerformanceData, NoPerfData, ALSVariant, ALS,
-                         ALS_SPD, DMRG, DMRG_SPD, ASD, ASD_SPD,
+                         ALS_SPD, ALS_SPD_CG, DMRG, DMRG_SPD, ASD, ASD_SPD,
                          SinglePointMeasurementSet, RankOneMeasurementSet,
                          ADFVariant, ADF, TTTangentVector,
                          HOSVDRetractionI, HOSVDRetractionII, ALSRetractionI,

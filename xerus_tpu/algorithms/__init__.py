@@ -1,5 +1,5 @@
 from .performance_data import PerformanceData, NoPerfData, DataPoint
-from .als import (ALSVariant, ALS, ALS_SPD, DMRG, DMRG_SPD, ASD, ASD_SPD)
+from .als import (ALSVariant, ALS, ALS_SPD, ALS_SPD_CG, DMRG, DMRG_SPD, ASD, ASD_SPD)
 from .measurements import SinglePointMeasurementSet, RankOneMeasurementSet
 from .adf import ADFVariant, ADF
 from .retractions import (TTTangentVector, HOSVDRetractionI, HOSVDRetractionII,

@@ -92,7 +92,8 @@ class ALSVariant:
               perf: PerformanceData = NoPerfData) -> float:
         if (self.sites == 1 and A is not None
                 and (self.local_solver == "lapack"
-                     or (self.local_solver == "asd" and self.assumeSPD))):
+                     or (self.local_solver in ("asd", "cg")
+                         and self.assumeSPD))):
             return self._solve_fast(A, x, b, num_half_sweeps, conv_eps, perf)
         data = _ALSData(self, A, x, b)
         perf.start()
@@ -158,12 +159,13 @@ class ALSVariant:
         direction = "lr"
         spd = self.assumeSPD
         reversed_state = False
-        asd = self.local_solver == "asd"
+        asd = self.local_solver in ("asd", "cg")
         while True:
             shapes_key = tuple(tuple(c.shape) for c in cores)
             if asd:
-                # ASD (SPD): lr kernel only; odd half-sweeps run on the
-                # site-reversed system (ops/tt_kernels.py _asd_half_sweep)
+                # ASD / matrix-free CG (SPD): lr kernel only; odd
+                # half-sweeps run on the site-reversed system
+                # (ops/tt_kernels.py _asd_half_sweep / _als_half_sweep_cg)
                 if (direction == "rl") != reversed_state:
                     cores = reverse_tt(cores)
                     A_cores = reverse_op(A_cores)
@@ -171,7 +173,7 @@ class ALSVariant:
                     reversed_state = not reversed_state
                 shapes_key = tuple(tuple(c.shape) for c in cores)
                 fn = make_als_sweep_res(shapes_key, str(cores[0].dtype), "lr",
-                                        spd=True, solver="asd")
+                                        spd=True, solver=self.local_solver)
                 cores, res = fn(cores, A_cores, b_cores)
             elif spd:
                 fn = make_als_sweep_res(shapes_key, str(cores[0].dtype),
@@ -509,6 +511,9 @@ def _check_end_of_sweep(data: _ALSData, num_half_sweeps: int, conv_eps: float,
 # preset variants (als.cpp:556-563)
 ALS = ALSVariant(1, 0, "lapack", assume_spd=False)
 ALS_SPD = ALSVariant(1, 0, "lapack", assume_spd=True)
+# TPU-native extension: matrix-free CG local solves — never materializes
+# the (r*n*r)^2 local operator; the large-rank single-site path
+ALS_SPD_CG = ALSVariant(1, 0, "cg", assume_spd=True)
 DMRG = ALSVariant(2, 0, "lapack", assume_spd=False)
 DMRG_SPD = ALSVariant(2, 0, "lapack", assume_spd=True)
 ASD = ALSVariant(1, 0, "asd", assume_spd=False)

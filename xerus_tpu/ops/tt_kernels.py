@@ -1391,6 +1391,77 @@ def _als_half_sweep(x_cores, A_cores, b_cores):
     return tuple(x_cores)
 
 
+def _als_half_sweep_cg(x_cores, A_cores, b_cores, cg_iters: int = 24):
+    """Single-site SPD ALS half-sweep with MATRIX-FREE CG local solves:
+    the local operator is never materialized — each CG iteration applies
+    it through the environments (three small einsums).  For rank r the
+    dense path forms an (r*n*r)^2 matrix and Cholesky-factorizes it
+    (O(r^6 n^3 / 3) flops, O(r^4 n^2) memory): prohibitive past r ~ 64.
+    Here cost is O(cg_iters * r^3 n^2 a) flops and O(r^2 n a) memory —
+    THE enabler for large-rank single-site sweeps.  The local systems are
+    SPD with modest condition (the left/right bases are orthonormal), so
+    a fixed small iteration count reaches f32-level accuracy; x assumed
+    canonicalized at 0 (als.cpp:483-564 semantics, lapack_solver swapped
+    for CG)."""
+    d = len(x_cores)
+    dtype = x_cores[0].dtype
+    tiny = jnp.asarray(1e-30, dtype)
+    op_right = [None] * (d + 1)
+    rhs_right = [None] * (d + 1)
+    op_right[d] = jnp.ones((1, 1, 1), dtype=dtype)
+    rhs_right[d] = jnp.ones((1, 1), dtype=dtype)
+    for k in range(d - 1, 0, -1):
+        xc, Ac, bc = x_cores[k], A_cores[k], b_cores[k]
+        op_right[k] = jnp.einsum("umU,amnb,vnV,UbV->uav", xc, Ac, xc,
+                                 op_right[k + 1])
+        rhs_right[k] = jnp.einsum("umU,bmB,UB->ub", xc, bc, rhs_right[k + 1])
+
+    x_cores = list(x_cores)
+    op_left = jnp.ones((1, 1, 1), dtype=dtype)
+    rhs_left = jnp.ones((1, 1), dtype=dtype)
+    for k in range(d):
+        Ac, bc, xc = A_cores[k], b_cores[k], x_cores[k]
+        opR = op_right[k + 1]
+
+        def apply_loc(v, opL=op_left, Ak=Ac, opRk=opR):
+            t = jnp.einsum("uav,vnV->uanV", opL, v)
+            t = jnp.einsum("amnb,uanV->umbV", Ak, t)
+            return jnp.einsum("UbV,umbV->umU", opRk, t)
+
+        bloc = jnp.einsum("ub,bmB,UB->umU", rhs_left, bc, rhs_right[k + 1])
+        # CG from the current core (warm start: the sweep's previous
+        # iterate is already close after the first full sweep)
+        rvec = bloc - apply_loc(xc)
+        pvec = rvec
+        rs = jnp.sum(rvec * rvec)
+
+        def cg_body(_, state, apply_loc=apply_loc):
+            xv, rv, pv, rs = state
+            Ap = apply_loc(pv)
+            denom = jnp.sum(pv * Ap)
+            alpha = jnp.where(denom > tiny, rs / jnp.maximum(denom, tiny),
+                              0.0)
+            xv = xv + alpha * pv
+            rv = rv - alpha * Ap
+            rs2 = jnp.sum(rv * rv)
+            beta = jnp.where(rs > tiny, rs2 / jnp.maximum(rs, tiny), 0.0)
+            return (xv, rv, rv + beta * pv, rs2)
+
+        core, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body,
+                                          (xc, rvec, pvec, rs))
+        if k < d - 1:
+            rl, n, rr = core.shape
+            q, r = jnp.linalg.qr(core.reshape(rl * n, rr))
+            x_cores[k] = q.reshape(rl, n, q.shape[1])
+            x_cores[k + 1] = jnp.einsum("ab,bnc->anc", r, x_cores[k + 1])
+            op_left = jnp.einsum("uav,umU,amnb,vnV->UbV", op_left,
+                                 x_cores[k], Ac, x_cores[k])
+            rhs_left = jnp.einsum("ub,umU,bmB->UB", rhs_left, x_cores[k], bc)
+        else:
+            x_cores[k] = core
+    return tuple(x_cores)
+
+
 def _asd_half_sweep(x_cores, A_cores, b_cores):
     """Single-site SPD ASD half-sweep (als.cpp:73-92 ASD_solver): one
     exact-stepsize gradient step per site instead of the local solve —
@@ -1602,6 +1673,8 @@ def make_als_sweep_res(shapes_key: Tuple, dtype_str: str,
     cost of the old driver, VERDICT r1 weak#3)."""
     if solver == "asd":
         body = _asd_half_sweep
+    elif solver == "cg":
+        body = _als_half_sweep_cg        # lr only; driver site-reverses
     elif not spd:
         body = _als_half_sweep_nonspd
     else:
@@ -1644,6 +1717,9 @@ def make_als_sweep(shapes_key: Tuple, dtype_str: str, direction: str = "lr",
     if solver == "asd":
         # ASD: lr kernel only (the driver site-reverses for rl sweeps)
         return jit_f32(_asd_half_sweep, dtype_str)
+    if solver == "cg":
+        # matrix-free CG local solves: lr only, driver site-reverses
+        return jit_f32(_als_half_sweep_cg, dtype_str)
     if not spd:
         return jit_f32(_als_half_sweep_nonspd, dtype_str)
     return jit_f32(_als_half_sweep if direction == "lr"
