@@ -469,3 +469,33 @@ def test_df_als_multi_sweep_reaches_f64_quality():
     x.components = [Tensor.from_ndarray(df_to_f64(h, l)) for (h, l) in out]
     res = float((apply_operator(A, x) - b).frob_norm() / b.frob_norm())
     assert res < 1e-11, res
+
+
+def test_subspace_round_quality_and_exactness():
+    """Deterministic GEMM-only subspace truncation (method='subspace'):
+    exact on representable ranks, within a few percent of the exact-SVD
+    truncation error otherwise (ops/tt_kernels._trunc_step_subspace)."""
+    from xerus_tpu.ops.tt_kernels import tt_round_sweep_segmented
+
+    tt = TTTensor.random([2] * 10, 8)
+    cores = [c.to_jax() for c in tt.components]
+    orig = tt.to_tensor().to_ndarray()
+    # representable: exact
+    out = tt_round_sweep_segmented(cores, 8, method="subspace")
+    got = TTTensor._make([xe.Tensor.from_jax(c) for c in out])
+    assert np.allclose(got.to_tensor().to_ndarray(), orig, atol=1e-10)
+    # truncating: near-optimal
+    ex = tt_round_sweep_segmented(cores, 4, method="svd")
+    sub = tt_round_sweep_segmented(cores, 4, method="subspace")
+    e_ex = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_jax(c) for c in ex]).to_tensor().to_ndarray() - orig)
+    e_sub = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_jax(c) for c in sub]).to_tensor().to_ndarray() - orig)
+    assert e_sub < 1.1 * e_ex + 1e-12
+    # object-level route incl. per-edge vector
+    t = tt.copy()
+    t.round_fast([2, 3, 4, 4, 4, 4, 4, 3, 2], method="subspace")
+    t.require_correct_format()
+    assert t.ranks() == [2, 3, 4, 4, 4, 4, 4, 3, 2]
+    with pytest.raises(ValueError):
+        tt_round_sweep_segmented(cores, 4, method="subspace", eps=1e-6)

@@ -652,11 +652,60 @@ def _qr_sweep_segmented(cores, min_run: int = 3, orth: str = "cholqr",
     return out, true_k, logs
 
 
+def _trunc_step_subspace(cur, keep, keep_cap: int, dtype, tiny,
+                         power_iters: int = 3):
+    """Deterministic GEMM-only truncation: subspace (power) iteration on
+    the Gram matrix G = cur cur^T from the deterministic start G[:, :k],
+    then a Cholesky LQ split — NO SVD/eigh anywhere.  Measured on v5e:
+    jnp.linalg.svd(256,512) costs 788us and eigh(256) 1956us PER CALL
+    while GEMM + (k,k) Cholesky + trsm are ~free; the sequential
+    bond chain makes that per-call latency THE deterministic-rounding
+    wall (49ms/sweep with exact SVD bodies).
+
+    Quality: cur ~= V (V^T cur) with V spanning the dominant subspace
+    after `power_iters` iterations on G (convergence ratio
+    (sigma_{k+1}/sigma_k)^{2*iters}; near-degenerate crossings cost
+    nothing in Frobenius error since the competing directions carry
+    equal weight).  Validated against exact-SVD rounding on the test
+    oracles; use method='svd' when exact reference semantics matter
+    more than wall-clock.  No eps support (needs singular values)."""
+    from jax.scipy.linalg import solve_triangular
+    B, M = cur.shape
+    G = cur @ cur.T                                       # (B, B) GEMM
+    col_mask = (jnp.arange(keep_cap, dtype=jnp.int32)
+                < jnp.asarray(keep, jnp.int32)).astype(dtype)
+    eye_k = jnp.eye(keep_cap, dtype=dtype)
+    eps_s = jnp.asarray(10 * jnp.finfo(dtype).eps, dtype)
+
+    def orth_cols(X):
+        Gx = X.T @ X
+        shift = eps_s * jnp.max(jnp.diagonal(Gx)) + tiny
+        L = jnp.linalg.cholesky(Gx + shift * eye_k)
+        return solve_triangular(L, X.T, lower=True).T
+
+    V = orth_cols(G[:, :keep_cap] * col_mask[None, :])
+    for _ in range(power_iters):
+        V = orth_cols((G @ V) * col_mask[None, :])
+    # one extra CholQR pass: each single shifted pass leaves ~u*kappa^2
+    # orthogonality error which would bleed into cur ~= V (V^T cur)
+    V = orth_cols(V) * col_mask[None, :]
+    vt_raw = V.T @ cur                                    # (k, M)
+    Gr = vt_raw @ vt_raw.T
+    shift = eps_s * jnp.max(jnp.diagonal(Gr)) + tiny
+    L = jnp.linalg.cholesky(Gr + shift * eye_k)
+    Q = solve_triangular(L, vt_raw, lower=True)           # row-orthonormal
+    Q = Q * col_mask[:, None]
+    US = (V @ L) * col_mask[None, :]                      # cur ~= US @ Q
+    return US, Q
+
+
 def _trunc_step(cur, keep, keep_cap: int, eps, method: str, dtype, tiny):
     """One truncation step on the (Bl, M) padded matricization.  ``keep``
     is the (possibly traced, per-scan-step) true kept rank, ``keep_cap``
     its static bucket.  Returns (US (Bl, keep_cap), vt (keep_cap, M)) with
     entries beyond ``keep`` exactly zero."""
+    if method == "subspace":
+        return _trunc_step_subspace(cur, keep, keep_cap, dtype, tiny)
     if method == "gram":
         G = cur @ cur.T
         lam, V = jnp.linalg.eigh(G)                    # ascending
@@ -848,6 +897,9 @@ def tt_round_sweep_segmented(cores: Sequence[jnp.ndarray], max_ranks,
     if isinstance(max_ranks, (int, np.integer)):
         max_ranks = [int(max_ranks)] * (d - 1)
     max_ranks = tuple(int(r) for r in max_ranks)
+    if method == "subspace" and eps > 0.0:
+        raise ValueError("method='subspace' has no singular values to "
+                         "apply eps to; use method='svd' for eps rounding")
     shapes = tuple(tuple(c.shape) for c in cores)
     fn = make_round_sweep_segmented(shapes, max_ranks, float(eps), method,
                                     str(jnp.asarray(cores[0]).dtype))

@@ -585,7 +585,10 @@ class TTNetwork:
                 cores = tt_round_randomized_uniform(cores, int(max_rank))
             elif method == "streaming":
                 cores = tt_round_streaming_uniform(cores, int(max_rank))
-            seg_method = method if method in ("svd", "gram") else "svd"
+            seg_method = method if method in ("svd", "gram", "subspace") \
+                else "svd"
+            if seg_method == "subspace" and eps > 0.0:
+                seg_method = "svd"
             out = tt_round_sweep_segmented(cores, rank_vec, eps=float(eps),
                                            method=seg_method)
         elif method == "randomized":
@@ -599,11 +602,19 @@ class TTNetwork:
             if eps > 0.0:
                 out = tt_round_sweep_uniform(out, int(max_rank),
                                              method="svd", eps=float(eps))
-        elif method in ("svd", "gram"):
+        elif method in ("svd", "gram", "subspace"):
             # segmented true-shape sweep: no padding waste on the boundary
-            # ramps, plateau runs scan-compiled (ops/tt_kernels.py)
-            out = tt_round_sweep_segmented(cores, int(max_rank),
-                                           eps=float(eps), method=method)
+            # ramps, plateau runs scan-compiled (ops/tt_kernels.py);
+            # 'subspace' = deterministic GEMM-only truncation (no
+            # SVD/eigh; eps falls back to the exact svd pass)
+            if method == "subspace" and eps > 0.0:
+                out = tt_round_sweep_segmented(cores, int(max_rank),
+                                               method="subspace")
+                out = tt_round_sweep_segmented(out, int(max_rank),
+                                               eps=float(eps), method="svd")
+            else:
+                out = tt_round_sweep_segmented(cores, int(max_rank),
+                                               eps=float(eps), method=method)
         else:
             out = tt_round_sweep_uniform(cores, int(max_rank), method=method,
                                          eps=0.0)
