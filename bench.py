@@ -159,6 +159,16 @@ def main() -> None:
     flops = round_flops(shapes, TARGET)   # useful (unpadded) flops
     tflops = flops / tpu_time / 1e12
 
+    # deterministic GEMM-only subspace truncation (no SVD/eigh in the
+    # sweep; within 3% of the exact-SVD truncation error, see
+    # _trunc_step_subspace)
+    def sub_kernel(cs):
+        return tuple(_round_sweep_segmented(list(cs), [TARGET] * (D - 1),
+                                            0.0, "subspace"))
+
+    sub_time = _time_looped(sub_kernel, dev_cores, ITERS)
+    sub_tflops = flops / sub_time / 1e12
+
     from xerus_tpu.ops.tt_kernels import _round_randomized_scan
 
     def rnd_kernel(inputs):
@@ -307,6 +317,8 @@ def main() -> None:
         "vs_baseline": round(cpu_time / best_time, 2),
         "deterministic_segmented_time_s": round(tpu_time, 6),
         "deterministic_segmented_tflops": round(tflops, 4),
+        "deterministic_subspace_time_s": round(sub_time, 6),
+        "deterministic_subspace_tflops": round(sub_tflops, 4),
         "randomized_round_time_s": round(rnd_time, 6),
         "randomized_round_tflops": round(rnd_tflops, 4),
         "randomized_mfu_pct_of_f32_peak": round(
