@@ -313,3 +313,32 @@ def test_tp_als_half_sweep_matches_serial():
 
     fw, fg = full(want), full(got)
     assert np.linalg.norm(fw - fg) / np.linalg.norm(fw) < 1e-8
+
+
+def test_tt_round_tsqr_subspace_matches_gram():
+    """GEMM-only subspace truncation in the rank-sharded TSQR rounding
+    (no eigh anywhere) matches the gram-eigh variant's error."""
+    from jax.sharding import Mesh
+    from xerus_tpu.parallel.tsqr_round import tt_round_tsqr
+
+    mesh1d = Mesh(np.array(jax.devices()[:8]), ("tp",))
+    t = TTTensor.random([2] * 8, 12) + TTTensor.random([2] * 8, 3)
+    cores = [c.to_jax() for c in t.components]
+    orig = t.to_tensor().to_ndarray()
+
+    def full(cs):
+        out = np.asarray(cs[0])
+        for c in cs[1:]:
+            out = np.einsum("...a,anb->...nb", out, np.asarray(c))
+        return out.squeeze(axis=(0, -1))
+
+    g = tt_round_tsqr(cores, 6, mesh1d, method="gram")
+    s = tt_round_tsqr(cores, 6, mesh1d, method="subspace")
+    e_g = np.linalg.norm(full(g) - orig)
+    e_s = np.linalg.norm(full(s) - orig)
+    assert e_s < 1.1 * e_g + 1e-12
+    # representable rank: exact
+    t2 = TTTensor.random([2] * 8, 4)
+    c2 = [c.to_jax() for c in t2.components]
+    s2 = tt_round_tsqr(c2, 8, mesh1d, method="subspace")
+    assert np.allclose(full(s2), t2.to_tensor().to_ndarray(), atol=1e-9)

@@ -38,9 +38,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 
-def _round_tsqr_local(stacked, target_rank: int, p: int, axis: str):
+def _round_tsqr_local(stacked, target_rank: int, p: int, axis: str,
+                      method: str = "gram"):
     """Body run per device under shard_map.  stacked: (d, r/p, n, r) local
-    block, sharded on the LEFT rank axis."""
+    block, sharded on the LEFT rank axis.  method='gram' truncates each
+    bond with a replicated (r, r) eigh; method='subspace' replaces it
+    with GEMM-only subspace iteration + Cholesky LQ (no eigh anywhere —
+    v5e eigh(256) costs ~2ms per CALL and does not batch, see
+    ops/tt_kernels._trunc_step_subspace; quality within a few % of
+    exact truncation, validated on the CPU mesh)."""
     d, rp, n, r = stacked.shape
     dtype = stacked.dtype
     tiny = jnp.asarray(1e-30, dtype)
@@ -76,8 +82,42 @@ def _round_tsqr_local(stacked, target_rank: int, p: int, axis: str):
     qs = jax.lax.all_to_all(qs, axis, split_axis=3, concat_axis=1,
                             tiled=True)            # (d, r, n, r/p)
 
-    # ---- pass 2: right->left Gram-eigh truncation ----
+    # ---- pass 2: right->left truncation (gram-eigh or subspace) ----
     mask = (jnp.arange(r, dtype=jnp.int32) < target_rank).astype(dtype)
+
+    def _truncate(curm):
+        """curm: (r, n*r/p) local column block.  Returns (US2 (r, r,
+        masked), vt (r, n*rp) local block)."""
+        G = jax.lax.psum(curm @ curm.T, axis)      # (r, r) replicated
+        if method == "subspace":
+            from jax.scipy.linalg import solve_triangular
+            eps_s = jnp.asarray(10 * jnp.finfo(dtype).eps, dtype)
+            eye = jnp.eye(r, dtype=dtype)
+
+            def orth_cols(X):
+                Gx = X.T @ X                       # replicated input
+                shift = eps_s * jnp.max(jnp.diagonal(Gx)) + tiny
+                L = jnp.linalg.cholesky(Gx + shift * eye)
+                return solve_triangular(L, X.T, lower=True).T
+
+            V = orth_cols(G * mask[None, :])
+            for _ in range(3):
+                V = orth_cols((G @ V) * mask[None, :])
+            V = orth_cols(V) * mask[None, :]
+            vt_loc = V.T @ curm                    # (r, n*rp) local
+            Gr = jax.lax.psum(vt_loc @ vt_loc.T, axis)
+            shift = eps_s * jnp.max(jnp.diagonal(Gr)) + tiny
+            L = jnp.linalg.cholesky(Gr + shift * eye)
+            vt = solve_triangular(L, vt_loc, lower=True) * mask[:, None]
+            US2 = (V @ L) * mask[None, :]
+            return US2, vt
+        lam, V = jnp.linalg.eigh(G)
+        lam = lam[::-1]
+        V = V[:, ::-1]
+        s = jnp.sqrt(jnp.maximum(lam, 0.0)) * mask
+        inv_s = jnp.where(s > tiny, 1.0 / jnp.maximum(s, tiny), 0.0)
+        vt = (V.T @ curm) * inv_s[:, None]
+        return V * s[None, :], vt
 
     def gram_body(carry, core_local):
         US, logs = carry                           # replicated (r, r)
@@ -87,14 +127,7 @@ def _round_tsqr_local(stacked, target_rank: int, p: int, axis: str):
         cur = jax.lax.psum_scatter(partial_full, axis, scatter_dimension=2,
                                    tiled=True)     # (r, n, r/p)
         curm = cur.reshape(r, n * rp)
-        G = jax.lax.psum(curm @ curm.T, axis)      # (r, r) replicated
-        lam, V = jnp.linalg.eigh(G)
-        lam = lam[::-1]
-        V = V[:, ::-1]
-        s = jnp.sqrt(jnp.maximum(lam, 0.0)) * mask
-        inv_s = jnp.where(s > tiny, 1.0 / jnp.maximum(s, tiny), 0.0)
-        vt = (V.T @ curm) * inv_s[:, None]
-        US2 = V * s[None, :]
+        US2, vt = _truncate(curm)
         nrm = jnp.linalg.norm(US2) + tiny
         return (US2 / nrm, logs + jnp.log(nrm)), vt.reshape(r, n, rp)
 
@@ -111,11 +144,12 @@ def _round_tsqr_local(stacked, target_rank: int, p: int, axis: str):
 
 @lru_cache(maxsize=16)
 def make_round_tsqr(mesh_key, shape, target_rank: int, dtype_str: str,
-                    axis: str):
+                    axis: str, method: str = "gram"):
     mesh = _MESHES[mesh_key]
     p = mesh.shape[axis]
     fn = shard_map(
-        partial(_round_tsqr_local, target_rank=target_rank, p=p, axis=axis),
+        partial(_round_tsqr_local, target_rank=target_rank, p=p, axis=axis,
+                method=method),
         mesh=mesh,
         in_specs=P(None, axis, None, None),
         out_specs=P(None, None, None, axis),
@@ -127,10 +161,12 @@ _MESHES = {}
 
 
 def tt_round_tsqr(cores: Sequence[jnp.ndarray], target_rank: int,
-                  mesh: Mesh, axis: str = "tp"):
+                  mesh: Mesh, axis: str = "tp", method: str = "gram"):
     """Round a TT (list of (rl, n, rr) cores) to `target_rank` with the
     rank axis sharded over `mesh.shape[axis]` devices.  Pads the uniform
-    rank to a multiple of the device count; returns unpadded cores."""
+    rank to a multiple of the device count; returns unpadded cores.
+    method: 'gram' (replicated per-bond eigh) or 'subspace' (GEMM-only
+    truncation — no eigh; see _round_tsqr_local)."""
     from ..ops.pallas_tt_eval import pad_cores
     from ..ops.tt_kernels import res_rank
     p = mesh.shape[axis]
@@ -145,7 +181,7 @@ def tt_round_tsqr(cores: Sequence[jnp.ndarray], target_rank: int,
     mesh_key = (id(mesh), mesh.shape[axis])
     _MESHES[mesh_key] = mesh
     fn = make_round_tsqr(mesh_key, tuple(stacked.shape), int(target_rank),
-                         str(stacked.dtype), axis)
+                         str(stacked.dtype), axis, method)
     out = np.asarray(fn(jnp.asarray(stacked)))
     res = []
     for k in range(d):
