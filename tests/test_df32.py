@@ -23,14 +23,40 @@ def test_two_sum_exact():
     assert float(e) != 0.0  # the error term captures the lost bits
 
 
-def test_two_prod_exact():
+def test_two_prod_accuracy():
     rng = np.random.Generator(np.random.PCG64(1))
     a = jnp.asarray(rng.normal(size=100).astype(np.float32))
     b = jnp.asarray(rng.normal(size=100).astype(np.float32))
     p, e = df32.two_prod(a, b)
     exact = np.asarray(a, np.float64) * np.asarray(b, np.float64)
     got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
-    assert np.array_equal(got, exact)  # two_prod is error-free
+    # the contraction-proof formulation is u^2-accurate, not error-free
+    # (see two_prod docstring); 2^-45 |ab| covers the e1+e2+q4 rounding
+    assert np.max(np.abs(got - exact) / np.abs(exact)) < 2.0 ** -45
+
+
+def test_df_mul_jit_matches_eager():
+    """Regression: compiled df_mul must keep df accuracy.
+
+    XLA duplicates cheap multiplies into consumer fusions and LLVM
+    FMA-contracts `p + x` there; with the classic Veltkamp two_prod this
+    silently degraded jitted df_mul to f32 accuracy (~2e-8) while eager
+    stayed at 1e-15 — the exact failure seen in tt_round_df.  Guards the
+    contraction-proof two_prod formulation."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    x = rng.normal(size=(64, 8))
+    y = rng.normal(size=8)
+    xh, xl = df32.df_from_f64(x)
+    yh, yl = df32.df_from_f64(y)
+
+    def f(xh, xl, yh, yl):
+        return df32.df_mul(xh, xl, yh[None, :], yl[None, :])
+
+    for fn in (f, jax.jit(f)):
+        zh, zl = fn(xh, xl, yh, yl)
+        err = np.max(np.abs(df32.df_to_f64(zh, zl) - x * y)
+                     / np.maximum(np.abs(x * y), 1e-30))
+        assert err < 1e-13
 
 
 def test_df_roundtrip():

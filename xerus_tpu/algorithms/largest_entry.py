@@ -15,12 +15,25 @@ from ..tt.ttnetwork import TTNetwork, entrywise_product
 
 def find_largest_entry(T: TTNetwork, accuracy: float = 0.0,
                        lower_bound: float = 0.0) -> int:
-    """Linear position of the entry with largest absolute value."""
+    """Linear position of the entry with largest absolute value.
+
+    Object-level f64 math (round / entrywise squares / soft thresholds)
+    is pinned to the host in TPU sessions: f64 on the TPU backend is
+    broken at scale and each tiny op would pay the tunnel RTT (CLAUDE.md;
+    measured: unpinned on v5e this returned a wrong entry and took 555 s
+    for the workload-5 search that runs in <1 s on host)."""
+    from ..config import host
+    with host():
+        return _find_largest_entry(T, accuracy, lower_bound)
+
+
+def _find_largest_entry(T: TTNetwork, accuracy: float = 0.0,
+                        lower_bound: float = 0.0) -> int:
     if sum(T.ranks()) >= T.degree() and T.degree() > 0:
         alpha = accuracy
         X = T.copy()
         X.round(1)
-        Xn = max(T[find_largest_entry(X, 0.0, 0.0)], lower_bound)
+        Xn = max(T[_find_largest_entry(X, 0.0, 0.0)], lower_bound)
         tau = (1 - alpha) * alpha * Xn * Xn / (2.0 * max(T.degree() - 1, 1))
 
         X = T.copy()
@@ -30,14 +43,14 @@ def find_largest_entry(T: TTNetwork, accuracy: float = 0.0,
 
             Y = X.copy()
             Y.round(1)
-            y_max_pos = find_largest_entry(Y, 0.0, 0.0)
+            y_max_pos = _find_largest_entry(Y, 0.0, 0.0)
             Xn = max(X[_pos_to_multi(X, y_max_pos)],
                      (1 - (1 - alpha) * alpha / 2.0) * Xn * Xn)
             f_norm = X.frob_norm()
             Xn /= f_norm
             X /= f_norm
             tau = (1 - alpha) * alpha * Xn * Xn / (2.0 * max(T.degree() - 1, 1))
-        return find_largest_entry(X, 0.0, 0.0)
+        return _find_largest_entry(X, 0.0, 0.0)
 
     # already (near) rank one: per-core argmax (largestEntry.cpp:37-52)
     num = T.num_components()

@@ -7,9 +7,12 @@ unevaluated sum hi + lo of two float32s with |lo| <= ulp(hi)/2, giving
 ~49 bits of significand — enough for 1e-12-level linear-algebra residuals.
 
 Primitives use error-free transformations that need only IEEE round-to-
-nearest f32 add/mul (XLA does not reassociate floating-point math):
-  two_sum   — Knuth 2Sum
-  two_prod  — Dekker/Veltkamp split product (no FMA required)
+nearest f32 add/mul.  CAUTION: the compiler DOES contract mul-then-add
+chains into FMAs (LLVM on CPU; Mosaic on TPU), which silently breaks the
+arithmetic Veltkamp split — the mantissa split is therefore done by bit
+masking (`_split`), which no contraction can touch:
+  two_sum   — Knuth 2Sum (add/sub only: contraction-immune)
+  two_prod  — masked-split product (no FMA required, FMA-tolerant)
 Reductions are pairwise trees of df_add, so accumulation error stays
 O(log K) in df precision instead of O(sqrt K) in f32.
 
@@ -26,9 +29,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-_SPLITTER = 4097.0  # 2^12 + 1 (Veltkamp split for f32: 24 = 12 + 12 bits)
-
-
 def two_sum(a, b):
     s = a + b
     bb = s - a
@@ -44,17 +44,55 @@ def fast_two_sum(a, b):
 
 
 def _split(a):
-    c = a * jnp.asarray(_SPLITTER, a.dtype)
-    hi = c - (c - a)
+    """Exact high/low mantissa split via bit masking.
+
+    NOT the arithmetic Veltkamp split (c = a*(2^12+1); hi = c - (c - a)):
+    under jit, LLVM/XLA FMA-contracts `c - a` into fma(a, SPLITTER, -a),
+    which skips the rounding of c that the split depends on — jitted
+    df_mul silently degraded to f32 accuracy (~2e-8) while eager stayed
+    at 1e-15.  Masking the low half of the mantissa is exact by
+    construction and gives the compiler nothing to contract: hi keeps 12
+    of f32's 24 significant bits (27 of f64's 53), and lo = a - hi is
+    exact, so all half-products in two_prod fit the mantissa."""
+    if a.dtype == jnp.float64:
+        ai = jax.lax.bitcast_convert_type(a, jnp.int64)
+        hi = jax.lax.bitcast_convert_type(
+            ai & np.int64(~((1 << 26) - 1)), jnp.float64)
+    else:
+        ai = jax.lax.bitcast_convert_type(a, jnp.int32)
+        hi = jax.lax.bitcast_convert_type(
+            ai & np.int32(~((1 << 12) - 1)), jnp.float32)
     lo = a - hi
     return hi, lo
 
 
 def two_prod(a, b):
-    p = a * b
+    """Contraction-proof compensated product: p + err = a*b + O(u^2*|ab|).
+
+    NEVER returns a bare multiply as p.  The classic form (p = a*b;
+    err = (ah*bh - p) + ...) is broken by compilation: XLA duplicates the
+    cheap multiply into every consumer fusion and LLVM FMA-contracts
+    `p + x` there into fma(a, b, x), so consumers (fast_two_sum in
+    df_mul) see a DIFFERENT p than the one returned and the EFT identity
+    fails at 2^-24 (verified against the optimized HLO; neither
+    lax.optimization_barrier nor --xla_allow_excess_precision=false
+    stops it on the CPU backend).
+
+    Instead: split both factors exactly by bit masking and EFT-sum the
+    four half-products.  Every product here is EXACTLY representable
+    (12+12 mantissa bits), so any fma(x, y, z) the compiler forms equals
+    round(xy + z) = round(round(xy) + z) — contraction becomes a no-op —
+    and the returned p is an fadd result, which nothing can contract
+    into a consumer."""
     ah, al = _split(a)
     bh, bl = _split(b)
-    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    q1 = ah * bh            # each exact in f32
+    q2 = ah * bl
+    q3 = al * bh
+    q4 = al * bl
+    s, e1 = two_sum(q2, q3)
+    p, e2 = two_sum(q1, s)
+    err = e1 + e2 + q4      # O(u)-small terms; rounding costs O(u^2*|ab|)
     return p, err
 
 

@@ -46,10 +46,45 @@ def _df_qr_chol(Mh, Ml):
 # tunnel RTT per df op and turns a d=12 sweep into a minute of wall time
 @lru_cache(maxsize=64)
 def _jit_qr_apply(shape_key, nxt_key, dtype_str):
+    """Orthogonalization step: CholeskyQR in df, with an in-program CGS2
+    fallback when the Gram conditioning defeats it.
+
+    df CholeskyQR squares the condition number inside the Gram matrix:
+    directions with sigma/sigma_max below ~sqrt(u_df) ~ 3e-8 are lost and
+    the Q factor silently carries O(1) garbage (observed: a TT sum with a
+    1e-9-relative component, repaired to minimal boundary ranks, rounds
+    to 0.9 relative error).  The fallback is the CGS2 df QR
+    (mixed_precision.df_qr, stable for kappa * u_df < 1, i.e. kappa up
+    to ~1e15); selection is a data-dependent lax.cond on the df
+    orthogonality defect ||Q^T Q - I||, so well-conditioned inputs keep
+    the fast GEMM path."""
+    from .mixed_precision import df_qr as _df_qr_cgs2
+
     def f(Mh, Ml, nh, nl):
         Qh, Ql, Rh, Rl = _df_qr_chol(Mh, Ml)
-        Ph, Pl = ozaki_matmul(Rh, Rl, nh, nl)
-        return Qh, Ql, Ph, Pl
+        r = Qh.shape[1]
+        Gh, Gl = ozaki_matmul(jnp.transpose(Qh), jnp.transpose(Ql), Qh, Ql)
+        # df defect: Gh - I is Sterbenz-exact (diagonal ~1), and adding
+        # the low word keeps the estimate meaningful below f32 resolution
+        # — with Gh alone the ~2^-24 head-rounding noise floor sits ABOVE
+        # the 1e-11 threshold and the fast path would never be taken
+        defect = jnp.linalg.norm((Gh - jnp.eye(r, dtype=Gh.dtype)) + Gl)
+
+        def cgs2_branch(_):
+            (Q2h, Q2l), (R2h, R2l) = _df_qr_cgs2(Mh, Ml)
+            return Q2h, Q2l, R2h, R2l
+
+        def keep_branch(_):
+            return Qh, Ql, Rh, Rl
+
+        # threshold at the df quality target: CholQR's defect is
+        # ~u_df*kappa^2, so panels with kappa <~ 1e2 keep the GEMM path
+        # and anything that would leak >1e-11 orthogonality error into
+        # the sweep takes CGS2
+        Qh2, Ql2, Rh2, Rl2 = jax.lax.cond(
+            defect > 1e-11, cgs2_branch, keep_branch, operand=None)
+        Ph, Pl = ozaki_matmul(Rh2, Rl2, nh, nl)
+        return Qh2, Ql2, Ph, Pl
     return jax.jit(f)
 
 

@@ -17,24 +17,34 @@ import jax.numpy as jnp
 
 from jax.experimental import pallas as pl
 
-_SPLITTER = 4097.0
-
-
 def _two_sum(a, b):
     s = a + b
     bb = s - a
     return s, (a - (s - bb)) + (b - bb)
 
 
+_MASK12 = ~((1 << 12) - 1)
+
+
+def _mask_split(a):
+    # exact 12/12 mantissa split by bit masking — the arithmetic Veltkamp
+    # split (c = a*4097; hi = c - (c - a)) is destroyed by FMA contraction
+    # under compilation (see ops/df32._split), the mask is contraction-proof
+    hi = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(a, jnp.int32) & jnp.int32(_MASK12),
+        jnp.float32)
+    return hi, a - hi
+
+
 def _two_prod(a, b):
-    p = a * b
-    c = a * _SPLITTER
-    ah = c - (c - a)
-    al = a - ah
-    c = b * _SPLITTER
-    bh = c - (c - b)
-    bl = b - bh
-    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    # EFT-sum of four exact half-products; see ops/df32.two_prod for why
+    # the classic (p = a*b; err = ah*bh - p + ...) form is NOT safe under
+    # compilation (FMA contraction of a consumer `p + x`)
+    ah, al = _mask_split(a)
+    bh, bl = _mask_split(b)
+    s, e1 = _two_sum(ah * bl, al * bh)
+    p, e2 = _two_sum(ah * bh, s)
+    return p, e1 + e2 + al * bl
 
 
 def _fast_two_sum(a, b):
