@@ -215,6 +215,47 @@ def test_gram_parallel_round():
     assert err32 < 1.5 * err_s + 1e-4 * np.linalg.norm(orig)
 
 
+def test_subspace_parallel_round():
+    """GEMM-only all-bonds-at-once rounding (batched shifted Cholesky +
+    subspace power iteration — no SVD/eigh): exact on representable
+    ranks, quasi-optimal on truncating ranks, f32-safe on zero-padded
+    (exactly singular) interface Gram matrices."""
+    from xerus_tpu.ops.tt_kernels import tt_round_sweep_uniform
+
+    # exact recovery: true rank 3 embedded in a rank-8 representation
+    a = TTTensor.random([2] * 8, 3)
+    a /= a.frob_norm()
+    z = TTTensor.random([2] * 8, 5)
+    z /= z.frob_norm()
+    emb = a + 1e-9 * z
+    cores = [c.to_jax() for c in emb.components]
+    out = tt_round_sweep_uniform(cores, 4, method="subspace_parallel")
+    got = TTTensor._make([xe.Tensor.from_jax(c) for c in out])
+    assert np.allclose(got.to_tensor().to_ndarray(),
+                       a.to_tensor().to_ndarray(), atol=1e-8)
+
+    # truncating case: within 1.5x of the sequential-optimal error
+    tt = TTTensor.random([2] * 10, 8)
+    cores = [c.to_jax() for c in tt.components]
+    orig = tt.to_tensor().to_ndarray()
+    sv = tt_round_sweep_uniform(cores, 4, method="svd")
+    sp = tt_round_sweep_uniform(cores, 4, method="subspace_parallel")
+    err_s = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_jax(c) for c in sv]).to_tensor().to_ndarray() - orig)
+    err_p = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_jax(c) for c in sp]).to_tensor().to_ndarray() - orig)
+    assert err_p < 1.5 * err_s
+
+    # f32 with zero-padded (singular) bonds: finite and accurate
+    cores32 = [jnp.asarray(np.asarray(c), jnp.float32) for c in cores]
+    p32 = tt_round_sweep_uniform(cores32, 4, method="subspace_parallel")
+    assert all(bool(jnp.all(jnp.isfinite(c))) for c in p32)
+    err32 = np.linalg.norm(TTTensor._make(
+        [xe.Tensor.from_ndarray(np.asarray(c, np.float64)) for c in p32]
+        ).to_tensor().to_ndarray() - orig)
+    assert err32 < 1.5 * err_s + 1e-4 * np.linalg.norm(orig)
+
+
 def test_als_half_sweep_batched_matches_serial():
     """Throughput-mode vmapped ALS half-sweep == per-instance serial sweeps."""
     import jax.numpy as jnp

@@ -456,6 +456,124 @@ def _round_gram_parallel(stacked: jnp.ndarray, target_rank: int):
     return out * jnp.exp(g)[:, None, None, None]
 
 
+def _round_subspace_parallel(stacked: jnp.ndarray, target_rank: int,
+                             power_iters: int = 3):
+    """All-bonds-at-once deterministic rounding with NO SVD/eigh anywhere —
+    the batched-GEMM marriage of ``_round_gram_parallel`` (structure) and
+    ``_trunc_step_subspace`` (per-bond factorization).  Reference semantics
+    anchor: ttNetwork.cpp:644 + tensorNetwork.cpp:678 (deterministic
+    truncation of every bond).
+
+    Why: on v5e, batched eigh does NOT amortize (31x256 eigh = 60 ms,
+    linear in batch) while batched Cholesky DOES (31x256 chol = 1.35 ms),
+    so gram_parallel's two vmapped eighs are its entire wall.  Here every
+    per-bond factorization is GEMM + batched shifted Cholesky + batched
+    triangular solve:
+
+      C   = chol(R + shift I)        (ANY invertible factor of R works)
+      G   = C^T L C                  (eigenvalues = bond sigma^2)
+      V   = subspace power iteration on G from the deterministic start
+            G[:, :t], CholQR orthogonalization between steps
+      P   = C V diag(mask/sqrt(sig)),  P~ = diag(mask*sqrt(sig)) V^T C^-1
+
+    Gauge-freedom argument: for ANY invertible C and ANY invertible
+    column gauge T,  (C V T)(T^-1 V^T C^-1) = C V V^T C^-1 — the
+    represented tensor depends only on span(V).  The Cholesky shift and
+    the Rayleigh-quotient sigma estimates (sig^2 = diag(V^T G V)) thus
+    cost NO representation error; truncation quality is governed purely
+    by how well span(V) matches the dominant eigenspace of G
+    (convergence ratio (sigma_{t+1}/sigma_t)^(2*iters); Frobenius-
+    near-free at degenerate crossings).  Dead/padded bond slots surface
+    as near-zero columns after shifted CholQR (junk residual / sqrt(shift)
+    is tiny, not noise) and are masked by the sigma threshold in place,
+    keeping live directions in the leading slots for the host-side
+    rank slicing.
+
+    Scale handling is identical to _round_gram_parallel: both Gram scans
+    renormalize per step; the per-core exp(g) factors telescope to zero,
+    merely redistributing magnitude for f32 health."""
+    from jax.scipy.linalg import solve_triangular
+    d, r, n, _ = stacked.shape
+    dtype = stacked.dtype
+    t = min(int(target_rank), r)
+    eye = jnp.eye(r, dtype=dtype)
+    eye_k = jnp.eye(t, dtype=dtype)
+    tiny = jnp.asarray(1e-30, dtype)
+    eps_s = jnp.asarray(10 * jnp.finfo(dtype).eps, dtype)
+    pinv_tol = jnp.asarray(4.0 * r * jnp.finfo(dtype).eps, dtype)
+
+    # ---- identical left/right interface Gram scans (pure GEMM) ----
+    def l_body(carry, core):
+        L, logs = carry
+        tmp = jnp.einsum("ab,bnc->anc", L, core, preferred_element_type=dtype)
+        L2 = jnp.einsum("anc,and->cd", tmp, core, preferred_element_type=dtype)
+        L2 = 0.5 * (L2 + L2.T)
+        nrm = jnp.linalg.norm(L2) + tiny
+        logs = logs + jnp.log(nrm)
+        return (L2 / nrm, logs), (L2 / nrm, logs)
+
+    (_, _), (Ls, lam_logs) = jax.lax.scan(
+        l_body, (eye, jnp.zeros((), dtype)), stacked[:d - 1])
+
+    def r_body(carry, core):
+        R, logs = carry
+        tmp = jnp.einsum("bnc,cd->bnd", core, R, preferred_element_type=dtype)
+        R2 = jnp.einsum("bnd,end->be", tmp, core, preferred_element_type=dtype)
+        R2 = 0.5 * (R2 + R2.T)
+        nrm = jnp.linalg.norm(R2) + tiny
+        logs = logs + jnp.log(nrm)
+        return (R2 / nrm, logs), (R2 / nrm, logs)
+
+    (_, _), (Rs_rev, rho_logs_rev) = jax.lax.scan(
+        r_body, (eye, jnp.zeros((), dtype)), stacked[1:][::-1])
+    Rs = Rs_rev[::-1]
+    rho_logs = rho_logs_rev[::-1]
+
+    # ---- batched GEMM-only bond factorizations ----
+    def orth_cols(X):
+        Gx = X.T @ X
+        sh = eps_s * jnp.max(jnp.diagonal(Gx)) + tiny
+        Lk = jnp.linalg.cholesky(Gx + sh * eye_k)
+        return solve_triangular(Lk, X.T, lower=True).T
+
+    def bond_maps(L, R):
+        shift = eps_s * jnp.max(jnp.abs(jnp.diagonal(R))) + tiny
+        C = jnp.linalg.cholesky(R + shift * eye)             # (r, r) lower
+        G = C.T @ (L @ C)
+        G = 0.5 * (G + G.T)
+        V = orth_cols(G[:, :t])
+        for _ in range(power_iters):
+            V = orth_cols(G @ V)
+        V = orth_cols(V)                       # tighten orthogonality
+        GV = G @ V
+        s2 = jnp.maximum(jnp.sum(V * GV, axis=0), 0.0)       # Rayleigh
+        sig = jnp.sqrt(s2)
+        mask = (sig > pinv_tol * jnp.max(sig)).astype(dtype)
+        inv_rt = jnp.where(sig > tiny,
+                           1.0 / jnp.sqrt(jnp.maximum(sig, tiny)), 0.0) * mask
+        rt = jnp.sqrt(sig) * mask
+        P = (C @ V) * inv_rt[None, :]                        # (r, t)
+        Z = solve_triangular(C, V, lower=True, trans=1)      # C^-T V
+        Pt = Z.T * rt[:, None]                               # (t, r)
+        pad = r - t
+        return (jnp.pad(P, ((0, 0), (0, pad))),
+                jnp.pad(Pt, ((0, pad), (0, 0))))
+
+    Ps, Pts = jax.vmap(bond_maps)(Ls, Rs)                    # (d-1, r, r)
+
+    left_maps = jnp.concatenate([eye[None], Pts], axis=0)
+    right_maps = jnp.concatenate([Ps, eye[None]], axis=0)
+    out = jnp.einsum("kab,kbnc,kcd->kand", left_maps, stacked, right_maps,
+                     preferred_element_type=dtype)
+
+    lam_full = jnp.concatenate([jnp.zeros((1,), dtype), lam_logs,
+                                jnp.zeros((1,), dtype)])
+    rho_full = jnp.concatenate([jnp.zeros((1,), dtype), rho_logs,
+                                jnp.zeros((1,), dtype)])
+    g = (lam_full[:-1] - lam_full[1:] + rho_full[1:] - rho_full[:-1]) / 4.0
+    return out * jnp.exp(g)[:, None, None, None]
+
+
 @lru_cache(maxsize=32)
 def make_round_sweep_scan(shape: Tuple[int, ...], target_rank: int,
                           dtype_str: str, method: str = "svd",
@@ -469,10 +587,13 @@ def make_round_sweep_scan(shape: Tuple[int, ...], target_rank: int,
     if method == "gram_parallel":
         return jit_f32(partial(_round_gram_parallel,
                                target_rank=target_rank), dtype_str)
+    if method == "subspace_parallel":
+        return jit_f32(partial(_round_subspace_parallel,
+                               target_rank=target_rank), dtype_str)
     if method != "gram":
         raise ValueError(f"unknown rounding method {method!r}; "
-                         "expected 'svd', 'gram', 'cholqr' or "
-                         "'gram_parallel'")
+                         "expected 'svd', 'gram', 'cholqr', "
+                         "'gram_parallel' or 'subspace_parallel'")
     return jit_f32(partial(_round_sweep_scan_gram, target_rank=target_rank,
                            eps=eps), dtype_str)
 
@@ -483,8 +604,11 @@ def tt_round_sweep_uniform(cores: Sequence[jnp.ndarray], target_rank: int,
     method: 'svd' (exact truncation, supports eps), 'gram' / 'cholqr'
     (GEMM + eigh, same result, squares the condition number), or
     'gram_parallel' (all bonds truncated at once from batched interface
-    Gram matrices — fastest deterministic path; quasi-optimal instead of
-    sequential-optimal, result not canonicalized)."""
+    Gram matrices — quasi-optimal instead of sequential-optimal, result
+    not canonicalized), or 'subspace_parallel' (gram_parallel's batched
+    structure with GEMM-only per-bond factorizations: batched shifted
+    Cholesky + subspace power iteration, no SVD/eigh — fastest
+    deterministic path on TPU)."""
     from .pallas_tt_eval import pad_cores
     stacked, r = pad_cores([np.asarray(c) for c in cores])
     fn = make_round_sweep_scan(tuple(stacked.shape), int(target_rank),
