@@ -169,6 +169,18 @@ def main() -> None:
     sub_time = _time_looped(sub_kernel, dev_cores, ITERS)
     sub_tflops = flops / sub_time / 1e12
 
+    # all-bonds-at-once GEMM-only deterministic rounding: gram_parallel's
+    # batched structure with batched shifted-Cholesky + subspace power
+    # iteration instead of eigh (batched chol amortizes on v5e, eigh does
+    # not — _round_subspace_parallel)
+    from xerus_tpu.ops.tt_kernels import _round_subspace_parallel
+
+    def subpar_kernel(inputs):
+        return (_round_subspace_parallel(inputs[0], target_rank=TARGET),)
+
+    subpar_time = _time_looped(subpar_kernel, (stacked,), ITERS)
+    subpar_tflops = flops / subpar_time / 1e12
+
     from xerus_tpu.ops.tt_kernels import _round_randomized_scan
 
     def rnd_kernel(inputs):
@@ -319,6 +331,8 @@ def main() -> None:
         "deterministic_segmented_tflops": round(tflops, 4),
         "deterministic_subspace_time_s": round(sub_time, 6),
         "deterministic_subspace_tflops": round(sub_tflops, 4),
+        "deterministic_parallel_time_s": round(subpar_time, 6),
+        "deterministic_parallel_tflops": round(subpar_tflops, 4),
         "randomized_round_time_s": round(rnd_time, 6),
         "randomized_round_tflops": round(rnd_tflops, 4),
         "randomized_mfu_pct_of_f32_peak": round(
