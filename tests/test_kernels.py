@@ -255,6 +255,16 @@ def test_subspace_parallel_round():
         ).to_tensor().to_ndarray() - orig)
     assert err32 < 1.5 * err_s + 1e-4 * np.linalg.norm(orig)
 
+    # relative eps on the Rayleigh sigma estimates: the 1e-9 noise
+    # direction is cut, recovering a's true rank-3 bonds
+    ecores = [c.to_jax() for c in emb.components]
+    oute = tt_round_sweep_uniform(ecores, 4, eps=1e-6,
+                                  method="subspace_parallel")
+    gote = TTTensor._make([xe.Tensor.from_jax(c) for c in oute])
+    assert max(gote.ranks()) == 3
+    assert np.allclose(gote.to_tensor().to_ndarray(),
+                       a.to_tensor().to_ndarray(), atol=1e-7)
+
 
 def test_als_half_sweep_batched_matches_serial():
     """Throughput-mode vmapped ALS half-sweep == per-instance serial sweeps."""

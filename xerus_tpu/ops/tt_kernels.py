@@ -457,7 +457,7 @@ def _round_gram_parallel(stacked: jnp.ndarray, target_rank: int):
 
 
 def _round_subspace_parallel(stacked: jnp.ndarray, target_rank: int,
-                             power_iters: int = 3):
+                             power_iters: int = 3, eps: float = 0.0):
     """All-bonds-at-once deterministic rounding with NO SVD/eigh anywhere —
     the batched-GEMM marriage of ``_round_gram_parallel`` (structure) and
     ``_trunc_step_subspace`` (per-bond factorization).  Reference semantics
@@ -549,6 +549,14 @@ def _round_subspace_parallel(stacked: jnp.ndarray, target_rank: int,
         s2 = jnp.maximum(jnp.sum(V * GV, axis=0), 0.0)       # Rayleigh
         sig = jnp.sqrt(s2)
         mask = (sig > pinv_tol * jnp.max(sig)).astype(dtype)
+        if eps > 0.0:
+            # relative per-bond eps truncation on the Rayleigh sigma
+            # estimates (same contract as the scan kernels' s > eps*s[0];
+            # estimates of near-threshold directions carry the subspace-
+            # iteration convergence error — use method='svd' when the
+            # eps cut itself must be exact)
+            mask = mask * (sig > jnp.asarray(eps, dtype)
+                           * jnp.max(sig)).astype(dtype)
         inv_rt = jnp.where(sig > tiny,
                            1.0 / jnp.sqrt(jnp.maximum(sig, tiny)), 0.0) * mask
         rt = jnp.sqrt(sig) * mask
@@ -589,7 +597,7 @@ def make_round_sweep_scan(shape: Tuple[int, ...], target_rank: int,
                                target_rank=target_rank), dtype_str)
     if method == "subspace_parallel":
         return jit_f32(partial(_round_subspace_parallel,
-                               target_rank=target_rank), dtype_str)
+                               target_rank=target_rank, eps=eps), dtype_str)
     if method != "gram":
         raise ValueError(f"unknown rounding method {method!r}; "
                          "expected 'svd', 'gram', 'cholqr', "
