@@ -108,16 +108,24 @@ def main() -> None:
             return (A, out)
 
         t0 = time.perf_counter()
+        # the whole suite is ~20us of device work vs a ~150ms tunnel RTT:
+        # 16384 chained iterations put the loop wall well above the RTT
+        # jitter so the per-suite time resolves
         per = _time_looped(suite, (jnp.asarray(B), jnp.asarray(C),
-                                   *map(jnp.asarray, chain)), 64)
+                                   *map(jnp.asarray, chain)), 16384)
         warm = time.perf_counter() - t0
         ref1 = np.einsum("ikl,kjl->ij", B.astype(np.float64),
                          C.astype(np.float64))
-        got = np.asarray(suite((jnp.asarray(B), jnp.asarray(C),
-                                *map(jnp.asarray, chain)))[0])
+        # correctness at the same kernel discipline the loop timed:
+        # without the 'highest' scope the MXU runs bf16 passes and the
+        # 600-term contractions miss the f64 oracle by ~1e-2 relative
+        import jax as _jax
+        with _jax.enable_x64(False), _jax.default_matmul_precision("highest"):
+            got = np.asarray(suite((jnp.asarray(B), jnp.asarray(C),
+                                    *map(jnp.asarray, chain)))[0])
         ok = bool(np.allclose(got, ref1, rtol=1e-4, atol=1e-2))
         results.append({"workload": "einsum_chain_suite",
-                        "seconds": round(per, 6), "warm_s": round(warm, 1),
+                        "seconds": round(per, 9), "warm_s": round(warm, 1),
                         "correct": ok,
                         "mode": "tpu f32 chained-loop per-suite"})
     else:

@@ -336,7 +336,8 @@ def test_round_fast_methods_match_reference_round():
     re-canonicalizes (cores at position 0)."""
     a = TTTensor.random([2] * 8, 3)
     want = a.to_tensor().to_ndarray()
-    for method in ("randomized", "streaming", "svd", "gram"):
+    for method in ("randomized", "streaming", "svd", "gram",
+                   "subspace_parallel"):
         t = a.copy()
         t.round_fast(6, method=method)
         t.require_correct_format()
@@ -352,7 +353,8 @@ def test_round_fast_methods_match_reference_round():
     e_ref = np.linalg.norm(exact.to_tensor().to_ndarray() - orig)
     # randomized: oversampled sketch, 2-3x optimal; streaming: sketch
     # width == output rank, single-digit multiple (documented contract)
-    for method, factor in (("randomized", 6), ("streaming", 15)):
+    for method, factor in (("randomized", 6), ("streaming", 15),
+                           ("subspace_parallel", 2)):
         t = b.copy()
         t.round_fast(4, method=method)
         e = np.linalg.norm(t.to_tensor().to_ndarray() - orig)

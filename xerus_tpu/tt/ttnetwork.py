@@ -541,7 +541,9 @@ class TTNetwork:
         fastest on v5e), 'streaming' (two-sided Nyström, no sequential
         factorization), 'svd' / 'gram' (deterministic, segmented true-shape
         sweep), 'cholqr' / 'gram_parallel' (deterministic, padded uniform
-        scan).  ``eps`` > 0 additionally drops relative singular values
+        scan), 'subspace_parallel' (deterministic GEMM-only all-bonds-
+        at-once truncation — fastest deterministic path on v5e, native
+        eps).  ``eps`` > 0 additionally drops relative singular values
         below eps.  A non-uniform rank vector routes to the segmented
         deterministic kernel (randomized preconditioning first when method
         is 'randomized'/'streaming').  Works for TTTensor and TTOperator
@@ -615,6 +617,11 @@ class TTNetwork:
             else:
                 out = tt_round_sweep_segmented(cores, int(max_rank),
                                                eps=float(eps), method=method)
+        elif method == "subspace_parallel":
+            # all-bonds-at-once GEMM-only truncation; eps is native
+            # (relative mask on the Rayleigh sigma estimates)
+            out = tt_round_sweep_uniform(cores, int(max_rank), method=method,
+                                         eps=float(eps))
         else:
             out = tt_round_sweep_uniform(cores, int(max_rank), method=method,
                                          eps=0.0)
