@@ -61,6 +61,32 @@ def test_adf_completes_low_rank():
     assert ms.test(x) < 1e-5
 
 
+def test_adf_check_every_matches_per_iteration():
+    """check_every=K chains K iterations per dispatch; with the stopping
+    criteria disabled (target 0, stagnation threshold 1) both drivers run
+    exactly maxIterations identical iterations -> identical cores."""
+    dims = [4] * 4
+    target = TTTensor.random(dims, 2)
+    target /= target.frob_norm()
+    ms = SinglePointMeasurementSet.random(150, dims)
+    ms.measure(target)
+    x1 = TTTensor.random(dims, 2)
+    x2 = x1.copy()
+    variant = xe.ADFVariant(8, 0.0, 1.0)
+    r1 = variant(x1, ms)
+    r2 = variant(x2, ms, check_every=4)
+    assert abs(r1 - r2) < 1e-12 * max(1.0, abs(r1))
+    for a, b in zip(x1.components, x2.components):
+        assert np.allclose(a.to_ndarray(), b.to_ndarray(), atol=1e-9)
+
+    # chunked convergence: same recovery contract as the per-iteration
+    # driver on the standard completion oracle
+    x3 = TTTensor.random(dims, 2)
+    resid = xe.ADFVariant(300, 1e-8, 0.999)(x3, ms, check_every=8)
+    assert resid < 1e-6
+    assert ms.test(x3) < 1e-5
+
+
 def test_adf_rank_one_measurements():
     dims = [3] * 3
     target = TTTensor.random(dims, 2)

@@ -342,6 +342,43 @@ def test_df_svd_clustered_tail_degrades_gracefully():
     assert np.abs(s[:16] - s_true[:16]).max() < 1e-11
 
 
+def test_df_svd_jw_small_sigma_accuracy():
+    """Jordan-Wielandt df SVD (df_svd_jw): small singular values come
+    back with ~1e-8 * sigma_max ABSOLUTE accuracy (the Gram route's
+    documented floor there is ~2e-5 * sigma_max); dominant spectrum is
+    df-accurate; live blocks stay orthonormal to the measured contract."""
+    from xerus_tpu.ops.df_eigh import df_svd, df_svd_jw
+    rng = np.random.default_rng(7)
+    m, n = 48, 40
+    s_true = np.logspace(0, -12, n)
+    U0, _ = np.linalg.qr(rng.normal(size=(m, n)))
+    V0, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    A = (U0 * s_true) @ V0.T
+    Ah, Al = df_from_f64(A)
+    Uh, Ul, sh, sl, Vh, Vl = df_svd_jw(jnp.asarray(Ah), jnp.asarray(Al))
+    s = df_to_f64(np.asarray(sh), np.asarray(sl))
+    U = df_to_f64(np.asarray(Uh), np.asarray(Ul))
+    V = df_to_f64(np.asarray(Vh), np.asarray(Vl))
+    # absolute sigma accuracy across the WHOLE spectrum
+    assert np.abs(s - s_true).max() < 5e-8
+    # dominant spectrum df-accurate
+    assert np.abs(s[:12] - s_true[:12]).max() < 1e-11
+    # the Gram route misses small sigmas by orders of magnitude more
+    _, _, gh, gl, _, _ = df_svd(jnp.asarray(Ah), jnp.asarray(Al))
+    g = df_to_f64(np.asarray(gh), np.asarray(gl))
+    k = 25                              # sigma ~ 1e-8
+    assert np.abs(s[k] - s_true[k]) < 1e-2 * np.abs(g[k] - s_true[k])
+    # vector contract: orthonormal blocks for sigma >= 1e-6 * sigma_max
+    live = s > 1e-6 * s.max()
+    Ulive = U[:, live]
+    Vlive = V[:, live]
+    assert np.linalg.norm(Ulive.T @ Ulive - np.eye(live.sum()), ord=2) < 5e-3
+    assert np.linalg.norm(Vlive.T @ Vlive - np.eye(live.sum()), ord=2) < 5e-3
+    # reconstruction on the live part
+    rec = (U * s) @ V.T
+    assert np.linalg.norm(rec - A) / np.linalg.norm(A) < 1e-6
+
+
 def test_tt_round_df_matches_f64_oracle():
     """Double-word TT rounding (ops/df_rounding.py): matches the f64
     object-level round() and resolves eps thresholds invisible to f32."""

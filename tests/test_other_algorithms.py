@@ -48,6 +48,13 @@ def test_find_largest_entry_general():
     # the algorithm guarantees a (1-accuracy) approximation of the max
     assert found_val >= (1 - 0.2) * arr.reshape(-1)[true_pos]
 
+    # the iterative squaring/soft-threshold path (used above the
+    # materialization cutoff; largestEntry.cpp:30-54) keeps the same
+    # contract on the same instance
+    from xerus_tpu.algorithms.largest_entry import _find_largest_entry
+    found_it = _find_largest_entry(tt, 0.1, 0.0)
+    assert arr.reshape(-1)[found_it] >= (1 - 0.2) * arr.reshape(-1)[true_pos]
+
 
 def test_uq_randvar_embedding():
     p = xe.algorithms.randvar_to_position(0.7, 4)

@@ -40,15 +40,23 @@ class ADFVariant:
     def __call__(self, x: TTTensor, measurements,
                  max_ranks: Optional[Sequence[int]] = None,
                  perf_data: PerformanceData = NoPerfData,
-                 mesh=None) -> float:
+                 mesh=None, check_every: int = 1) -> float:
         """``mesh`` dp-shards the measurement axis of every iteration over
         the device mesh (SURVEY.md section 2.6a; same contract as
-        uq_adf(mesh=...)); point measurements only."""
+        uq_adf(mesh=...)); point measurements only.
+
+        ``check_every=K`` chains K iterations per device dispatch
+        (ops/adf_kernels.make_adf_multi_iteration): the stopping logic
+        still sees every iteration's residual, but the iterate may
+        overshoot the stopping point by up to K-1 (cheap) iterations.
+        Use on dispatch-latency-bound backends (the TPU tunnel); K=1 is
+        exact reference termination semantics (adf.cpp:541-566)."""
         solver = _InternalSolver(self, x,
                                  list(max_ranks) if max_ranks is not None
                                  else list(x.ranks()),
                                  measurements, perf_data)
         solver.mesh = mesh
+        solver.check_every = max(1, int(check_every))
         return solver.solve()
 
 
@@ -167,10 +175,42 @@ class _InternalSolver:
             return tuple(cs)
 
         res_dec = [0.0, 0.0, 0.0, 0.0]
+        K = max(1, int(getattr(self, "check_every", 1)))
+        mesh = getattr(self, "mesh", None)
         while self.v.maxIterations == 0 or self.iteration < self.v.maxIterations:
-            self.iteration += 1
             shapes_key = tuple(tuple(c.shape) for c in cores)
-            mesh = getattr(self, "mesh", None)
+            if K > 1 and mesh is None:
+                # K chained iterations per dispatch; the stopping logic
+                # below still sees every iteration's residual (docstring
+                # of ADFVariant.__call__)
+                from ..ops.adf_kernels import make_adf_multi_iteration
+                fn = make_adf_multi_iteration(shapes_key,
+                                              str(cores[0].dtype), K,
+                                              self.rank_one)
+                new_cores, hist = fn(cores, onehots,
+                                     jnp.asarray(self.values))
+                cores = new_cores          # canonicalized in-program
+                stop = False
+                for rv in np.asarray(hist):
+                    self.iteration += 1
+                    self.last_residual = self.residual_norm
+                    self.residual_norm = float(rv) / self.norm_values
+                    self.perf.add(self.residual_norm, self.x, 0,
+                                  iteration=self.iteration)
+                    ratio = min(self.residual_norm
+                                / (self.last_residual or 1.0), 1.0)
+                    res_dec = [ratio] + res_dec[:3]
+                    if (self.residual_norm < self.v.targetResidualNorm
+                            or np.prod(res_dec)
+                            > self.v.minimalResidualNormDecrease ** 4
+                            or (self.v.maxIterations
+                                and self.iteration >= self.v.maxIterations)):
+                        stop = True
+                        break
+                if stop:
+                    break
+                continue
+            self.iteration += 1
             if mesh is not None and not self.rank_one:
                 from ..ops.adf_kernels import make_adf_iteration_sharded
                 fn = make_adf_iteration_sharded(mesh, shapes_key,

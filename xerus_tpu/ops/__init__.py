@@ -18,5 +18,5 @@ from .adf_kernels import make_adf_iteration
 from .pallas_df import pallas_df_matvec
 from .ozaki import ozaki_matmul, ozaki_matmul_f32
 from .df_cholesky import df_cholesky, df_solve_spd_chol
-from .df_eigh import df_eigh, df_svd
+from .df_eigh import df_eigh, df_svd, df_svd_jw
 from .df_rounding import tt_round_df, tt_round_df_from_f64

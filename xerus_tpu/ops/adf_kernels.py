@@ -112,6 +112,47 @@ def make_adf_iteration(shapes_key, dtype_str: str, rank_one: bool = False):
 
 
 @lru_cache(maxsize=32)
+def make_adf_multi_iteration(shapes_key, dtype_str: str, k: int,
+                             rank_one: bool = False):
+    """K chained ADF iterations (update sweep + left re-canonicalization)
+    as ONE XLA program, returning (cores_after_K, residual_history).
+
+    Rationale: one ADF iteration is ~1 ms of device work on v5e but the
+    per-iteration driver pays two dispatches + a convergence-check sync
+    through the ~150 ms-RTT tunnel — the d=5 BASELINE completion workload
+    measured 20 s of wall for <0.1 s of compute.  Chaining K iterations
+    in a lax.scan (shape-stable: valid-TT QR ranks are invariant) costs
+    one dispatch per K iterations; the host applies the reference's
+    per-iteration stagnation logic (adf.cpp:541-566) to the returned
+    residual history, so stopping DECISIONS see every iteration — only
+    the cores may overshoot the stopping point by up to K-1 iterations
+    (harmless for a descent method; documented in ADFVariant.__call__).
+    history[i] is the residual norm at the START of inner iteration i,
+    matching the per-iteration kernel's residual0."""
+    from .tt_kernels import jit_f32
+    base = _adf_iteration_rankone if rank_one else _adf_iteration
+
+    def multi(cores, onehots, values):
+        def canon(cs):
+            cs = list(cs)
+            for i in range(len(cs) - 1, 0, -1):
+                rl, n, rr = cs[i].shape
+                q, r = jnp.linalg.qr(cs[i].reshape(rl, n * rr).T)
+                cs[i] = q.T.reshape(q.shape[1], n, rr)
+                cs[i - 1] = jnp.einsum("anb,bk->ank", cs[i - 1], r.T)
+            return tuple(cs)
+
+        def body(cs, _):
+            out, res = base(cs, onehots, values)
+            return canon(out), res
+
+        out, hist = jax.lax.scan(body, tuple(cores), None, length=k)
+        return out, hist
+
+    return jit_f32(multi, dtype_str)
+
+
+@lru_cache(maxsize=32)
 def make_adf_iteration_sharded(mesh, shapes_key, dtype_str: str):
     """dp-sharded variant: one-hot matrices and values shard over the
     measurement axis; cores and the output stay replicated (GSPMD inserts

@@ -76,11 +76,14 @@ def df_eigh(Ah: jnp.ndarray, Al: jnp.ndarray, iters: int = 6):
         # so zero it out of the off-diagonal branch first)
         offdiag = 1.0 - eye
         E = E * offdiag + jnp.diag(jnp.diagonal(Rh + Rl) / 2.0)
-        # divergence gate: a healthy OA state has ||R|| << 1; if an
-        # out-of-contract spectrum (heavily clustered tail) pumps the
-        # state up instead, freeze rather than iterate into NaN
-        rnorm = jnp.sqrt(jnp.sum((Rh + Rl) ** 2))
-        gate = (rnorm < 0.5).astype(dtype)
+        # divergence gate, PER COLUMN: a healthy OA column has its R
+        # column << 1; freeze only columns an out-of-contract cluster
+        # has pumped up (a global ||R|| gate permanently froze the WHOLE
+        # refinement on Jordan-Wielandt matrices, whose near-zero
+        # +-sigma cluster inflates R while the live columns are fine —
+        # measured: eigen-residuals stuck after iteration 2)
+        rcol = jnp.sqrt(jnp.sum((Rh + Rl) ** 2, axis=0))
+        gate = (rcol < 0.1).astype(dtype)[None, :]
         dVh, dVl = ozaki_matmul(Vh, Vl, E, jnp.zeros_like(E))
         Vh, Vl = df_add(Vh, Vl, dVh * gate, dVl * gate)
     return lam_h, lam_l, Vh, Vl
@@ -134,4 +137,76 @@ def df_svd(Ah: jnp.ndarray, Al: jnp.ndarray, iters: int = 6):
     factor = jnp.where(sick, cinv, 1.0)
     Uh = Uh * factor[None, :]
     Ul = Ul * factor[None, :]
+    return Uh, Ul, sh, sl, Vh, Vl
+
+
+def df_svd_jw(Ah: jnp.ndarray, Al: jnp.ndarray, iters: int = 6):
+    """df SVD via the Jordan-Wielandt embedding — FULL small-sigma
+    accuracy (the Gram route's documented limitation; ROADMAP item).
+
+    The symmetric (m+n) x (m+n) matrix J = [[0, A], [A^T, 0]] has
+    eigenvalues {+-sigma_i} (plus m-n zeros) and eigenvectors
+    (1/sqrt 2)[u_i; +-v_i]: running the Ogita-Aishima df refinement on J
+    refines the singular triplets DIRECTLY, never forming A^T A.
+    Measured absolute sigma accuracy ~1e-8..1e-9 * sigma_max (bounded by
+    df_eigh's degenerate-cluster threshold where the +-sigma pair
+    merges), vs the Gram route's ~2e-5 * sigma_max floor — about three
+    orders of magnitude on small singular values.  Costs an
+    (m+n)-sized eigh against the Gram route's n-sized one — use for
+    near-square matrices whose small spectrum matters (the Gram
+    `df_svd` stays the default for dominant-spectrum work).
+
+    Vector contract (measured): U/V blocks orthonormal to ~1e-3 for
+    sigma >= 1e-6 * sigma_max; smaller singular directions degrade as
+    ~u_df * sigma_max / sigma — the frozen near-zero +-sigma cluster
+    injects that much basis noise per OA iteration (deflated/blocked OA
+    would push further; not needed for the df-rounding use cases).
+    Directions below 1e-8 * sigma_max are zeroed (+-pair selection is
+    ambiguous there).  Returns (Uh, Ul, sh, sl, Vh, Vl), singular
+    values DESCENDING."""
+    m, n = Ah.shape
+    dtype = Ah.dtype
+    zmm = jnp.zeros((m, m), dtype)
+    znn = jnp.zeros((n, n), dtype)
+    Jh = jnp.block([[zmm, Ah], [jnp.transpose(Ah), znn]])
+    Jl = jnp.block([[zmm, Al], [jnp.transpose(Al), znn]])
+    wh, wl, Qh, Ql = df_eigh(Jh, Jl, iters=iters)
+    order = jnp.argsort(-wh)[:n]              # top n = +sigma, descending
+    sh = jnp.take(wh, order)
+    sl = jnp.take(wl, order)
+    sh = jnp.maximum(sh, 0.0)
+    sl = jnp.where(sh > 0, sl, 0.0)
+    Qh = jnp.take(Qh, order, axis=1)
+    Ql = jnp.take(Ql, order, axis=1)
+    rt2 = np.sqrt(np.float64(2.0))
+    rt2_h = jnp.asarray(np.float32(rt2), dtype)
+    rt2_l = jnp.asarray(np.float32(rt2 - np.float64(np.float32(rt2))), dtype)
+    from .df32 import df_mul
+    Uh, Ul = df_mul(Qh[:m], Ql[:m], rt2_h, rt2_l)
+    Vh, Vl = df_mul(Qh[m:], Ql[m:], rt2_h, rt2_l)
+    # vector floor: below df_eigh's degenerate-cluster threshold
+    # (1e-8 * spectral scale) the +-sigma pair is unresolved and the
+    # selection can pick BOTH members of one pair (parallel U columns,
+    # measured at sigma ~ 2e-10 * sigma_max) — zero those directions,
+    # exactly like the Gram route zeroes its dead columns.  Sigma VALUES
+    # stay accurate to ~1e-8 * sigma_max absolute (the same threshold).
+    dead = (sh <= 1e-8 * jnp.max(sh)).astype(dtype)
+    Uh = Uh * (1.0 - dead)[None, :]
+    Ul = Ul * (1.0 - dead)[None, :]
+    Vh = Vh * (1.0 - dead)[None, :]
+    Vl = Vl * (1.0 - dead)[None, :]
+    # absorb block-norm error for columns in the near-zero cluster (any
+    # basis is valid there; keep the blocks orthonormal)
+    cu = jnp.sqrt(jnp.sum((Uh + Ul) ** 2, axis=0))
+    cv = jnp.sqrt(jnp.sum((Vh + Vl) ** 2, axis=0))
+    fu = jnp.where(jnp.abs(cu - 1.0) > 1e-4,
+                   jnp.where(cu > 1e-30, 1.0 / jnp.maximum(cu, 1e-30), 0.0),
+                   1.0)
+    fv = jnp.where(jnp.abs(cv - 1.0) > 1e-4,
+                   jnp.where(cv > 1e-30, 1.0 / jnp.maximum(cv, 1e-30), 0.0),
+                   1.0)
+    Uh = Uh * fu[None, :]
+    Ul = Ul * fu[None, :]
+    Vh = Vh * fv[None, :]
+    Vl = Vl * fv[None, :]
     return Uh, Ul, sh, sl, Vh, Vl
