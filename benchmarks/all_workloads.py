@@ -161,10 +161,15 @@ def main() -> None:
         xw = x0.copy()
         t0 = time.perf_counter()
         xe.ALS_SPD(Aop, xw, b, 1e-7)           # warm (compile) run
+        xe.als_spd_mixed(Aop, xw, b, num_half_sweeps=2)
         warm = time.perf_counter() - t0
         x = x0.copy()
         t0 = time.perf_counter()
         resid = xe.ALS_SPD(Aop, x, b, 1e-7)
+        # double-word f32 finishing phase: f64-quality residual on TPU
+        # (matches the CPU reference's 1e-16-level solve, BASELINE.md
+        # quality-parity rule) — same recipe as the d=32 north star
+        x = xe.als_spd_mixed(Aop, x, b, num_half_sweeps=2)
         secs = time.perf_counter() - t0
         with host():
             from xerus_tpu.tt.ttnetwork import apply_operator
@@ -174,7 +179,7 @@ def main() -> None:
                         "seconds": round(secs, 3), "warm_s": round(warm, 1),
                         "relative_residual": f"{res64:.3e}",
                         "ranks": x.ranks(),
-                        "mode": "tpu f32 _solve_fast (device-resident)"})
+                        "mode": "tpu f32 _solve_fast + df32 finish"})
     else:
         x = x0.copy()
         t0 = time.perf_counter()
