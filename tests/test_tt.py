@@ -330,6 +330,25 @@ def test_tensor_float_cast():
         float(Tensor.random([3, 3]))
 
 
+def test_from_dense_unfolding_exact_and_roundable():
+    """Factorization-free exact TT (identity cores + one data core): maximal
+    ranks, exact reconstruction, and round() of it equals TT-SVD + round."""
+    rng = np.random.default_rng(5)
+    for dims in ([2] * 8, [3, 4, 5, 2], [4, 3]):
+        arr = rng.normal(size=dims)
+        tt = TTTensor.from_dense_unfolding(arr)
+        tt.require_correct_format()
+        assert np.allclose(tt.to_tensor().to_ndarray(), arr, atol=1e-12)
+    arr = rng.normal(size=[4] * 6)
+    a = TTTensor(Tensor.from_ndarray(arr), eps=0.0)
+    a.round(6)
+    b = TTTensor.from_dense_unfolding(arr)
+    b.round(6)
+    ea = np.linalg.norm(a.to_tensor().to_ndarray() - arr)
+    eb = np.linalg.norm(b.to_tensor().to_ndarray() - arr)
+    assert abs(ea - eb) < 1e-9 * (1.0 + ea)
+
+
 def test_round_fast_methods_match_reference_round():
     """Object-level round_fast routes the whole-sweep kernels; on
     representable ranks every method reproduces the tensor exactly and

@@ -236,6 +236,52 @@ class TTNetwork:
         return cls._make(comps)
 
     @classmethod
+    def from_dense_unfolding(cls, tensor) -> "TTNetwork":
+        """EXACT TT representation of a dense tensor with NO factorization:
+        identity-reshape cores enumerate the left/right index groups and
+        ONE core carries the data.  Ranks are the maximal TT ranks, so a
+        subsequent ``round``/``round_fast`` produces exactly the TT-SVD
+        truncation (ttNetwork.cpp:288-325 TTNetwork(Tensor, eps) followed
+        by round) — but every FLOP of the decomposition happens inside the
+        rounding kernel, which on TPU sessions runs device-resident.
+        Tensors (not operators) only.
+
+        Construction: pick the pivot p where the left index-group size
+        first reaches the right one; cores < p are reshapes of
+        I_(L_k*n_k), core p is the data reshaped to (L_p, n_p, R_p),
+        cores > p are reshapes of I_(n_k*R_k)."""
+        require(not cls.is_operator,
+                "from_dense_unfolding supports TTTensor only")
+        arr = np.asarray(tensor.to_ndarray()
+                         if isinstance(tensor, Tensor) else tensor)
+        dims = list(arr.shape)
+        d = len(dims)
+        require(d >= 1, "need at least one mode")
+        if d == 1:
+            return cls._make([Tensor.from_ndarray(arr.reshape(1, -1, 1))])
+        total = int(np.prod(dims))
+        # pivot: first k with prod(dims[:k+1]) >= prod(dims[k+1:])
+        p = 0
+        left = dims[0]
+        while left * left < total and p + 1 < d:
+            p += 1
+            left *= dims[p]
+        comps: List[Tensor] = []
+        L = 1
+        for k in range(p):
+            comps.append(Tensor.from_ndarray(
+                np.eye(L * dims[k]).reshape(L, dims[k], L * dims[k])))
+            L *= dims[k]
+        R = total // (L * dims[p])
+        comps.append(Tensor.from_ndarray(arr.reshape(L, dims[p], R)))
+        for k in range(p + 1, d):
+            Rk = R // dims[k]
+            comps.append(Tensor.from_ndarray(
+                np.eye(dims[k] * Rk).reshape(R, dims[k], Rk)))
+            R = Rk
+        return cls._make(comps)
+
+    @classmethod
     def dirac(cls, dimensions: Sequence[int], position) -> "TTNetwork":
         dims = [int(d) for d in dimensions]
         if not isinstance(position, (list, tuple, np.ndarray)):
