@@ -200,3 +200,66 @@ def test_multistart_eigensolver_matches_exact():
     assert abs(e - exact) < 1e-8
     xv = x.to_tensor().to_ndarray().reshape(-1)
     assert np.linalg.norm(Hm @ xv - e * xv) < 1e-8
+
+
+def test_shifted_dmrg_psd_operator_all_solvers():
+    """PSD operator (ground energy > 0): the padded frames' spurious zero
+    eigenvalues beat the true ground unless the kernel solves (A - s*P)
+    with the carried true-subspace projector (ops/dmrg_kernels.py).  The
+    auto shift (shift=None) estimates lambda_max by running the SAME
+    compiled kernel on -A (one negated MPO core) and must recover the
+    exact smallest eigenvalue for every scan solver."""
+    from xerus_tpu.ops.dmrg_kernels import dmrg_groundstate_scan
+
+    d, n = 6, 4
+    A = laplace_operator([n] * d)
+    Ad = A.to_tensor().to_ndarray().reshape(n ** d, n ** d)
+    exact = np.linalg.eigvalsh(Ad)[0]
+    assert exact > 0  # the regression scenario: PSD ground
+    for solver in ("lanczos", "lobpcg", "eigh"):
+        x = TTTensor.random([n] * d, 8)
+        e = dmrg_groundstate_scan(A, x, num_half_sweeps=10, solver=solver,
+                                  lobpcg_iters=32, shift=None)
+        assert abs(e - exact) < 1e-9, (solver, e, exact)
+        xv = x.to_tensor().to_ndarray().reshape(-1)
+        assert np.linalg.norm(Ad @ xv - e * xv) < 1e-7, solver
+
+
+def test_shifted_dmrg_explicit_shift_and_negative_ground():
+    """shift=0.0 keeps the cheaper unshifted kernel (valid for negative
+    ground energies — Heisenberg); an explicit shift > lambda_min works
+    on the PSD Laplace without the estimation phase."""
+    from xerus_tpu.ops.dmrg_kernels import dmrg_groundstate_scan
+
+    d = 6
+    H = heisenberg_mpo(d)
+    Hm = H.to_tensor().to_ndarray().reshape(2 ** d, 2 ** d)
+    exact_h = np.linalg.eigvalsh(Hm)[0]
+    x = TTTensor.random([2] * d, 8)
+    e = dmrg_groundstate_scan(H, x, num_half_sweeps=10, solver="lanczos",
+                              lobpcg_iters=32, shift=0.0)
+    assert abs(e - exact_h) < 1e-9
+
+    n = 4
+    A = laplace_operator([n] * d)
+    Ad = A.to_tensor().to_ndarray().reshape(n ** d, n ** d)
+    exact = np.linalg.eigvalsh(Ad)[0]
+    lam_max = np.linalg.eigvalsh(Ad)[-1]
+    x = TTTensor.random([n] * d, 8)
+    e = dmrg_groundstate_scan(A, x, num_half_sweeps=10, solver="lanczos",
+                              lobpcg_iters=32, shift=float(1.05 * lam_max))
+    assert abs(e - exact) < 1e-9
+
+
+def test_shifted_multistart_psd():
+    """Auto-shifted multistart race on the PSD Laplace."""
+    from xerus_tpu.ops.dmrg_kernels import dmrg_groundstate_multistart
+
+    d, n = 6, 4
+    A = laplace_operator([n] * d)
+    Ad = A.to_tensor().to_ndarray().reshape(n ** d, n ** d)
+    exact = np.linalg.eigvalsh(Ad)[0]
+    x = TTTensor.random([n] * d, 8)
+    e = dmrg_groundstate_multistart(A, x, num_starts=3, num_half_sweeps=10,
+                                    shift=None)
+    assert abs(e - exact) < 1e-9

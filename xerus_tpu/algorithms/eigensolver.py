@@ -144,14 +144,18 @@ def smallest_eigenvalue(A: TTOperator, x: TTTensor, sites: int = 2,
                         max_rank: int = 64,
                         perf_data: PerformanceData = NoPerfData,
                         solver: Optional[str] = None,
-                        num_starts: int = 1) -> float:
+                        num_starts: int = 1,
+                        shift: Optional[float] = None) -> float:
     """solver="exact": adaptive-rank object-level sweeps with dense local
     eigh (the reference's approach).  solver="lanczos": the whole-sweep
     scan kernel with matrix-free Lanczos local solves
     (ops/dmrg_kernels.py; 8.6ms vs 632-783ms per d=32 rank-16 half-sweep
-    on v5e) — requires sites=2, uniform mode dimensions and a NEGATIVE
-    ground energy (zero-padded frame contract); ranks are fixed at
-    max_rank (x is rank-bumped if needed).
+    on v5e) — requires sites=2 and uniform mode dimensions; ranks are
+    fixed at max_rank (x is rank-bumped if needed).  Arbitrary spectra
+    are handled via an auto-estimated spectral shift (shift=None); pass
+    shift=0.0 if the ground energy is known negative (skips the
+    lambda_max estimation phase and the projector carry) or a known
+    upper bound s > lambda_min.
 
     solver=None picks automatically: "lanczos" on TPU backends whenever
     its structural requirements hold (the dense local eigh takes 632-783
@@ -189,11 +193,11 @@ def smallest_eigenvalue(A: TTOperator, x: TTTensor, sites: int = 2,
             energy = dmrg_groundstate_multistart(
                 A, x, num_starts=int(num_starts),
                 num_half_sweeps=2 * (num_sweeps or 8), conv_eps=eps,
-                solver="lanczos")
+                solver="lanczos", shift=shift)
         else:
             energy = dmrg_groundstate_scan(
                 A, x, num_half_sweeps=2 * (num_sweeps or 8),
-                conv_eps=eps, solver="lanczos")
+                conv_eps=eps, solver="lanczos", shift=shift)
         if perf_data:
             perf_data.start()
             perf_data.add(energy, x, 1)

@@ -52,12 +52,15 @@ def _split(a):
     df_mul silently degraded to f32 accuracy (~2e-8) while eager stayed
     at 1e-15.  Masking the low half of the mantissa is exact by
     construction and gives the compiler nothing to contract: hi keeps 12
-    of f32's 24 significant bits (27 of f64's 53), and lo = a - hi is
+    of f32's 24 significant bits (26 of f64's 53), and lo = a - hi is
     exact, so all half-products in two_prod fit the mantissa."""
     if a.dtype == jnp.float64:
+        # Clear 27 low bits: hi keeps 26 of f64's 53 significant bits, so
+        # hi*hi needs 52 bits and hi*lo at most 53 — both exact.  (Masking
+        # only 26 bits would leave 27-bit highs whose products need 54.)
         ai = jax.lax.bitcast_convert_type(a, jnp.int64)
         hi = jax.lax.bitcast_convert_type(
-            ai & np.int64(~((1 << 26) - 1)), jnp.float64)
+            ai & np.int64(~((1 << 27) - 1)), jnp.float64)
     else:
         ai = jax.lax.bitcast_convert_type(a, jnp.int32)
         hi = jax.lax.bitcast_convert_type(

@@ -7,8 +7,12 @@ SURVEY.md §7): the SVD split keeps exactly `rank` singular directions via a
 static mask, so shapes are uniform and the eigh/SVD bodies compile once per
 distinct shape.
 
-Fixed ranks require a full-rank start (e.g. TTTensor.random at max rank);
-the spurious zero-mode issue of zero-padded frames does not arise.
+Padding to a uniform rank necessarily zero-pads the boundary frames (bond k
+has true rank <= n^k), so the padded local operators gain spurious ZERO
+eigenvalues.  When the target ground energy is negative these never win; for
+ground energies >= 0 (e.g. PSD operators) the drivers apply a spectral shift
+(A - s*P with P the carried true-subspace projector, s > lambda_min,
+auto-estimated via a lambda_max phase) so the shifted ground is negative.
 """
 
 from __future__ import annotations
@@ -75,17 +79,24 @@ def _dmrg_eig_half_sweep(x_cores, A_cores):
     return tuple(x_cores), energy
 
 
-def _dmrg_eig_half_sweep_scan(x_stack, A_stack, rank: int):
+def _dmrg_eig_half_sweep_scan(x_stack, A_stack, shift=None, *, rank: int):
     """Scan-based two-site ground-state half-sweep over PADDED uniform
     stacks: x_stack (d, r, n, r), A_stack (d, a, n, n, a).  Compiles ONE
     eigh/SVD body instead of d-1 (pad-to-max-rank discipline).
 
-    Valid when the target ground energy is NEGATIVE: zero-padded frame
-    directions contribute spurious zero eigenvalues which then never win.
-    Returns (x_stack_out, energy)."""
+    Unshifted (shift=None), valid when the target ground energy is
+    NEGATIVE: zero-padded frame directions contribute spurious zero
+    eigenvalues which then never win.  A TRACED scalar ``shift`` >
+    lambda_min lifts that restriction by solving (A - shift*P) with P the
+    carried true-subspace projector (see _dmrg_lobpcg_half_sweep_scan);
+    traced (not baked static) so one compile serves every shift value —
+    tunnel compiles cost minutes (CLAUDE.md).  Reported energies are the
+    SHIFTED Ritz values (true energy = reported + shift); the driver adds
+    the shift back.  Returns (x_stack_out, energy)."""
     d, r, n, _ = x_stack.shape
     a = A_stack.shape[1]
     dtype = x_stack.dtype
+    shifted = shift is not None
 
     # right environments (uniform (r, a, r)), scan right-to-left
     def env_r_body(env, inp):
@@ -101,12 +112,27 @@ def _dmrg_eig_half_sweep_scan(x_stack, A_stack, rank: int):
     # close with the boundary env
     Renvs = jnp.concatenate([envs[1:], env0[None]], axis=0)
 
+    prj0 = jnp.zeros((r, r), dtype=dtype).at[0, 0].set(1.0)
+    if shifted:
+        def prj_r_body(prj, xc):
+            new = jnp.einsum("umU,vmV,UV->uv", xc, xc, prj)
+            return new, new
+
+        _, prjs_rev = jax.lax.scan(prj_r_body, prj0, x_stack[1:][::-1])
+        Rprjs = jnp.concatenate([prjs_rev[::-1][1:], prj0[None]], axis=0)
+    else:
+        Rprjs = jnp.zeros((d - 1, r, r), dtype=dtype)   # unused
+
     mask = (jnp.arange(r, dtype=jnp.int32) < rank).astype(dtype)
 
     def sweep_body(carry, inp):
-        op_left = carry
-        A1, A2, R = inp
+        op_left, prj_left = carry
+        A1, A2, R, Rprj = inp
         Aloc = jnp.einsum("uav,amnb,bMNc,UcV->umMUvnNV", op_left, A1, A2, R)
+        if shifted:
+            eyen = jnp.eye(n, dtype=dtype)
+            Aloc = Aloc - shift.astype(dtype) * jnp.einsum(
+                "uv,mn,MN,UV->umMUvnNV", prj_left, eyen, eyen, Rprj)
         nn = r * n * n * r
         w, v = jnp.linalg.eigh(Aloc.reshape(nn, nn))
         energy = w[0]
@@ -123,19 +149,29 @@ def _dmrg_eig_half_sweep_scan(x_stack, A_stack, rank: int):
             sv, ((0, r - sv.shape[0]), (0, 0)))
         U = uu.reshape(r, n, r)
         op_left2 = jnp.einsum("uav,umU,amnb,vnV->UbV", op_left, U, A1, U)
-        return op_left2, (U, sv.reshape(r, n, r), energy)
+        if shifted:
+            prj_left2 = jnp.einsum("uv,umU,vmV->UV", prj_left, U, U)
+        else:
+            prj_left2 = prj_left
+        return (op_left2, prj_left2), (U, sv.reshape(r, n, r), energy)
 
     left0 = jnp.zeros((r, a, r), dtype=dtype).at[0, 0, 0].set(1.0)
     _, (Us, svs, energies) = jax.lax.scan(
-        sweep_body, left0, (A_stack[:-1], A_stack[1:], Renvs))
+        sweep_body, (left0, prj0), (A_stack[:-1], A_stack[1:], Renvs, Rprjs))
     out = jnp.concatenate([Us, svs[-1][None]], axis=0)
     return out, energies[-1]
 
 
 @lru_cache(maxsize=32)
-def make_dmrg_sweep_scan(shape_key, rank: int, dtype_str: str):
+def make_dmrg_sweep_scan(shape_key, rank: int, dtype_str: str,
+                         shifted: bool = False):
+    """shifted=False: fn(x_stack, A_stack).  shifted=True: fn(x_stack,
+    A_stack, shift) with shift a TRACED scalar (one compile, any value)."""
     from .tt_kernels import jit_f32
-    return jit_f32(partial(_dmrg_eig_half_sweep_scan, rank=rank), dtype_str)
+    body = partial(_dmrg_eig_half_sweep_scan, rank=rank)
+    if shifted:
+        return jit_f32(lambda x, A, s: body(x, A, jnp.asarray(s)), dtype_str)
+    return jit_f32(lambda x, A: body(x, A), dtype_str)
 
 
 # ---------------------------------------------------------------------------
@@ -155,13 +191,14 @@ def _local_apply(L, A1, A2, R, v):
     return jnp.einsum("UcV,umMcV->umMU", R, t)
 
 
-def _lobpcg_smallest(L, A1, A2, R, v0, iters: int):
-    """k=1 LOBPCG without preconditioner on the matrix-free local operator.
-    Valid for ground energies < 0 (degenerate basis directions contribute
-    Rayleigh quotient 0 and never win).  Keeps iterates in the 4-D local
-    shape — a flat-vector reshape formulation of this loop crashes the TPU
-    compiler (TransposeFolding 'buffer != nullptr').  Returns (ground
-    vector, energy)."""
+def _lobpcg_smallest(apply, v0, iters: int):
+    """k=1 LOBPCG without preconditioner on the matrix-free local operator
+    ``apply`` (a matvec closure).  Valid for ground energies < 0
+    (degenerate/zero-padded basis directions contribute Rayleigh quotient
+    0 and never win; the half-sweep driver's spectral shift arranges
+    this).  Keeps iterates in the 4-D local shape — a flat-vector reshape
+    formulation of this loop crashes the TPU compiler (TransposeFolding
+    'buffer != nullptr').  Returns (ground vector, energy)."""
     dtype = v0.dtype
     tiny = jnp.asarray(1e-30, dtype)
 
@@ -175,7 +212,7 @@ def _lobpcg_smallest(L, A1, A2, R, v0, iters: int):
 
     def body(carry, _):
         x, p, _ = carry
-        Ax = _local_apply(L, A1, A2, R, x)
+        Ax = apply(x)
         lam = jnp.sum(x * Ax)
         w = Ax - lam * x
         # orthonormalize [x, w, p] (x is unit; CGS with degeneracy guards)
@@ -185,9 +222,7 @@ def _lobpcg_smallest(L, A1, A2, R, v0, iters: int):
         q = q - jnp.sum(q * w) * w
         q, nq = normalize(q)
         basis = jnp.stack([x, w, q])                 # (3, ...)
-        Ab = jnp.stack([Ax,
-                        _local_apply(L, A1, A2, R, w),
-                        _local_apply(L, A1, A2, R, q)])
+        Ab = jnp.stack([Ax, apply(w), apply(q)])
         T = jnp.einsum("i...,j...->ij", basis, Ab)
         T = 0.5 * (T + T.T)
         # degenerate directions (zero w or p) must never win the Ritz step;
@@ -209,12 +244,13 @@ def _lobpcg_smallest(L, A1, A2, R, v0, iters: int):
     return x, lam
 
 
-def _lanczos_smallest(L, A1, A2, R, v0, m: int):
+def _lanczos_smallest(apply, v0, m: int):
     """Fixed-m Lanczos with full reorthogonalization on the matrix-free
-    local operator.  m applies build an m-dim Krylov space — far better
-    extreme-eigenvalue convergence per apply than the 3-vector LOBPCG.
-    Degenerate steps (invariant subspace reached, beta ~ 0) are masked and
-    penalized out of the small eigh.  Returns (ground vector, energy)."""
+    local operator ``apply`` (a matvec closure).  m applies build an m-dim
+    Krylov space — far better extreme-eigenvalue convergence per apply
+    than the 3-vector LOBPCG.  Degenerate steps (invariant subspace
+    reached, beta ~ 0) are masked and penalized out of the small eigh.
+    Returns (ground vector, energy)."""
     dtype = v0.dtype
     tiny = jnp.asarray(1e-30, dtype)
     shape = v0.shape
@@ -235,7 +271,7 @@ def _lanczos_smallest(L, A1, A2, R, v0, m: int):
     for j in range(m):
         V = V.at[j].set(v * alive)
         valid = valid.at[j].set(alive)
-        w = _local_apply(L, A1, A2, R, v)
+        w = apply(v)
         a_j = jnp.sum(w * v)
         alphas = alphas.at[j].set(a_j * alive)
         w = w - a_j * v - beta_prev * v_prev
@@ -260,15 +296,29 @@ def _lanczos_smallest(L, A1, A2, R, v0, m: int):
     return ground, evals[0]
 
 
-def _dmrg_lobpcg_half_sweep_scan(x_stack, A_stack, rank: int,
+def _dmrg_lobpcg_half_sweep_scan(x_stack, A_stack, shift=None, *,
+                                 rank: int,
                                  lobpcg_iters: int = 24,
                                  solver: str = "lobpcg"):
     """Scan half-sweep with LOBPCG local solves (warm-started from the
     current two-site block) instead of the dense eigh.  Same padding /
-    masked-SVD-split contract as _dmrg_eig_half_sweep_scan."""
+    masked-SVD-split contract as _dmrg_eig_half_sweep_scan.
+
+    A TRACED scalar ``shift`` solves (A - shift*I) instead of A (energies
+    come back shifted by -shift; the driver adds it back).  In the local
+    frames the global identity is exactly the projector P onto the TRUE
+    (non-padded) subspace — carried through the sweep like the operator
+    environments — so padded null directions KEEP eigenvalue 0 while
+    every true eigenvalue drops by shift.  With shift > lambda_min the
+    true ground beats the spurious zero modes, which otherwise capture
+    the f32 Krylov iterations whenever the ground energy is >= 0
+    (measured: unshifted f32 lanczos/lobpcg on a PSD Laplace MPO collapse
+    to 0).  shift=None compiles the unshifted kernel (no projector
+    carry)."""
     d, r, n, _ = x_stack.shape
     a = A_stack.shape[1]
     dtype = x_stack.dtype
+    shifted = shift is not None
 
     def env_r_body(env, inp):
         xc, Ac = inp
@@ -281,16 +331,36 @@ def _dmrg_lobpcg_half_sweep_scan(x_stack, A_stack, rank: int,
     envs = envs_rev[::-1]
     Renvs = jnp.concatenate([envs[1:], env0[None]], axis=0)
 
+    prj0 = jnp.zeros((r, r), dtype=dtype).at[0, 0].set(1.0)
+    if shifted:
+        # right identity environments: prj[u,v] = frame-gram of sites to
+        # the right — exactly diag(true-rank mask) for orthonormal frames
+        def prj_r_body(prj, xc):
+            new = jnp.einsum("umU,vmV,UV->uv", xc, xc, prj)
+            return new, new
+
+        _, prjs_rev = jax.lax.scan(prj_r_body, prj0, x_stack[1:][::-1])
+        prjs = prjs_rev[::-1]
+        Rprjs = jnp.concatenate([prjs[1:], prj0[None]], axis=0)
+    else:
+        Rprjs = jnp.zeros((d - 1, r, r), dtype=dtype)   # unused
+
     def sweep_body(carry, inp):
-        op_left, x1 = carry
-        A1, A2, R, x2 = inp
+        op_left, prj_left, x1 = carry
+        A1, A2, R, Rprj, x2 = inp
         v0 = jnp.einsum("umb,bMU->umMU", x1, x2)
+
+        def apply(v):
+            w = _local_apply(L=op_left, A1=A1, A2=A2, R=R, v=v)
+            if shifted:
+                pv = jnp.einsum("uw,wmMW,WU->umMU", prj_left, v, Rprj)
+                w = w - shift.astype(dtype) * pv
+            return w
+
         if solver == "lanczos":
-            ground, energy = _lanczos_smallest(op_left, A1, A2, R, v0,
-                                               lobpcg_iters)
+            ground, energy = _lanczos_smallest(apply, v0, lobpcg_iters)
         else:
-            ground, energy = _lobpcg_smallest(op_left, A1, A2, R, v0,
-                                              lobpcg_iters)
+            ground, energy = _lobpcg_smallest(apply, v0, lobpcg_iters)
         uu, ss, vt = jnp.linalg.svd(ground.reshape(r * n, n * r),
                                     full_matrices=False)
         k = min(rank, uu.shape[1])
@@ -304,23 +374,32 @@ def _dmrg_lobpcg_half_sweep_scan(x_stack, A_stack, rank: int,
         U = uu.reshape(r, n, r)
         nxt = sv.reshape(r, n, r)
         op_left2 = jnp.einsum("uav,umU,amnb,vnV->UbV", op_left, U, A1, U)
-        return (op_left2, nxt), (U, nxt, energy)
+        if shifted:
+            prj_left2 = jnp.einsum("uv,umU,vmV->UV", prj_left, U, U)
+        else:
+            prj_left2 = prj_left
+        return (op_left2, prj_left2, nxt), (U, nxt, energy)
 
     left0 = jnp.zeros((r, a, r), dtype=dtype).at[0, 0, 0].set(1.0)
-    (_, last), (Us, svs, energies) = jax.lax.scan(
-        sweep_body, (left0, x_stack[0]),
-        (A_stack[:-1], A_stack[1:], Renvs, x_stack[1:]))
+    (_, _, last), (Us, svs, energies) = jax.lax.scan(
+        sweep_body, (left0, prj0, x_stack[0]),
+        (A_stack[:-1], A_stack[1:], Renvs, Rprjs, x_stack[1:]))
     out = jnp.concatenate([Us, last[None]], axis=0)
     return out, energies[-1]
 
 
 @lru_cache(maxsize=32)
 def make_dmrg_sweep_lobpcg(shape_key, rank: int, dtype_str: str,
-                           lobpcg_iters: int, solver: str = "lobpcg"):
+                           lobpcg_iters: int, solver: str = "lobpcg",
+                           shifted: bool = False):
+    """shifted=False: fn(x_stack, A_stack).  shifted=True: fn(x_stack,
+    A_stack, shift) with shift a TRACED scalar (one compile, any value)."""
     from .tt_kernels import jit_f32
-    return jit_f32(partial(_dmrg_lobpcg_half_sweep_scan, rank=rank,
-                           lobpcg_iters=lobpcg_iters, solver=solver),
-                   dtype_str)
+    body = partial(_dmrg_lobpcg_half_sweep_scan, rank=rank,
+                   lobpcg_iters=lobpcg_iters, solver=solver)
+    if shifted:
+        return jit_f32(lambda x, A, s: body(x, A, jnp.asarray(s)), dtype_str)
+    return jit_f32(lambda x, A: body(x, A), dtype_str)
 
 
 def _pad_operator_stack(A_np, dtype):
@@ -526,7 +605,8 @@ def dmrg_solve(A, x, b, max_rank: int = 0, num_half_sweeps: int = 8,
 @lru_cache(maxsize=32)
 def make_dmrg_sweep_batched(shape_key, rank: int, dtype_str: str,
                             lobpcg_iters: int, solver: str = "lanczos",
-                            batched_A: bool = False):
+                            batched_A: bool = False,
+                            shifted: bool = False):
     """Throughput-mode DMRG: one jitted program running a BATCH of
     independent ground-state half-sweeps (optionally per-instance
     operators).  Same rationale as make_als_sweep_batched
@@ -538,7 +618,12 @@ def make_dmrg_sweep_batched(shape_key, rank: int, dtype_str: str,
     from .tt_kernels import jit_f32
     body = partial(_dmrg_lobpcg_half_sweep_scan, rank=rank,
                    lobpcg_iters=lobpcg_iters, solver=solver)
-    fn = jax.vmap(body, in_axes=(0, 0 if batched_A else None))
+    if shifted:
+        fn = jax.vmap(lambda x, A, s: body(x, A, jnp.asarray(s)),
+                      in_axes=(0, 0 if batched_A else None, None))
+    else:
+        fn = jax.vmap(lambda x, A: body(x, A),
+                      in_axes=(0, 0 if batched_A else None))
     return jit_f32(fn, dtype_str)
 
 
@@ -559,7 +644,8 @@ def dmrg_groundstate_multistart(A, x, num_starts: int = 4,
                                 num_half_sweeps: int = 8,
                                 conv_eps: float = 1e-10,
                                 solver: str = "lanczos",
-                                lobpcg_iters: int = 32) -> float:
+                                lobpcg_iters: int = 32,
+                                shift=None) -> float:
     """Multi-start ground-state race: ``num_starts`` independent random
     initializations (the first being x itself) run as ONE batched
     program per half-sweep (make_dmrg_sweep_batched); the lowest-energy
@@ -597,14 +683,32 @@ def dmrg_groundstate_multistart(A, x, num_starts: int = 4,
     A_stack = _pad_operator_stack(A_np, x_stacks.dtype)
     x_stacks = jnp.asarray(x_stacks)
 
+    shifted = shift is None or float(shift) != 0.0
     fn = make_dmrg_sweep_batched(tuple(x_stacks.shape), int(r),
                                  str(x_stacks.dtype), int(lobpcg_iters),
-                                 solver)
+                                 solver, shifted=shifted)
+    sdt = np.asarray(x_stacks).dtype
+    if shift is None:
+        # lambda_max phase (see dmrg_groundstate_scan) on throwaway
+        # copies; -A = negate exactly ONE MPO core
+        neg_A = jnp.asarray(A_stack).at[0].multiply(-1.0)
+        xs, As, e_neg = x_stacks, neg_A, np.inf
+        for _ in range(2):
+            xs, es = fn(xs, As, sdt.type(0.0))
+            e_neg = float(jnp.min(es))
+            xs, As = _rev_x_stack(xs), _rev_A_stack(As)
+        lam_hat = -e_neg
+        shift = 1.1 * lam_hat if lam_hat > 0 else 0.0
+    shift = float(shift)
     best_prev = np.inf
     reversed_state = False
     energies = jnp.full((num_starts,), np.inf, dtype=x_stacks.dtype)
     for sweep in range(num_half_sweeps):
-        x_stacks, energies = fn(x_stacks, A_stack)
+        if shifted:
+            x_stacks, energies = fn(x_stacks, A_stack, sdt.type(shift))
+        else:
+            x_stacks, energies = fn(x_stacks, A_stack)
+        energies = energies + shift
         # normalize each instance's core (last stack entry)
         last = x_stacks[:, d - 1]
         nl = jnp.sqrt(jnp.sum(last * last, axis=(1, 2, 3), keepdims=True))
@@ -635,10 +739,23 @@ def dmrg_groundstate_multistart(A, x, num_starts: int = 4,
 
 def dmrg_groundstate_scan(A, x, num_half_sweeps: int = 8,
                           conv_eps: float = 1e-10, solver: str = "eigh",
-                          lobpcg_iters: int = 24):
+                          lobpcg_iters: int = 24, shift=None):
     """Scan-kernel driver: pads x and A to uniform stacks, alternates
-    direction by stack reversal.  Requires ground energy < 0.
-    solver: 'eigh' (dense local eigh) or 'lobpcg' (matrix-free)."""
+    direction by stack reversal.  solver: 'eigh' (dense local eigh) or
+    'lobpcg'/'lanczos' (matrix-free).
+
+    ``shift`` handles the padded-frame zero-mode contract (the unshifted
+    kernels require ground energy < 0 — spurious zero eigenvalues from
+    padding otherwise capture the solve, measured on PSD operators):
+
+    - shift=None (default, AUTO): estimate lambda_max by running two
+      half-sweeps of the SAME shifted kernel (shift scalar 0) on -A with
+      a throwaway state — its ground -lambda_max is negative exactly when
+      a shift is needed — then solve (A - 1.1*lambda_hat * P).  One
+      compile serves both phases (shift is traced).
+    - shift=0.0: explicit known-negative-ground contract; compiles the
+      cheaper unshifted kernel (no projector carry).
+    - shift=s > 0: use s directly (caller knows an upper bound)."""
     from ..core.tensor import Tensor
     from .pallas_tt_eval import pad_cores
     with _cpu_scope():
@@ -662,19 +779,37 @@ def dmrg_groundstate_scan(A, x, num_half_sweeps: int = 8,
 
     energy = np.inf
     reversed_state = False
+    shifted = shift is None or float(shift) != 0.0
     if solver in ("lobpcg", "lanczos"):
         fn = make_dmrg_sweep_lobpcg(tuple(x_stack.shape), int(r),
                                     str(x_stack.dtype), int(lobpcg_iters),
-                                    solver)
+                                    solver, shifted=shifted)
     elif solver == "eigh":
         fn = make_dmrg_sweep_scan(tuple(x_stack.shape), int(r),
-                                  str(x_stack.dtype))
+                                  str(x_stack.dtype), shifted=shifted)
     else:
         raise ValueError(f"unknown local solver {solver!r}; "
                          "expected 'eigh', 'lanczos' or 'lobpcg'")
+    sdt = np.asarray(x_stack).dtype
+    if shift is None:
+        # lambda_max phase on a throwaway copy; same compiled kernel.
+        # -A as an MPO = negate exactly ONE core (negating the whole
+        # stack flips (-1)^d, a no-op for even d).
+        neg_A = jnp.asarray(A_stack).at[0].multiply(-1.0)
+        xs, As, e_neg = x_stack, neg_A, np.inf
+        for _ in range(2):
+            xs, e = fn(xs, As, sdt.type(0.0))
+            e_neg = float(e)
+            xs, As = rev_x(xs), rev_A(As)
+        lam_hat = -e_neg
+        shift = 1.1 * lam_hat if lam_hat > 0 else 0.0
+    shift = float(shift)
     for sweep in range(num_half_sweeps):
-        x_stack, e = fn(x_stack, A_stack)
-        e = float(e)
+        if shifted:
+            x_stack, e = fn(x_stack, A_stack, sdt.type(shift))
+        else:
+            x_stack, e = fn(x_stack, A_stack)
+        e = float(e) + shift
         # normalize the core (last stack entry)
         last = x_stack[d - 1]
         nl = jnp.linalg.norm(last)

@@ -886,7 +886,7 @@ def _round_sweep_segmented(cores, max_ranks, eps: float = 0.0,
     dtype = cores[0].dtype
     tiny = jnp.asarray(1e-30, dtype)
     if d == 1:
-        return list(cores), [tuple(int(s) for s in cores[0].shape)]
+        return list(cores)
     qs, true_k, logs = _qr_sweep_segmented(cores, min_run, orth, min_bucket)
 
     # ---- static schedule for the right->left truncation sweep ----
@@ -1416,6 +1416,8 @@ def tt_round_streaming_uniform(cores: Sequence[jnp.ndarray], target_rank: int,
     bond is returned at exactly `target_rank` — a valid but non-minimal
     representation near the chain ends.  Run the object layer's `round()`
     (or any canonicalization sweep) afterwards if minimal ranks matter."""
+    if len(cores) == 1:
+        return [jnp.asarray(cores[0])]   # no bonds to round
     from .pallas_tt_eval import pad_cores
     stacked, r = pad_cores([np.asarray(c) for c in cores])
     d, _, n, _ = stacked.shape

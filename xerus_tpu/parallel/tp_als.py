@@ -175,7 +175,11 @@ def make_tp_als_half_sweep(mesh_key, shape, a_shape, b_shape,
         in_specs=(P(), P(), P()),
         out_specs=P(),
         check_vma=False)
-    return jax.jit(fn)
+    # jit_f32 discipline (CLAUDE.md): trace with x64 off so the jnp.arange
+    # rank masks stay s32 (s64 iota SIGABRTs this TPU compiler), and keep
+    # genuine-f32 matmul precision
+    from ..ops.tt_kernels import jit_f32
+    return jit_f32(fn, dtype_str)
 
 
 def tp_als_half_sweep(x_cores: Sequence, A_cores: Sequence,

@@ -608,7 +608,7 @@ class TTNetwork:
             require(len(rank_vec) == self.num_ranks(),
                     "need degree/N - 1 maxRanks")
             require(all(r > 0 for r in rank_vec), "cannot round to rank 0")
-            max_rank = max(rank_vec)
+            max_rank = max(rank_vec, default=1)   # d==1: no bonds to round
         require(max_rank > 0, "cannot round to rank 0")
         with host():   # object-level f64 prep stays off the TPU (CLAUDE.md)
             cores = [_np.asarray(c.to_ndarray()) for c in self.components]
