@@ -342,3 +342,53 @@ def test_tt_round_tsqr_subspace_matches_gram():
     c2 = [c.to_jax() for c in t2.components]
     s2 = tt_round_tsqr(c2, 8, mesh1d, method="subspace")
     assert np.allclose(full(s2), t2.to_tensor().to_ndarray(), atol=1e-9)
+
+
+def test_sharded_multi_iteration_matches_replicated_chain(mesh):
+    """mesh + check_every=K chains K dp-sharded iterations in one program
+    (make_adf_multi_iteration_sharded); must equal the replicated K-chain
+    bit-for-bit at f64 tolerance (the K>1-with-mesh path of
+    algorithms/adf.py)."""
+    from xerus_tpu.ops.adf_kernels import (build_onehots,
+                                           make_adf_multi_iteration,
+                                           make_adf_multi_iteration_sharded)
+    import jax.numpy as jnp
+
+    d, n, r, M, K = 5, 3, 3, 48, 4
+    tt = TTTensor.random([n] * d, r)
+    rng = xe.misc.randomEngine
+    P = rng.integers(0, n, size=(M, d))
+    vals = jnp.asarray(np.asarray(rng.normal(size=(M,))))
+    cores = tuple(c.to_jax() for c in tt.components)
+    onehots = build_onehots(P, [n] * d, np.float64)
+    shapes_key = tuple(c.shape for c in cores)
+    ref_cores, ref_hist = make_adf_multi_iteration(shapes_key, "float64",
+                                                   K)(cores, onehots, vals)
+    fn = make_adf_multi_iteration_sharded(mesh, shapes_key, "float64", K)
+    with mesh:
+        got_cores, got_hist = fn(cores, onehots, vals)
+    assert np.allclose(np.asarray(got_hist), np.asarray(ref_hist),
+                       rtol=1e-12)
+    for a, b in zip(got_cores, ref_cores):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+def test_adf_variant_mesh_check_every(mesh):
+    """End-to-end ADFVariant with BOTH mesh and check_every>1: the chained
+    sharded path must reach the same completion quality as the
+    per-iteration path (previously check_every was silently ignored when
+    a mesh was passed)."""
+    from xerus_tpu.algorithms.adf import ADFVariant
+    from xerus_tpu.algorithms.measurements import SinglePointMeasurementSet
+
+    d, n, r, M = 5, 3, 2, 200
+    target = TTTensor.random([n] * d, r)
+    ms = SinglePointMeasurementSet.random(M, target)
+
+    x1 = TTTensor.random([n] * d, r)
+    x2 = x1.copy()  # identical start
+    adf = ADFVariant(40, 1e-10, 0.999)
+    r1 = adf(x1, ms, mesh=mesh)
+    r2 = adf(x2, ms, mesh=mesh, check_every=5)
+    assert r2 < 1e-6
+    assert abs(r1 - r2) < 1e-6

@@ -164,29 +164,31 @@ class _InternalSolver:
             self.x.move_core(0, keep_rank=True)
         cores = tuple(c.to_jax() for c in self.x.components)
 
-        @jax.jit
-        def canonicalize_left(cs):
-            cs = list(cs)
-            for k in range(len(cs) - 1, 0, -1):
-                rl, n, rr = cs[k].shape
-                q, r = jnp.linalg.qr(cs[k].reshape(rl, n * rr).T)
-                cs[k] = q.T.reshape(q.shape[1], n, rr)
-                cs[k - 1] = jnp.einsum("anb,bk->ank", cs[k - 1], r.T)
-            return tuple(cs)
+        from ..ops.adf_kernels import canonicalize_left_cores
+        canonicalize_left = jax.jit(canonicalize_left_cores)
 
         res_dec = [0.0, 0.0, 0.0, 0.0]
         K = max(1, int(getattr(self, "check_every", 1)))
         mesh = getattr(self, "mesh", None)
         while self.v.maxIterations == 0 or self.iteration < self.v.maxIterations:
             shapes_key = tuple(tuple(c.shape) for c in cores)
-            if K > 1 and mesh is None:
+            if K > 1:
                 # K chained iterations per dispatch; the stopping logic
                 # below still sees every iteration's residual (docstring
-                # of ADFVariant.__call__)
-                from ..ops.adf_kernels import make_adf_multi_iteration
-                fn = make_adf_multi_iteration(shapes_key,
-                                              str(cores[0].dtype), K,
-                                              self.rank_one)
+                # of ADFVariant.__call__).  With a mesh, the chained
+                # program also dp-shards the measurement axis (point
+                # measurements; rank-one sets fall back to the
+                # replicated chain, mirroring the K=1 path below).
+                if mesh is not None and not self.rank_one:
+                    from ..ops.adf_kernels import (
+                        make_adf_multi_iteration_sharded)
+                    fn = make_adf_multi_iteration_sharded(
+                        mesh, shapes_key, str(cores[0].dtype), K)
+                else:
+                    from ..ops.adf_kernels import make_adf_multi_iteration
+                    fn = make_adf_multi_iteration(shapes_key,
+                                                  str(cores[0].dtype), K,
+                                                  self.rank_one)
                 new_cores, hist = fn(cores, onehots,
                                      jnp.asarray(self.values))
                 cores = new_cores          # canonicalized in-program

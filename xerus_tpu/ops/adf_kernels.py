@@ -131,25 +131,67 @@ def make_adf_multi_iteration(shapes_key, dtype_str: str, k: int,
     matching the per-iteration kernel's residual0."""
     from .tt_kernels import jit_f32
     base = _adf_iteration_rankone if rank_one else _adf_iteration
+    return jit_f32(_make_multi_body(base, k), dtype_str)
+
+
+def canonicalize_left_cores(cs):
+    """Right-to-left QR sweep moving the core to component 0 (jittable;
+    the in-program equivalent of TTNetwork.move_core(0)).  Shared by the
+    ADF driver's per-iteration loop and the chained multi-iteration
+    kernels."""
+    cs = list(cs)
+    for i in range(len(cs) - 1, 0, -1):
+        rl, n, rr = cs[i].shape
+        q, r = jnp.linalg.qr(cs[i].reshape(rl, n * rr).T)
+        cs[i] = q.T.reshape(q.shape[1], n, rr)
+        cs[i - 1] = jnp.einsum("anb,bk->ank", cs[i - 1], r.T)
+    return tuple(cs)
+
+
+def _make_multi_body(base, k: int):
+    """K chained (iteration + left re-canonicalization) steps as a
+    lax.scan; shared by the plain and dp-sharded multi factories."""
 
     def multi(cores, onehots, values):
-        def canon(cs):
-            cs = list(cs)
-            for i in range(len(cs) - 1, 0, -1):
-                rl, n, rr = cs[i].shape
-                q, r = jnp.linalg.qr(cs[i].reshape(rl, n * rr).T)
-                cs[i] = q.T.reshape(q.shape[1], n, rr)
-                cs[i - 1] = jnp.einsum("anb,bk->ank", cs[i - 1], r.T)
-            return tuple(cs)
-
         def body(cs, _):
             out, res = base(cs, onehots, values)
-            return canon(out), res
+            return canonicalize_left_cores(out), res
 
         out, hist = jax.lax.scan(body, tuple(cores), None, length=k)
         return out, hist
 
-    return jit_f32(multi, dtype_str)
+    return multi
+
+
+@lru_cache(maxsize=32)
+def make_adf_multi_iteration_sharded(mesh, shapes_key, dtype_str: str,
+                                     k: int):
+    """dp-sharded K-chained ADF iterations: the measurement axis of the
+    one-hots/values shards over the mesh (as make_adf_iteration_sharded)
+    while the K-step chain runs as ONE program (as
+    make_adf_multi_iteration) — so a mesh caller still amortizes the
+    per-dispatch tunnel RTT over K iterations.  Point measurements only
+    (same contract as the single-iteration sharded factory)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    ms = NamedSharding(mesh, P("dp"))
+    body = _make_multi_body(_adf_iteration, k)
+
+    def fn(cores, onehots, values):
+        onehots = tuple(jax.lax.with_sharding_constraint(o, ms)
+                        for o in onehots)
+        values = jax.lax.with_sharding_constraint(values, ms)
+        return body(cores, onehots, values)
+
+    jfn = jax.jit(fn, out_shardings=((rep,) * len(shapes_key), rep))
+    if dtype_str != "float32":
+        return jfn
+
+    def wrapped(*args, **kwargs):
+        with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+            return jfn(*args, **kwargs)
+
+    return wrapped
 
 
 @lru_cache(maxsize=32)

@@ -43,6 +43,33 @@ def jit_f32(fn, dtype_str: str = "float32"):
     return wrapped
 
 
+def chol_orth_cols(X, shift_rels=None, want_r: bool = False):
+    """Shifted-CholQR column orthonormalization — the GEMM+Cholesky-only
+    replacement for QR/SVD on this TPU (v5e per-call: qr 284us, svd
+    788us, eigh 1956us vs GEMM+chol ~free; CLAUDE.md).  One Gram +
+    shifted Cholesky + triangular solve per entry of ``shift_rels``
+    (relative diagonal shifts; default one 10*eps pass — each single
+    shifted pass leaves ~u*kappa^2 orthogonality error, so callers
+    needing tight Q^T Q = I chain passes).  want_r=True returns
+    (Q, Rtot) with X = Q @ Rtot.  Shared by the subspace/segmented
+    rounding kernels and parallel/tsqr_round."""
+    from jax.scipy.linalg import solve_triangular
+    dtype = X.dtype
+    eye = jnp.eye(X.shape[1], dtype=dtype)
+    tiny = jnp.asarray(1e-30, dtype)
+    if shift_rels is None:
+        shift_rels = (10 * float(jnp.finfo(dtype).eps),)
+    Rtot = eye
+    for rel in shift_rels:
+        G = X.T @ X
+        shift = jnp.asarray(rel, dtype) * jnp.max(jnp.diagonal(G)) + tiny
+        L = jnp.linalg.cholesky(G + shift * eye)
+        X = solve_triangular(L, X.T, lower=True).T
+        if want_r:
+            Rtot = L.T @ Rtot
+    return (X, Rtot) if want_r else X
+
+
 # ---------------------------------------------------------------------------
 # TT rounding: left-orthogonalize (QR sweep), then truncate (SVD sweep)
 # ---------------------------------------------------------------------------
@@ -530,11 +557,7 @@ def _round_subspace_parallel(stacked: jnp.ndarray, target_rank: int,
     rho_logs = rho_logs_rev[::-1]
 
     # ---- batched GEMM-only bond factorizations ----
-    def orth_cols(X):
-        Gx = X.T @ X
-        sh = eps_s * jnp.max(jnp.diagonal(Gx)) + tiny
-        Lk = jnp.linalg.cholesky(Gx + sh * eye_k)
-        return solve_triangular(Lk, X.T, lower=True).T
+    orth_cols = chol_orth_cols
 
     def bond_maps(L, R):
         shift = eps_s * jnp.max(jnp.abs(jnp.diagonal(R))) + tiny
@@ -718,19 +741,9 @@ def _qr_sweep_segmented(cores, min_run: int = 3, orth: str = "cholqr",
     R = jnp.ones((1, 1), dtype)          # true-shape carry (kprev, rl)
 
     def chol_qr(X, w):
-        from jax.scipy.linalg import solve_triangular
-        m = X.shape[0]
-        eye = jnp.eye(w, dtype=dtype)
-        Rtot = eye
-        for rel in (10 * m * jnp.finfo(dtype).eps,
-                    10 * jnp.finfo(dtype).eps,
-                    10 * jnp.finfo(dtype).eps):
-            G = X.T @ X
-            shift = rel * jnp.max(jnp.diagonal(G)) + tiny
-            L = jnp.linalg.cholesky(G + shift * eye)
-            X = solve_triangular(L, X.T, lower=True).T
-            Rtot = L.T @ Rtot
-        return X, Rtot
+        ueps = float(jnp.finfo(dtype).eps)
+        return chol_orth_cols(X, (10 * X.shape[0] * ueps, 10 * ueps,
+                                  10 * ueps), want_r=True)
 
     idx = 0
     while idx < d - 1:
@@ -809,11 +822,7 @@ def _trunc_step_subspace(cur, keep, keep_cap: int, dtype, tiny,
     eye_k = jnp.eye(keep_cap, dtype=dtype)
     eps_s = jnp.asarray(10 * jnp.finfo(dtype).eps, dtype)
 
-    def orth_cols(X):
-        Gx = X.T @ X
-        shift = eps_s * jnp.max(jnp.diagonal(Gx)) + tiny
-        L = jnp.linalg.cholesky(Gx + shift * eye_k)
-        return solve_triangular(L, X.T, lower=True).T
+    orth_cols = chol_orth_cols
 
     V = orth_cols(G[:, :keep_cap] * col_mask[None, :])
     for _ in range(power_iters):

@@ -91,14 +91,12 @@ def _round_tsqr_local(stacked, target_rank: int, p: int, axis: str,
         G = jax.lax.psum(curm @ curm.T, axis)      # (r, r) replicated
         if method == "subspace":
             from jax.scipy.linalg import solve_triangular
+            from ..ops.tt_kernels import chol_orth_cols
             eps_s = jnp.asarray(10 * jnp.finfo(dtype).eps, dtype)
             eye = jnp.eye(r, dtype=dtype)
-
-            def orth_cols(X):
-                Gx = X.T @ X                       # replicated input
-                shift = eps_s * jnp.max(jnp.diagonal(Gx)) + tiny
-                L = jnp.linalg.cholesky(Gx + shift * eye)
-                return solve_triangular(L, X.T, lower=True).T
+            # inputs replicated across the shard_map axis, so the
+            # shared column orthonormalizer applies unchanged
+            orth_cols = chol_orth_cols
 
             V = orth_cols(G * mask[None, :])
             for _ in range(3):
