@@ -201,14 +201,18 @@ def main() -> None:
         H = heisenberg_mpo(d)
         g0 = TTTensor.random([2] * d, 4)
     if TPU_MODE:
+        # shift=0.0: the Heisenberg ground energy is known negative, so
+        # skip the auto lambda_max estimation phase (2 extra half-sweep
+        # dispatches + the projector-carrying kernel variant)
         gw = g0.copy()
         t0 = time.perf_counter()
-        xe.smallest_eigenvalue(H, gw, sites=2, max_rank=16, num_sweeps=6)
+        xe.smallest_eigenvalue(H, gw, sites=2, max_rank=16, num_sweeps=6,
+                               shift=0.0)
         warm = time.perf_counter() - t0
         g = g0.copy()
         t0 = time.perf_counter()
         lam = xe.smallest_eigenvalue(H, g, sites=2, max_rank=16,
-                                     num_sweeps=6)
+                                     num_sweeps=6, shift=0.0)
         secs = time.perf_counter() - t0
         with host():
             Hg = xe.apply_operator(H, g)

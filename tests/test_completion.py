@@ -151,3 +151,57 @@ def test_adf_rankone_kernel_matches_singlepoint_on_onehots():
     ro_res2 = float(_adf_iteration_rankone(tuple(ro_cores), onehots, vals)[1])
     assert sp_res2 < float(sp_res)
     assert ro_res2 < float(ro_res)
+
+
+def test_measurement_accessors_and_sort():
+    """Per-measurement accessors + sort parity
+    (python/recovery.cpp:33-103)."""
+    from xerus_tpu.algorithms.measurements import (SinglePointMeasurementSet,
+                                                   RankOneMeasurementSet)
+    from xerus_tpu.core.tensor import Tensor
+
+    sp = SinglePointMeasurementSet()
+    sp.add([2, 1, 0], 3.0)
+    sp.add([0, 1, 2], 1.0)
+    assert sp.get_position(0) == [2, 1, 0]
+    assert sp.get_measuredValue(1) == 1.0
+    sp.set_position(0, [1, 1, 1])
+    sp.set_measuredValue(0, 7.0)
+    sp.sort()
+    # lexicographic: [0,1,2] (value 1.0) before [1,1,1] (value 7.0)
+    assert sp.get_position(0) == [0, 1, 2]
+    assert sp.get_measuredValue(0) == 1.0
+    assert sp.get_measuredValue(1) == 7.0
+
+    r1 = RankOneMeasurementSet()
+    r1.add([np.array([0.0, 2.0]), np.array([1.0, 0.0])], 4.0)
+    r1.add([np.array([1.0, 0.0]), np.array([0.0, 3.0])], 6.0)
+    pos = r1.get_position(0)
+    assert isinstance(pos[0], Tensor)
+    assert np.allclose(pos[0].to_ndarray(), [0.0, 2.0])
+    r1.set_measuredValue(0, 8.0)
+    assert r1.get_measuredValue(0) == 8.0
+    r1.sort()
+    # measurement starting with weight [0,2] sorts before [1,0]
+    assert np.allclose(r1.get_position(0)[0].to_ndarray(), [0.0, 2.0])
+    assert r1.get_measuredValue(0) == 8.0
+
+
+def test_rankone_normalize_keeps_measurements_consistent():
+    """normalize() unit-scales weight vectors AND rescales values so
+    <w1 x w2, X> = v still holds (measurments.cpp:349-358)."""
+    from xerus_tpu.algorithms.measurements import RankOneMeasurementSet
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(3, 4))
+    r1 = RankOneMeasurementSet()
+    for _ in range(5):
+        w1, w2 = rng.normal(size=3) * 2.5, rng.normal(size=4) * 0.3
+        r1.add([w1, w2], float(w1 @ X @ w2))
+    r1.normalize()
+    for i in range(5):
+        w1 = r1.get_position(i)[0].to_ndarray()
+        w2 = r1.get_position(i)[1].to_ndarray()
+        assert np.isclose(np.linalg.norm(w1), 1.0, atol=1e-13)
+        assert np.isclose(np.linalg.norm(w2), 1.0, atol=1e-13)
+        assert np.isclose(w1 @ X @ w2, r1.get_measuredValue(i), atol=1e-12)

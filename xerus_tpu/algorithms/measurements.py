@@ -111,6 +111,19 @@ class SinglePointMeasurementSet:
         if not positions_only:
             self.measuredValues = self.measuredValues[order]
 
+    # -- per-measurement accessors (python/recovery.cpp:33-45) ----------
+    def get_position(self, i: int) -> List[int]:
+        return [int(p) for p in self.positions[i]]
+
+    def set_position(self, i: int, position: Sequence[int]) -> None:
+        self.positions[i] = np.asarray(position, dtype=np.int64)
+
+    def get_measuredValue(self, i: int) -> float:
+        return float(self.measuredValues[i])
+
+    def set_measuredValue(self, i: int, value: float) -> None:
+        self.measuredValues[i] = value
+
     # -- measuring ------------------------------------------------------
     def measure(self, solution) -> None:
         self.measuredValues = np.asarray(self._eval(solution),
@@ -202,10 +215,42 @@ class RankOneMeasurementSet:
             self.measuredValues = np.append(self.measuredValues, value)
 
     def normalize(self) -> None:
+        """Unit-normalize every per-mode weight vector, rescaling the
+        measured values by the same factors so the measurement equations
+        stay consistent (measurments.cpp:349-358)."""
         for k in range(len(self.positions)):
             norms = np.linalg.norm(self.positions[k], axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             self.positions[k] = self.positions[k] / norms
+            if self.measuredValues.size:
+                self.measuredValues = self.measuredValues / norms[:, 0]
+
+    def sort(self, positions_only: bool = False) -> None:
+        """Lexicographic over each measurement's concatenated per-mode
+        weight vectors (measurments.cpp:330-347)."""
+        if self.size() == 0 or not self.positions:
+            return
+        key = np.hstack(self.positions)          # (M, sum n_k)
+        order = np.lexsort(key.T[::-1])
+        self.positions = [W[order] for W in self.positions]
+        if not positions_only:
+            self.measuredValues = self.measuredValues[order]
+
+    # -- per-measurement accessors (python/recovery.cpp:86-98) ----------
+    def get_position(self, i: int) -> List[Tensor]:
+        return [Tensor.from_ndarray(W[i].copy()) for W in self.positions]
+
+    def set_position(self, i: int, position: Sequence) -> None:
+        for k, p in enumerate(position):
+            vec = np.asarray(p.to_ndarray() if isinstance(p, Tensor) else p,
+                             dtype=config.value_dtype)
+            self.positions[k][i] = vec
+
+    def get_measuredValue(self, i: int) -> float:
+        return float(self.measuredValues[i])
+
+    def set_measuredValue(self, i: int, value: float) -> None:
+        self.measuredValues[i] = value
 
     def measure(self, solution) -> None:
         self.measuredValues = np.asarray(self._eval(solution),

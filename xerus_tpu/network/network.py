@@ -92,6 +92,10 @@ class TensorNetwork:
     def datasize(self) -> int:
         return sum(n.tensor.size for n in self.nodes if not n.erased)
 
+    def node(self, i: int) -> TensorNode:
+        """Node accessor (python/tensorNetwork.cpp:44-46)."""
+        return self.nodes[i]
+
     def copy(self) -> "TensorNetwork":
         out = type(self).__new__(type(self))
         TensorNetwork._copy_into(self, out)
