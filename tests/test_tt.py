@@ -487,3 +487,28 @@ def test_move_core_rank_excess_repair():
         assert s.ranks() == [2, 4, 2]     # clamped to maximal
         got = s.to_tensor().to_ndarray()
         assert np.allclose(got, want, atol=1e-12 * np.linalg.norm(want))
+
+
+def test_round_fast_single_component():
+    """d==1 TTs have no bonds: every round/round_fast path must be a
+    no-op instead of crashing (regression: the segmented kernel returned
+    a (cores, shapes) tuple for d==1 and the rank-vector path died on
+    max([]))."""
+    from xerus_tpu.ops.tt_kernels import tt_round_streaming_uniform
+    import jax.numpy as jnp
+
+    for method in ("randomized", "svd", "gram", "subspace"):
+        t = TTTensor.from_tensor(Tensor.random([5]))
+        want = t.to_tensor().to_ndarray()
+        t.round_fast(4, method=method)
+        assert t.ranks() == []
+        assert np.allclose(t.to_tensor().to_ndarray(), want, atol=1e-12)
+    # eps path and rank-vector path
+    t = TTTensor.from_tensor(Tensor.random([5]))
+    want = t.to_tensor().to_ndarray()
+    t.round_fast([], eps=1e-8)
+    assert np.allclose(t.to_tensor().to_ndarray(), want, atol=1e-12)
+    t.round(1)
+    # streaming kernel guard
+    out = tt_round_streaming_uniform([jnp.ones((1, 5, 1))], 3)
+    assert len(out) == 1 and out[0].shape == (1, 5, 1)

@@ -241,6 +241,8 @@ class RankOneMeasurementSet:
         return [Tensor.from_ndarray(W[i].copy()) for W in self.positions]
 
     def set_position(self, i: int, position: Sequence) -> None:
+        require(len(position) == self.degree(),
+                "need one weight vector per mode")
         for k, p in enumerate(position):
             vec = np.asarray(p.to_ndarray() if isinstance(p, Tensor) else p,
                              dtype=config.value_dtype)

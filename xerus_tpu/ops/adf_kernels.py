@@ -172,10 +172,22 @@ def make_adf_multi_iteration_sharded(mesh, shapes_key, dtype_str: str,
     make_adf_multi_iteration) — so a mesh caller still amortizes the
     per-dispatch tunnel RTT over K iterations.  Point measurements only
     (same contract as the single-iteration sharded factory)."""
+    return _jit_dp_sharded(_make_multi_body(_adf_iteration, k), mesh,
+                           len(shapes_key), dtype_str)
+
+
+def _jit_dp_sharded(body, mesh, n_cores: int, dtype_str: str):
+    """Shared scaffolding for the dp-sharded ADF factories: one-hot
+    matrices and values shard over the measurement axis; cores and the
+    outputs stay replicated (GSPMD inserts the psum for the segment-
+    summed gradients).  SURVEY.md §2.6a.
+
+    Follows the jit_f32 discipline for f32 stacks (CLAUDE.md): traces
+    under x64-off (x64 iota/scatter SIGABRTs this TPU compiler) with
+    HIGHEST matmul precision (default bf16 passes stall convergence)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     rep = NamedSharding(mesh, P())
     ms = NamedSharding(mesh, P("dp"))
-    body = _make_multi_body(_adf_iteration, k)
 
     def fn(cores, onehots, values):
         onehots = tuple(jax.lax.with_sharding_constraint(o, ms)
@@ -183,7 +195,7 @@ def make_adf_multi_iteration_sharded(mesh, shapes_key, dtype_str: str,
         values = jax.lax.with_sharding_constraint(values, ms)
         return body(cores, onehots, values)
 
-    jfn = jax.jit(fn, out_shardings=((rep,) * len(shapes_key), rep))
+    jfn = jax.jit(fn, out_shardings=((rep,) * n_cores, rep))
     if dtype_str != "float32":
         return jfn
 
@@ -196,34 +208,10 @@ def make_adf_multi_iteration_sharded(mesh, shapes_key, dtype_str: str,
 
 @lru_cache(maxsize=32)
 def make_adf_iteration_sharded(mesh, shapes_key, dtype_str: str):
-    """dp-sharded variant: one-hot matrices and values shard over the
-    measurement axis; cores and the output stay replicated (GSPMD inserts
-    the psum for the segment-summed gradients).  SURVEY.md §2.6a.
-
-    lru_cached on (mesh, shapes, dtype) — a fresh jit per iteration would
-    re-compile every ADF step (20-60s each through the TPU tunnel).
-    Follows the jit_f32 discipline for f32 stacks (CLAUDE.md): traces
-    under x64-off (x64 iota/scatter SIGABRTs this TPU compiler) with
-    HIGHEST matmul precision (default bf16 passes stall convergence)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    rep = NamedSharding(mesh, P())
-    ms = NamedSharding(mesh, P("dp"))
-
-    def fn(cores, onehots, values):
-        onehots = tuple(jax.lax.with_sharding_constraint(o, ms)
-                        for o in onehots)
-        values = jax.lax.with_sharding_constraint(values, ms)
-        return _adf_iteration(cores, onehots, values)
-
-    jfn = jax.jit(fn, out_shardings=((rep,) * len(shapes_key), rep))
-    if dtype_str != "float32":
-        return jfn
-
-    def wrapped(*args, **kwargs):
-        with jax.enable_x64(False), jax.default_matmul_precision("highest"):
-            return jfn(*args, **kwargs)
-
-    return wrapped
+    """dp-sharded single iteration (see _jit_dp_sharded).  lru_cached on
+    (mesh, shapes, dtype) — a fresh jit per iteration would re-compile
+    every ADF step (20-60s each through the TPU tunnel)."""
+    return _jit_dp_sharded(_adf_iteration, mesh, len(shapes_key), dtype_str)
 
 
 def build_onehots(positions: np.ndarray, dims: Sequence[int], dtype):

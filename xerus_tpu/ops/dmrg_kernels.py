@@ -79,6 +79,28 @@ def _dmrg_eig_half_sweep(x_cores, A_cores):
     return tuple(x_cores), energy
 
 
+def _right_prj_envs(x_stack, shifted: bool):
+    """Right identity/projector environments for the spectral shift:
+    prj[u,v] at two-site step k is the frame gram of sites k+2..d-1 —
+    exactly diag(true-rank mask) for right-orthonormal padded frames, the
+    local representation of the global identity on the TRUE subspace.
+    Same boundary/offset convention as the operator Renvs.  Returns
+    (prj0, Rprjs); Rprjs is a zero placeholder when not shifted."""
+    d, r = x_stack.shape[0], x_stack.shape[1]
+    dtype = x_stack.dtype
+    prj0 = jnp.zeros((r, r), dtype=dtype).at[0, 0].set(1.0)
+    if not shifted:
+        return prj0, jnp.zeros((d - 1, r, r), dtype=dtype)   # unused
+
+    def prj_r_body(prj, xc):
+        new = jnp.einsum("umU,vmV,UV->uv", xc, xc, prj)
+        return new, new
+
+    _, prjs_rev = jax.lax.scan(prj_r_body, prj0, x_stack[1:][::-1])
+    Rprjs = jnp.concatenate([prjs_rev[::-1][1:], prj0[None]], axis=0)
+    return prj0, Rprjs
+
+
 def _dmrg_eig_half_sweep_scan(x_stack, A_stack, shift=None, *, rank: int):
     """Scan-based two-site ground-state half-sweep over PADDED uniform
     stacks: x_stack (d, r, n, r), A_stack (d, a, n, n, a).  Compiles ONE
@@ -112,16 +134,7 @@ def _dmrg_eig_half_sweep_scan(x_stack, A_stack, shift=None, *, rank: int):
     # close with the boundary env
     Renvs = jnp.concatenate([envs[1:], env0[None]], axis=0)
 
-    prj0 = jnp.zeros((r, r), dtype=dtype).at[0, 0].set(1.0)
-    if shifted:
-        def prj_r_body(prj, xc):
-            new = jnp.einsum("umU,vmV,UV->uv", xc, xc, prj)
-            return new, new
-
-        _, prjs_rev = jax.lax.scan(prj_r_body, prj0, x_stack[1:][::-1])
-        Rprjs = jnp.concatenate([prjs_rev[::-1][1:], prj0[None]], axis=0)
-    else:
-        Rprjs = jnp.zeros((d - 1, r, r), dtype=dtype)   # unused
+    prj0, Rprjs = _right_prj_envs(x_stack, shifted)
 
     mask = (jnp.arange(r, dtype=jnp.int32) < rank).astype(dtype)
 
@@ -331,19 +344,7 @@ def _dmrg_lobpcg_half_sweep_scan(x_stack, A_stack, shift=None, *,
     envs = envs_rev[::-1]
     Renvs = jnp.concatenate([envs[1:], env0[None]], axis=0)
 
-    prj0 = jnp.zeros((r, r), dtype=dtype).at[0, 0].set(1.0)
-    if shifted:
-        # right identity environments: prj[u,v] = frame-gram of sites to
-        # the right — exactly diag(true-rank mask) for orthonormal frames
-        def prj_r_body(prj, xc):
-            new = jnp.einsum("umU,vmV,UV->uv", xc, xc, prj)
-            return new, new
-
-        _, prjs_rev = jax.lax.scan(prj_r_body, prj0, x_stack[1:][::-1])
-        prjs = prjs_rev[::-1]
-        Rprjs = jnp.concatenate([prjs[1:], prj0[None]], axis=0)
-    else:
-        Rprjs = jnp.zeros((d - 1, r, r), dtype=dtype)   # unused
+    prj0, Rprjs = _right_prj_envs(x_stack, shifted)
 
     def sweep_body(carry, inp):
         op_left, prj_left, x1 = carry
@@ -423,6 +424,24 @@ def _rev_x_stack(s):
 
 def _rev_A_stack(s):
     return jnp.transpose(s[::-1], (0, 4, 2, 3, 1))
+
+
+def _estimate_shift(fn0, x0, A_stack, reduce_fn=float):
+    """Auto spectral-shift (lambda_max) phase: two UNSHIFTED half-sweeps
+    on -A (negate exactly ONE MPO core — negating the whole stack flips
+    (-1)^d, a no-op for even d) with a throwaway copy of the state.  -A's
+    ground is -lambda_max, which is negative (unshifted-kernel-valid)
+    exactly when a shift is needed; the returned Rayleigh-quotient energy
+    gives lam_hat <= lambda_max.  Returns 1.1*lam_hat, or 0.0 when the
+    spectrum is non-positive (ground already negative, no shift needed).
+    Shared by dmrg_groundstate_scan and dmrg_groundstate_multistart."""
+    xs, As, e_neg = x0, jnp.asarray(A_stack).at[0].multiply(-1.0), np.inf
+    for _ in range(2):
+        xs, e = fn0(xs, As)
+        e_neg = reduce_fn(e)
+        xs, As = _rev_x_stack(xs), _rev_A_stack(As)
+    lam_hat = -e_neg
+    return 1.1 * lam_hat if lam_hat > 0 else 0.0
 
 
 def _unpad_to_components(stack_np, d, n, rank, Tensor, res_rank):
@@ -683,23 +702,19 @@ def dmrg_groundstate_multistart(A, x, num_starts: int = 4,
     A_stack = _pad_operator_stack(A_np, x_stacks.dtype)
     x_stacks = jnp.asarray(x_stacks)
 
-    shifted = shift is None or float(shift) != 0.0
-    fn = make_dmrg_sweep_batched(tuple(x_stacks.shape), int(r),
-                                 str(x_stacks.dtype), int(lobpcg_iters),
-                                 solver, shifted=shifted)
+    def factory(shifted):
+        return make_dmrg_sweep_batched(tuple(x_stacks.shape), int(r),
+                                       str(x_stacks.dtype),
+                                       int(lobpcg_iters), solver,
+                                       shifted=shifted)
+
     sdt = np.asarray(x_stacks).dtype
     if shift is None:
-        # lambda_max phase (see dmrg_groundstate_scan) on throwaway
-        # copies; -A = negate exactly ONE MPO core
-        neg_A = jnp.asarray(A_stack).at[0].multiply(-1.0)
-        xs, As, e_neg = x_stacks, neg_A, np.inf
-        for _ in range(2):
-            xs, es = fn(xs, As, sdt.type(0.0))
-            e_neg = float(jnp.min(es))
-            xs, As = _rev_x_stack(xs), _rev_A_stack(As)
-        lam_hat = -e_neg
-        shift = 1.1 * lam_hat if lam_hat > 0 else 0.0
+        shift = _estimate_shift(factory(False), x_stacks, A_stack,
+                                reduce_fn=lambda es: float(jnp.min(es)))
     shift = float(shift)
+    shifted = shift != 0.0
+    fn = factory(shifted)
     best_prev = np.inf
     reversed_state = False
     energies = jnp.full((num_starts,), np.inf, dtype=x_stacks.dtype)
@@ -749,12 +764,14 @@ def dmrg_groundstate_scan(A, x, num_half_sweeps: int = 8,
     padding otherwise capture the solve, measured on PSD operators):
 
     - shift=None (default, AUTO): estimate lambda_max by running two
-      half-sweeps of the SAME shifted kernel (shift scalar 0) on -A with
-      a throwaway state — its ground -lambda_max is negative exactly when
-      a shift is needed — then solve (A - 1.1*lambda_hat * P).  One
-      compile serves both phases (shift is traced).
-    - shift=0.0: explicit known-negative-ground contract; compiles the
-      cheaper unshifted kernel (no projector carry).
+      UNSHIFTED half-sweeps on -A with a throwaway state (_estimate_shift
+      — -A's ground -lambda_max is negative exactly when a shift is
+      needed), then solve (A - 1.1*lambda_hat * P) with the shifted
+      kernel only if lambda_hat > 0.  Negative-ground problems thus
+      never compile or run the projector-carrying variant; the shift is
+      a traced scalar, so the shifted compile serves every value.
+    - shift=0.0: explicit known-negative-ground contract; skips the
+      estimation dispatches.
     - shift=s > 0: use s directly (caller knows an upper bound)."""
     from ..core.tensor import Tensor
     from .pallas_tt_eval import pad_cores
@@ -779,31 +796,28 @@ def dmrg_groundstate_scan(A, x, num_half_sweeps: int = 8,
 
     energy = np.inf
     reversed_state = False
-    shifted = shift is None or float(shift) != 0.0
-    if solver in ("lobpcg", "lanczos"):
-        fn = make_dmrg_sweep_lobpcg(tuple(x_stack.shape), int(r),
-                                    str(x_stack.dtype), int(lobpcg_iters),
-                                    solver, shifted=shifted)
-    elif solver == "eigh":
-        fn = make_dmrg_sweep_scan(tuple(x_stack.shape), int(r),
-                                  str(x_stack.dtype), shifted=shifted)
-    else:
+
+    def factory(shifted):
+        if solver in ("lobpcg", "lanczos"):
+            return make_dmrg_sweep_lobpcg(tuple(x_stack.shape), int(r),
+                                          str(x_stack.dtype),
+                                          int(lobpcg_iters), solver,
+                                          shifted=shifted)
+        if solver == "eigh":
+            return make_dmrg_sweep_scan(tuple(x_stack.shape), int(r),
+                                        str(x_stack.dtype), shifted=shifted)
         raise ValueError(f"unknown local solver {solver!r}; "
                          "expected 'eigh', 'lanczos' or 'lobpcg'")
+
     sdt = np.asarray(x_stack).dtype
     if shift is None:
-        # lambda_max phase on a throwaway copy; same compiled kernel.
-        # -A as an MPO = negate exactly ONE core (negating the whole
-        # stack flips (-1)^d, a no-op for even d).
-        neg_A = jnp.asarray(A_stack).at[0].multiply(-1.0)
-        xs, As, e_neg = x_stack, neg_A, np.inf
-        for _ in range(2):
-            xs, e = fn(xs, As, sdt.type(0.0))
-            e_neg = float(e)
-            xs, As = rev_x(xs), rev_A(As)
-        lam_hat = -e_neg
-        shift = 1.1 * lam_hat if lam_hat > 0 else 0.0
+        # the estimation phase never needs the shift itself, so it runs
+        # the UNSHIFTED kernel — negative-ground problems then never pay
+        # the projector-carrying variant (or its compile) at all
+        shift = _estimate_shift(factory(False), x_stack, A_stack)
     shift = float(shift)
+    shifted = shift != 0.0
+    fn = factory(shifted)
     for sweep in range(num_half_sweeps):
         if shifted:
             x_stack, e = fn(x_stack, A_stack, sdt.type(shift))

@@ -740,7 +740,7 @@ def _qr_sweep_segmented(cores, min_run: int = 3, orth: str = "cholqr",
     logs = jnp.zeros((), dtype)
     R = jnp.ones((1, 1), dtype)          # true-shape carry (kprev, rl)
 
-    def chol_qr(X, w):
+    def chol_qr(X):
         ueps = float(jnp.finfo(dtype).eps)
         return chol_orth_cols(X, (10 * X.shape[0] * ueps, 10 * ueps,
                                   10 * ueps), want_r=True)
@@ -763,7 +763,7 @@ def _qr_sweep_segmented(cores, min_run: int = 3, orth: str = "cholqr",
                 cur = jnp.einsum("ka,anb->knb", Rc, core,
                                  preferred_element_type=dtype
                                  ).reshape(_B * _n, _B)
-                q, R2 = chol_qr(cur, _B)
+                q, R2 = chol_qr(cur)
                 nrm = jnp.linalg.norm(R2) + tiny
                 return (R2 / nrm, lg + jnp.log(nrm)), q.reshape(_B, _n, _B)
 
@@ -783,7 +783,7 @@ def _qr_sweep_segmented(cores, min_run: int = 3, orth: str = "cholqr",
             if st["reduce"] or orth != "cholqr":
                 q, R2 = jnp.linalg.qr(cur)
             else:
-                q, R2 = chol_qr(cur, rr)
+                q, R2 = chol_qr(cur)
             out[idx] = _pad_to(q.reshape(kprev, n, k), (st["B"], n, st["B"]))
             true_k[idx] = (kprev, k)
             nrm = jnp.linalg.norm(R2) + tiny
