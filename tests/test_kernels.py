@@ -550,3 +550,25 @@ def test_subspace_round_quality_and_exactness():
     assert t.ranks() == [2, 3, 4, 4, 4, 4, 4, 3, 2]
     with pytest.raises(ValueError):
         tt_round_sweep_segmented(cores, 4, method="subspace", eps=1e-6)
+
+
+def test_chol_orth_cols_contract():
+    """Shared shifted-CholQR helper (ops/tt_kernels.chol_orth_cols):
+    orthonormal columns, want_r reproduces X, multi-pass tightens
+    orthogonality on ill-conditioned input."""
+    import jax.numpy as jnp
+    from xerus_tpu.ops.tt_kernels import chol_orth_cols
+
+    rng = np.random.default_rng(7)
+    X = jnp.asarray(rng.normal(size=(40, 8)))
+    Q = chol_orth_cols(X)
+    assert np.allclose(np.asarray(Q.T @ Q), np.eye(8), atol=1e-10)
+    Q2, R = chol_orth_cols(X, want_r=True)
+    assert np.allclose(np.asarray(Q2 @ R), np.asarray(X), atol=1e-10)
+    # ill-conditioned: single pass leaves u*kappa^2 error, three passes fix
+    U, _ = np.linalg.qr(rng.normal(size=(40, 8)))
+    V, _ = np.linalg.qr(rng.normal(size=(8, 8)))
+    Xb = jnp.asarray(U @ np.diag(np.logspace(0, -6, 8)) @ V.T)
+    ueps = float(np.finfo(np.float64).eps)
+    Q3 = chol_orth_cols(Xb, (10 * 40 * ueps, 10 * ueps, 10 * ueps))
+    assert np.linalg.norm(np.asarray(Q3.T @ Q3) - np.eye(8)) < 1e-9
