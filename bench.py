@@ -363,5 +363,35 @@ def _host_tt_log_norm(cores) -> float:
     return 0.5 * log_acc
 
 
+def _probe_backend(timeout_s: int = 240, attempts: int = 3) -> bool:
+    """Backend-init watchdog: the TPU tunnel can wedge so hard that even
+    jax.devices() blocks forever (CLAUDE.md), which would leave the
+    caller with NO output at all.  Probe in a subprocess with a timeout;
+    on persistent failure the caller prints an explicit error JSON
+    instead of hanging."""
+    import subprocess
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); import jax.numpy as jnp; "
+                 "print(float(jnp.ones(()) + 1))"],
+                timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < attempts:
+            time.sleep(120)
+    return False
+
+
 if __name__ == "__main__":
+    if os.environ.get("XERUS_BENCH_SKIP_PROBE") != "1" and not _probe_backend():
+        print(json.dumps({
+            "metric": "tt_round_d32_n2_r256_to_r128_task_speedup",
+            "value": 0.0, "unit": "x vs CPU f64 LAPACK", "vs_baseline": 0.0,
+            "error": "jax backend init blocked >3x240s (wedged TPU tunnel); "
+                     "no measurement possible this run"}))
+        sys.exit(0)
     main()
