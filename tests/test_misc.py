@@ -162,16 +162,20 @@ def test_require_coverage_landmarks(tmp_path, monkeypatch):
     from xerus_tpu.misc import coverage
 
     monkeypatch.setattr(cfg, "_COVERAGE", True)
-    coverage._HITS.clear()
-    cfg.require(True, "landmark")
-    assert len(coverage._HITS) == 1
-    hit_site = next(iter(coverage._HITS))
-    assert __file__.split("/")[-1] in hit_site  # records the CALLER
+    saved = set(coverage._HITS)   # an XERUS_TEST_COVERAGE=1 suite run is
+    coverage._HITS.clear()        # accumulating real hits — restore below
+    try:
+        cfg.require(True, "landmark")
+        assert len(coverage._HITS) == 1
+        hit_site = next(iter(coverage._HITS))
+        assert __file__.split("/")[-1] in hit_site  # records the CALLER
 
-    p = tmp_path / "hits.txt"
-    coverage.dump(str(p))
-    total, hit, missed = coverage.report([str(p)])
-    assert total > 100          # the package is full of require() sites
-    assert hit == 0             # our hit is in tests/, not the package
-    sites = coverage.scan_sites()
-    assert all(":" in s for s in sites)
+        p = tmp_path / "hits.txt"
+        coverage.dump(str(p))
+        total, hit, missed = coverage.report([str(p)])
+        assert total > 100      # the package is full of require() sites
+        assert hit == 0         # our hit is in tests/, not the package
+        sites = coverage.scan_sites()
+        assert all(":" in s for s in sites)
+    finally:
+        coverage._HITS.update(saved)

@@ -68,6 +68,11 @@ class TTNetwork:
                 "number of dimensions must be even for TTOperator")
         self.dimensions = list(dims)
         num = len(dims) // self.N
+        if num == 0:
+            # degree-0 TT holds a single scalar zero component
+            # (ttNetwork.cpp:58-66 ZeroNode; require_correct_format's
+            # degree-0 branch demands exactly this shape)
+            self.components.append(Tensor([], Representation.Sparse))
         for i in range(num):
             if self.is_operator:
                 shape = [1, dims[i], dims[num + i], 1]
@@ -419,6 +424,12 @@ class TTNetwork:
                 if i == self.corePosition:
                     continue
                 arr = c.to_ndarray()
+                if not arr.any():
+                    # the zero TT is canonicalized by fiat (the reference
+                    # flags freshly-constructed zero networks canonicalized
+                    # and checks structure only, ttNetwork.cpp:58,290-341);
+                    # an all-zero frame is vacuously orthogonal here
+                    continue
                 if i < self.corePosition:
                     mat = arr.reshape(-1, arr.shape[-1])
                     ok = np.allclose(mat.T @ mat, np.eye(mat.shape[1]),
