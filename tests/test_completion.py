@@ -87,6 +87,51 @@ def test_adf_check_every_matches_per_iteration():
     assert ms.test(x3) < 1e-5
 
 
+def test_adf_device_loop_matches_per_iteration():
+    """check_every="device" runs the whole fixed-rank solve as ONE
+    lax.while_loop program with the stopping logic in-program; it must
+    match the K=1 host driver exactly — same iterations, same cores —
+    both with the stopping criteria disabled and on a converging run."""
+    dims = [4] * 4
+    target = TTTensor.random(dims, 2)
+    target /= target.frob_norm()
+    ms = SinglePointMeasurementSet.random(150, dims)
+    ms.measure(target)
+    x1 = TTTensor.random(dims, 2)
+    x2 = x1.copy()
+    variant = xe.ADFVariant(8, 0.0, 1.0)
+    r1 = variant(x1, ms)
+    r2 = variant(x2, ms, check_every="device")
+    assert abs(r1 - r2) < 1e-12 * max(1.0, abs(r1))
+    for a, b in zip(x1.components, x2.components):
+        assert np.allclose(a.to_ndarray(), b.to_ndarray(), atol=1e-9)
+
+    # stopping-in-program: identical stop iteration + residual to the
+    # host driver on a converging run (per-iteration perf traces match)
+    x3 = TTTensor.random(dims, 2)
+    x4 = x3.copy()
+    pd3, pd4 = xe.PerformanceData(), xe.PerformanceData()
+    v = xe.ADFVariant(300, 1e-8, 0.999)
+    r3 = v(x3, ms, perf_data=pd3)
+    r4 = v(x4, ms, perf_data=pd4, check_every="device")
+    assert len(pd3.data) == len(pd4.data)
+    assert abs(r3 - r4) < 1e-10 * max(1.0, abs(r3))
+    assert r4 < 1e-6 and ms.test(x4) < 1e-5
+
+
+def test_adf_device_loop_rank_one():
+    """Device-loop driver with rank-one measurement sets (the rank_one
+    kernel variant inside the while_loop)."""
+    dims = [3] * 3
+    target = TTTensor.random(dims, 2)
+    target /= target.frob_norm()
+    ms = RankOneMeasurementSet.random(60, dims)
+    ms.measure(target)
+    x = TTTensor.random(dims, 2)
+    resid = xe.ADFVariant(300, 1e-8, 0.999)(x, ms, check_every="device")
+    assert resid < 1e-5
+
+
 def test_adf_rank_one_measurements():
     dims = [3] * 3
     target = TTTensor.random(dims, 2)

@@ -50,13 +50,21 @@ class ADFVariant:
         still sees every iteration's residual, but the iterate may
         overshoot the stopping point by up to K-1 (cheap) iterations.
         Use on dispatch-latency-bound backends (the TPU tunnel); K=1 is
-        exact reference termination semantics (adf.cpp:541-566)."""
+        exact reference termination semantics (adf.cpp:541-566).
+
+        ``check_every="device"`` runs the whole fixed-rank solve as ONE
+        lax.while_loop program per rank level
+        (ops/adf_kernels.make_adf_device_run): the stopping logic runs
+        in-program with the same per-iteration semantics as K=1 (the
+        cores end exactly one update past the stopping measurement), at
+        one dispatch per rank level instead of one per K iterations."""
         solver = _InternalSolver(self, x,
                                  list(max_ranks) if max_ranks is not None
                                  else list(x.ranks()),
                                  measurements, perf_data)
         solver.mesh = mesh
-        solver.check_every = max(1, int(check_every))
+        solver.check_every = ("device" if check_every == "device"
+                              else max(1, int(check_every)))
         return solver.solve()
 
 
@@ -168,10 +176,48 @@ class _InternalSolver:
         canonicalize_left = jax.jit(canonicalize_left_cores)
 
         res_dec = [0.0, 0.0, 0.0, 0.0]
-        K = max(1, int(getattr(self, "check_every", 1)))
+        K = getattr(self, "check_every", 1)
+        if K != "device":
+            K = max(1, int(K))
         mesh = getattr(self, "mesh", None)
         while self.v.maxIterations == 0 or self.iteration < self.v.maxIterations:
             shapes_key = tuple(tuple(c.shape) for c in cores)
+            if K == "device":
+                # whole fixed-rank solve in ONE while_loop program; the
+                # in-program stopping logic matches the K=1 host path and
+                # carries (res_dec, last) across dispatches for exact
+                # stagnation continuity.  Residuals enter/leave UNSCALED
+                # (target and last are pre-multiplied by norm_values).
+                from ..ops.adf_kernels import make_adf_device_run
+                CAP = 512  # static compile bucket; `remaining` trims it
+                fn = make_adf_device_run(shapes_key, str(cores[0].dtype),
+                                         CAP, self.rank_one)
+                remaining = (self.v.maxIterations - self.iteration
+                             if self.v.maxIterations else CAP)
+                nv = self.norm_values
+                dt = cores[0].dtype
+                new_cores, hist, cnt = fn(
+                    cores, onehots, jnp.asarray(self.values, dt),
+                    jnp.asarray(self.v.targetResidualNorm * nv, dt),
+                    jnp.asarray(self.v.minimalResidualNormDecrease, dt),
+                    jnp.asarray(np.asarray(res_dec), dt),
+                    jnp.asarray(self.residual_norm * nv, dt),
+                    jnp.asarray(remaining, jnp.int32))
+                cores = new_cores
+                cnt = int(cnt)
+                hist_host = np.asarray(hist)[:cnt]
+                for rv in hist_host:
+                    self.iteration += 1
+                    self.last_residual = self.residual_norm
+                    self.residual_norm = float(rv) / nv
+                    self.perf.add(self.residual_norm, self.x, 0,
+                                  iteration=self.iteration)
+                    ratio = min(self.residual_norm
+                                / (self.last_residual or 1.0), 1.0)
+                    res_dec = [ratio] + res_dec[:3]
+                if cnt < remaining and cnt < CAP:
+                    break  # the in-program stop condition fired
+                continue   # hit the cap bucket: dispatch again
             if K > 1:
                 # K chained iterations per dispatch; the stopping logic
                 # below still sees every iteration's residual (docstring

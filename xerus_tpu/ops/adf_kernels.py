@@ -134,6 +134,65 @@ def make_adf_multi_iteration(shapes_key, dtype_str: str, k: int,
     return jit_f32(_make_multi_body(base, k), dtype_str)
 
 
+@lru_cache(maxsize=32)
+def make_adf_device_run(shapes_key, dtype_str: str, max_iters: int,
+                        rank_one: bool = False):
+    """The WHOLE fixed-rank ADF solve as ONE XLA program: a lax.while_loop
+    whose body is (iteration + left re-canonicalization) and whose carried
+    stopping logic replicates the host driver exactly (adf.cpp:541-566):
+    stop when the start-of-iteration residual drops below ``target`` or the
+    product of the last four clamped residual-decrease ratios exceeds
+    ``min_decrease**4``.
+
+    Rationale: the chained-K factory (make_adf_multi_iteration) still pays
+    one ~150 ms tunnel RTT per K iterations plus a possible K-1 overshoot;
+    the while_loop form pays ONE dispatch per rank level and stops at the
+    same iteration the K=1 host loop would (cores end exactly one update
+    past the stopping measurement, identical to the K=1 path).
+
+    ``res_dec0``/``last0`` enter as traced inputs so stagnation history is
+    continuous across dispatches (rank bumps restart it on the host, same
+    as the reference).  ``remaining`` bounds the loop below the static
+    ``max_iters`` compile bucket without recompiling per cap.
+
+    Returns (cores, hist, count): hist[i] is the residual norm at the
+    start of inner iteration i (unscaled, like the other factories),
+    valid for i < count."""
+    from .tt_kernels import jit_f32
+    base = _adf_iteration_rankone if rank_one else _adf_iteration
+
+    def run(cores, onehots, values, target, min_decrease, res_dec0, last0,
+            remaining):
+        dtype = values.dtype
+        limit = jnp.minimum(jnp.asarray(max_iters, jnp.int32),
+                            remaining.astype(jnp.int32))
+        thresh = min_decrease ** 4
+
+        def cond(carry):
+            _cs, _h, i, _rd, _l, stop = carry
+            return jnp.logical_and(i < limit, jnp.logical_not(stop))
+
+        def body(carry):
+            cs, hist, i, res_dec, last, _stop = carry
+            new, res0 = base(cs, onehots, values)
+            new = canonicalize_left_cores(new)
+            hist = hist.at[i].set(res0)
+            ratio = jnp.minimum(res0 / jnp.where(last > 0, last, 1.0), 1.0)
+            res_dec = jnp.concatenate([ratio[None], res_dec[:3]])
+            stop = jnp.logical_or(res0 < target,
+                                  jnp.prod(res_dec) > thresh)
+            return (new, hist, i + 1, res_dec, res0, stop)
+
+        hist0 = jnp.full((max_iters,), -1.0, dtype)
+        carry = (tuple(cores), hist0, jnp.zeros((), jnp.int32),
+                 res_dec0.astype(dtype), last0.astype(dtype),
+                 jnp.zeros((), jnp.bool_))
+        cs, hist, i, _rd, _l, _s = jax.lax.while_loop(cond, body, carry)
+        return cs, hist, i
+
+    return jit_f32(run, dtype_str)
+
+
 def canonicalize_left_cores(cs):
     """Right-to-left QR sweep moving the core to component 0 (jittable;
     the in-program equivalent of TTNetwork.move_core(0)).  Shared by the
