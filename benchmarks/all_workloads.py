@@ -249,14 +249,15 @@ def main() -> None:
     if TPU_MODE:
         xw = xc0.copy()
         t0 = time.perf_counter()
-        # check_every=8: ~1ms of device work per iteration vs ~150ms
-        # tunnel RTT per dispatch — chain 8 iterations per dispatch (the
-        # stopping logic still sees every iteration's residual)
-        variant(xw, ms, max_ranks=[3] * 4, check_every=8)   # warm run
+        # check_every="device": the whole fixed-rank solve is ONE
+        # lax.while_loop program per rank level (stopping logic
+        # in-program, adf_kernels.make_adf_device_run) — one ~150ms
+        # tunnel dispatch per rank level instead of one per 8 iterations
+        variant(xw, ms, max_ranks=[3] * 4, check_every="device")  # warm
         warm = time.perf_counter() - t0
         xc = xc0.copy()
         t0 = time.perf_counter()
-        resid = variant(xc, ms, max_ranks=[3] * 4, check_every=8)
+        resid = variant(xc, ms, max_ranks=[3] * 4, check_every="device")
         pos = xe.find_largest_entry(xc, accuracy=0.05)
         secs = time.perf_counter() - t0
         arr = np.abs(xc.to_tensor().to_ndarray()).reshape(-1)
@@ -266,7 +267,7 @@ def main() -> None:
                         "recovery_err_vs_truth": f"{ms.test(xc):.3e}",
                         "found_entry_frac_of_max": round(
                             float(arr[pos] / arr.max()), 4),
-                        "mode": "tpu ADF iteration kernel"})
+                        "mode": "tpu ADF while_loop device solve"})
     else:
         xc = xc0.copy()
         t0 = time.perf_counter()

@@ -132,6 +132,33 @@ def test_adf_device_loop_rank_one():
     assert resid < 1e-5
 
 
+def test_adf_rank_bump_survives_f32_epsilon():
+    """The ADF rank bump adds a small random rank-1 term then rounds to
+    max_ranks (adf.cpp:589-601).  Under the f32 TPU mode, config.epsilon
+    ~ 9.5e-7 sits exactly at the reference's 1e-6 bump scale: rounding
+    nondeterministically truncated the bump away and froze bonds at their
+    deficient ranks.  The bump scale is now dtype-aware (>= 16x the round
+    threshold), so every bond grows on every bump, in any value dtype."""
+    from xerus_tpu.config import config as cfg
+    dims = [4] * 4
+    target = TTTensor.random(dims, 3)
+    target /= target.frob_norm()
+    ms = SinglePointMeasurementSet.random(250, dims)
+    ms.measure(target)
+    old = cfg.value_dtype
+    try:
+        cfg.value_dtype = np.dtype(np.float32)
+        x = TTTensor.random(dims, 1)
+        resid = xe.ADFVariant(400, 1e-4, 0.9999)(x, ms, max_ranks=[3] * 3)
+        # rank adaptation must reach full rank; at the f32 floor the
+        # residual is small but not 1e-8 — the rank-1 stagnation floor
+        # it used to freeze at is ~0.5
+        assert x.ranks() == [3, 3, 3], x.ranks()
+        assert resid < 1e-2, resid
+    finally:
+        cfg.value_dtype = old
+
+
 def test_adf_rank_one_measurements():
     dims = [3] * 3
     target = TTTensor.random(dims, 2)

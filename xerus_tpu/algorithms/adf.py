@@ -317,12 +317,24 @@ class _InternalSolver:
                and self.x.ranks() != self.max_ranks
                and (self.v.maxIterations == 0
                     or self.iteration < self.v.maxIterations)):
-            # rank bump: add a tiny random rank-1 term, re-round, re-solve
-            self.x.move_core(0, keep_rank=True)
-            rnd = TTTensor.random(self.x.dimensions, [1] * (self.d - 1))
-            scale = 1e-6 * self.x.frob_norm() / (rnd.frob_norm() or 1.0)
-            bumped = self.x + scale * rnd
-            bumped.round(self.max_ranks)
+            # rank bump: add a tiny random rank-1 term, re-round, re-solve.
+            # The bump scale is dtype-aware: the reference's 1e-6 (adf.cpp
+            # :594) sits 9 orders above its f64 round threshold
+            # (EPSILON=8*ulp~1.8e-15, ttNetwork.h) — but under the f32 TPU
+            # mode config.epsilon is ~9.5e-7, exactly at 1e-6, and the
+            # round nondeterministically truncated the bump away, freezing
+            # bonds at their deficient ranks (observed: bond 0 stuck at
+            # rank 1, solve stagnating at the rank-1 floor).  16x above
+            # the threshold keeps the +1-per-bump growth semantics in
+            # every dtype; in f64 the scale is the reference's 1e-6.
+            from ..config import host
+            with host():  # object-level f64 math off the accelerator
+                self.x.move_core(0, keep_rank=True)
+                rnd = TTTensor.random(self.x.dimensions, [1] * (self.d - 1))
+                bump = max(1e-6, 16.0 * config.epsilon)
+                scale = bump * self.x.frob_norm() / (rnd.frob_norm() or 1.0)
+                bumped = self.x + scale * rnd
+                bumped.round(self.max_ranks)
             self.x.components = bumped.components
             self.x.canonicalized = bumped.canonicalized
             self.x.corePosition = bumped.corePosition
