@@ -90,6 +90,12 @@ shapes_key = tuple(tuple(c.shape) for c in x32)
 fn1 = make_als_multi_sweep_res(shapes_key, "float32", 2)
 fn2 = make_df_als_multi_sweep(shapes_key, "float32", 2)
 
+# df-phase seeding as ONE jitted program: per-core .astype/zeros_like
+# would be 2*D tiny un-jitted dispatches through the ~150ms-RTT tunnel
+# (measured ~5 s of the solve wall — the dominant cost before this fix)
+seed_df = jax.jit(lambda cs: tuple((c.astype(jnp.float32),
+                                    jnp.zeros_like(c)) for c in cs))
+
 # ---- compile (warm the programs once; excluded, reported) ----
 t0 = time.perf_counter()
 c_out, res_hist = fn1(x32, A32, b32)
@@ -101,6 +107,7 @@ w = fn2(tuple((h, l) for h, l in x_df), A_df, b_df)
 float(jnp.sum(w[0][0]))
 t_c2 = time.perf_counter() - t0
 print("phase2 compile+first-run: %.1f s" % t_c2, flush=True)
+jax.block_until_ready(seed_df(x32))  # warm the seed program too
 
 # ---- the measured solve: fresh start, warm programs ----
 t0 = time.perf_counter()
@@ -112,7 +119,7 @@ for _ in range((N1 + 1) // 2):
     if len(hist) >= 4 and hist[-1] > 0.3 * hist[-3]:
         break       # no longer improving 3x per sweep: f32 floor reached
 # seed the df phase with the f32 result (hi = f32 cores, lo = 0)
-c2 = tuple((c.astype(jnp.float32), jnp.zeros_like(c)) for c in c1)
+c2 = seed_df(c1)
 for _ in range((N2 + 1) // 2):
     c2 = fn2(c2, A_df, b_df)
 float(jnp.sum(c2[0][0]))                      # final sync
