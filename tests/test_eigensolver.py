@@ -263,3 +263,52 @@ def test_shifted_multistart_psd():
     e = dmrg_groundstate_multistart(A, x, num_starts=3, num_half_sweeps=10,
                                     shift=None)
     assert abs(e - exact) < 1e-9
+
+
+def test_dmrg_device_run_matches_host_loop():
+    """make_dmrg_run (the whole solve as ONE lax.while_loop program) must
+    reproduce the per-sweep host loop exactly: same energy at every sweep
+    prefix and the same final stack orientation."""
+    import jax.numpy as jnp
+    from xerus_tpu.examples import heisenberg_mpo
+    from xerus_tpu.ops.dmrg_kernels import (
+        make_dmrg_run, make_dmrg_sweep_lobpcg, _pad_operator_stack,
+        _rev_x_stack, _rev_A_stack)
+    from xerus_tpu.ops.pallas_tt_eval import pad_cores
+
+    d = 10
+    H = heisenberg_mpo(d)
+    g = TTTensor.random([2] * d, 6)
+    g.move_core(0)
+    g /= g.frob_norm()
+    x_stack, r = pad_cores([np.asarray(c.to_ndarray())
+                            for c in g.components])
+    x_stack = jnp.asarray(x_stack.astype(np.float32))
+    A_np = [np.asarray(c.to_ndarray()).astype(np.float32)
+            for c in H.components]
+    A_stack = _pad_operator_stack(A_np, np.float32)
+
+    fn = make_dmrg_sweep_lobpcg(tuple(x_stack.shape), int(r), "float32",
+                                24, "lanczos", shifted=False)
+    xs, As = x_stack, A_stack
+    hist = []
+    for _ in range(6):
+        xs, e = fn(xs, As)
+        last = xs[d - 1]
+        nl = jnp.linalg.norm(last)
+        xs = xs.at[d - 1].set(last / jnp.maximum(nl, 1e-30))
+        hist.append(float(e))
+        xs = _rev_x_stack(xs)
+        As = _rev_A_stack(As)
+
+    run = make_dmrg_run(tuple(x_stack.shape), int(r), "float32", "lanczos",
+                        24, False, 64)
+    for rem in (1, 3, 6):
+        xs2, e2, cnt = run(x_stack, A_stack, jnp.float32(0.0),
+                           jnp.float32(1e-12), jnp.asarray(rem, jnp.int32))
+        assert int(cnt) == rem
+        assert abs(float(e2) - hist[rem - 1]) <= 1e-6 * abs(hist[rem - 1])
+    # final orientation: host loop ends reversed after an even count and
+    # un-reverses; the program un-reverses odd counts internally
+    xs_host = _rev_x_stack(xs) if (6 % 2 == 1) else xs
+    assert np.allclose(np.asarray(xs_host), np.asarray(xs2), atol=1e-5)

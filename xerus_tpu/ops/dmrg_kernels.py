@@ -403,6 +403,68 @@ def make_dmrg_sweep_lobpcg(shape_key, rank: int, dtype_str: str,
     return jit_f32(lambda x, A: body(x, A), dtype_str)
 
 
+@lru_cache(maxsize=32)
+def make_dmrg_run(shape_key, rank: int, dtype_str: str, solver: str,
+                  lobpcg_iters: int, shifted: bool, max_sweeps: int):
+    """The WHOLE ground-state solve as ONE XLA program: a lax.while_loop
+    whose body is (half-sweep + core normalization + convergence check +
+    site reversal), mirroring the dmrg_groundstate_scan host loop exactly.
+
+    Rationale: the half-sweep kernel is ~9 ms on v5e but the host loop
+    paid one dispatch + one scalar fetch + reversal dispatches per
+    half-sweep through the ~150 ms-RTT tunnel — the d=32 Heisenberg
+    workload measured ~1.4 s of wall for ~60 ms of device work.  One
+    dispatch runs up to ``remaining`` half-sweeps with the energy
+    convergence test in-program.
+
+    The host loop reverses only between sweeps (not after a converged
+    one) and un-reverses at the end if needed; here reversal is
+    unconditional in the body, so the final state is un-reversed when the
+    executed sweep count is odd — identical final orientation.
+
+    Returns (x_stack, energy, count)."""
+    from .tt_kernels import jit_f32
+    if solver in ("lobpcg", "lanczos"):
+        body_fn = partial(_dmrg_lobpcg_half_sweep_scan, rank=rank,
+                          lobpcg_iters=lobpcg_iters, solver=solver)
+    elif solver == "eigh":
+        body_fn = partial(_dmrg_eig_half_sweep_scan, rank=rank)
+    else:
+        raise ValueError(f"unknown local solver {solver!r}; "
+                         "expected 'eigh', 'lanczos' or 'lobpcg'")
+
+    def run(x_stack, A_stack, shift, conv_eps, remaining):
+        d = x_stack.shape[0]
+        dtype = x_stack.dtype
+        limit = jnp.minimum(jnp.asarray(max_sweeps, jnp.int32),
+                            remaining.astype(jnp.int32))
+
+        def cond(carry):
+            _xs, _As, _e, i, stop = carry
+            return jnp.logical_and(i < limit, jnp.logical_not(stop))
+
+        def body(carry):
+            xs, As, energy, i, _stop = carry
+            if shifted:
+                xs, e = body_fn(xs, As, shift)
+            else:
+                xs, e = body_fn(xs, As)
+            e = e + shift
+            last = xs[d - 1]
+            nl = jnp.linalg.norm(last)
+            xs = xs.at[d - 1].set(last / jnp.maximum(nl, 1e-30))
+            stop = jnp.abs(e - energy) < conv_eps
+            return (_rev_x_stack(xs), _rev_A_stack(As), e, i + 1, stop)
+
+        carry = (x_stack, A_stack, jnp.asarray(jnp.inf, dtype),
+                 jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_))
+        xs, _As, e, i, _stop = jax.lax.while_loop(cond, body, carry)
+        xs = jax.lax.cond(i % 2 == 1, _rev_x_stack, lambda s: s, xs)
+        return xs, e, i
+
+    return jit_f32(run, dtype_str)
+
+
 def _pad_operator_stack(A_np, dtype):
     """Zero-pad MPO cores to a uniform (d, a, n, n, a) stack (shared by the
     eigen / linear-solve / multistart drivers)."""
@@ -792,10 +854,7 @@ def dmrg_groundstate_scan(A, x, num_half_sweeps: int = 8,
     d = len(A_np)
     n = A_np[0].shape[1]
     A_stack = _pad_operator_stack(A_np, x_stack.dtype)
-    rev_x, rev_A = _rev_x_stack, _rev_A_stack
-
     energy = np.inf
-    reversed_state = False
 
     def factory(shifted):
         if solver in ("lobpcg", "lanczos"):
@@ -817,26 +876,26 @@ def dmrg_groundstate_scan(A, x, num_half_sweeps: int = 8,
         shift = _estimate_shift(factory(False), x_stack, A_stack)
     shift = float(shift)
     shifted = shift != 0.0
-    fn = factory(shifted)
-    for sweep in range(num_half_sweeps):
-        if shifted:
-            x_stack, e = fn(x_stack, A_stack, sdt.type(shift))
-        else:
-            x_stack, e = fn(x_stack, A_stack)
-        e = float(e) + shift
-        # normalize the core (last stack entry)
-        last = x_stack[d - 1]
-        nl = jnp.linalg.norm(last)
-        x_stack = x_stack.at[d - 1].set(last / jnp.maximum(nl, 1e-30))
-        if abs(e - energy) < conv_eps:
-            energy = e
-            break
-        energy = e
-        x_stack = rev_x(x_stack)
-        A_stack = rev_A(A_stack)
-        reversed_state = not reversed_state
-    if reversed_state:
-        x_stack = rev_x(x_stack)
+    # device-resident loop: ALL half-sweeps + normalizations + the energy
+    # convergence test as ONE while_loop program (make_dmrg_run) — the
+    # per-sweep host loop paid one dispatch + scalar fetch + reversal
+    # dispatches per half-sweep through the tunnel
+    CAP = 64  # static compile bucket; `remaining` trims it
+    run = make_dmrg_run(tuple(x_stack.shape), int(r), str(x_stack.dtype),
+                        solver, int(lobpcg_iters), shifted, CAP)
+    total = 0
+    while total < num_half_sweeps:
+        x_stack, e, cnt = run(x_stack, A_stack, sdt.type(shift),
+                              sdt.type(conv_eps),
+                              jnp.asarray(num_half_sweeps - total,
+                                          jnp.int32))
+        cnt = int(cnt)
+        total += max(cnt, 1)
+        energy = float(e)
+        if cnt < min(num_half_sweeps - (total - cnt), CAP):
+            break  # in-program convergence fired
+        # hit the CAP bucket without converging: the state orientation is
+        # already restored (un-reversed) by the program; dispatch again
     # unpad to logical ranks capped at r
     from .tt_kernels import res_rank
     stack_np = np.asarray(x_stack)
