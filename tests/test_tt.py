@@ -512,3 +512,26 @@ def test_round_fast_single_component():
     # streaming kernel guard
     out = tt_round_streaming_uniform([jnp.ones((1, 5, 1))], 3)
     assert len(out) == 1 and out[0].shape == (1, 5, 1)
+
+
+def test_constructor_canonical_claims_are_true():
+    """ones/identity/kronecker/dirac must not CLAIM a canonical format
+    their components do not satisfy: the reference canonicalizes ones,
+    identity, and kronecker on construction (ttNetwork.cpp:189, 219, 252).
+    A false claim made frob_norm() read the core norm (sqrt(n)) instead
+    of the true norm (prod sqrt(n_k)) — every relative-residual readout
+    dividing by ||ones(dims)|| was inflated ~22x at d=10."""
+    cases = [
+        TTTensor.ones([2] * 6),
+        TTTensor.kronecker([3] * 4),
+        TTTensor.dirac([3] * 4, [1, 2, 0, 1]),
+        TTOperator.identity([3, 2, 3, 2]),
+        TTOperator.ones([2] * 8),
+    ]
+    for tt in cases:
+        true = float(np.linalg.norm(tt.to_tensor().to_ndarray().reshape(-1)))
+        got = tt.frob_norm()
+        assert abs(got - true) < 1e-10 * max(true, 1.0), (got, true)
+        tt.require_correct_format()  # claims must hold structurally
+    # the specific regression: ||ones([2]*10)|| is 2^5, not sqrt(2)
+    assert abs(TTTensor.ones([2] * 10).frob_norm() - 32.0) < 1e-10

@@ -213,7 +213,15 @@ class TTNetwork:
             else:
                 t = Tensor.ones([1, dims[i], 1])
             comps.append(t)
-        return cls._make(comps, canonicalized=True, core_position=0)
+        out = cls._make(comps, canonicalized=False, core_position=0)
+        # the all-ones cores are NOT orthogonal (a (n,1) column of ones has
+        # norm sqrt(n)) — the reference canonicalizes before claiming the
+        # format (ttNetwork.cpp:189 result.canonicalize_left()).  A false
+        # claim made frob_norm() read sqrt(n) off core 0 instead of
+        # sqrt(prod dims) — every "relative residual / ||ones||" readout
+        # was inflated ~22x for d=10.
+        out.canonicalize_left()
+        return out
 
     @classmethod
     def kronecker(cls, dimensions: Sequence[int]) -> "TTNetwork":
@@ -1004,7 +1012,13 @@ class TTOperator(TTNetwork):
             for k in range(dims[i]):
                 t._sparse[Tensor.multiIndex_to_position([0, k, k, 0], t.dimensions)] = 1.0
             comps.append(t)
-        return cls._make(comps, canonicalized=True, core_position=0)
+        out = cls._make(comps, canonicalized=False, core_position=0)
+        # identity cores I(n) flattened are columns of norm sqrt(n), not
+        # orthonormal — canonicalize before claiming the format (the
+        # reference's identity also canonicalizes, ttNetwork.cpp:225-252);
+        # a false claim made frob_norm() read sqrt(n) instead of n^(d/2)
+        out.canonicalize_left()
+        return out
 
 
 # ---------------------------------------------------------------------------
