@@ -160,6 +160,56 @@ class ALSVariant:
         spd = self.assumeSPD
         reversed_state = False
         asd = self.local_solver in ("asd", "cg")
+        instrumented = bool(perf) and (perf.error_function
+                                       or perf.checkpoint_path)
+        if spd and not asd and not instrumented:
+            # device-resident loop: ALL half-sweeps + residuals + the
+            # two-back stagnation test as ONE while_loop program
+            # (ops/tt_kernels.make_als_run) — the per-sweep host loop
+            # paid one dispatch + one scalar fetch per half-sweep
+            from ..ops.tt_kernels import make_als_run
+            CAP = 32  # static compile bucket; `remaining` trims it
+            shapes_key = tuple(tuple(c.shape) for c in cores)
+            run = make_als_run(shapes_key, str(cores[0].dtype), CAP)
+            dt = cores[0].dtype
+            total = 0
+            parity = 0
+            # num_half_sweeps == 0 means run until stagnation (host loop
+            # semantics: `half_sweeps == num_half_sweeps` never fires)
+            while num_half_sweeps == 0 or total < num_half_sweeps:
+                remaining_before = (num_half_sweeps - total
+                                    if num_half_sweeps else CAP)
+                cores, hist, cnt = run(
+                    cores, A_cores, b_cores, jnp.asarray(conv_eps, dt),
+                    jnp.asarray(parity, jnp.int32),
+                    jnp.asarray(remaining_before, jnp.int32))
+                cnt = int(cnt)
+                hist_host = np.asarray(hist)[:cnt]
+                for j, rv in enumerate(hist_host):
+                    half_sweeps += 1
+                    last2, last = last, energy
+                    energy = float(rv)
+                    if not math.isfinite(energy):
+                        from ..misc.profiling import guard_finite
+                        guard_finite(cores[0],
+                                     f"ALS half-sweep {half_sweeps}")
+                    if perf:
+                        sweep_lr = (parity + j) % 2 == 0
+                        perf.add(energy, x,
+                                 FLAG_FINISHED_HALFSWEEP if sweep_lr
+                                 else FLAG_FINISHED_FULLSWEEP)
+                total += max(cnt, 1)
+                parity = total % 2
+                if cnt < min(remaining_before, CAP):
+                    break  # in-program stagnation/limit fired
+            direction = "lr" if (total - 1) % 2 == 0 else "rl"
+            with host():
+                x.components = to_host_tensors(cores)
+                x.assume_core_position(
+                    x.num_components() - 1 if direction == "lr" else 0)
+                if initial_canon and self.preserveCorePosition:
+                    x.move_core(initial_core, keep_rank=True)
+            return energy
         while True:
             shapes_key = tuple(tuple(c.shape) for c in cores)
             if asd:

@@ -1906,6 +1906,53 @@ def make_als_multi_sweep_res(shapes_key: Tuple, dtype_str: str,
     return jit_f32(multi, dtype_str)
 
 
+@lru_cache(maxsize=16)
+def make_als_run(shapes_key: Tuple, dtype_str: str, max_sweeps: int):
+    """The WHOLE fixed-rank SPD ALS solve as ONE XLA program: a
+    lax.while_loop alternating lr/rl half-sweeps (lax.cond on the sweep
+    parity — no data reversal, so the ragged per-site core shapes stay a
+    stable carry) with the fused relative residual and the driver's
+    two-back stagnation test in-program (|last-res|<eps or |last2-res|<eps,
+    als.py _solve_fast).  One dispatch replaces one dispatch + one scalar
+    fetch per half-sweep through the ~150 ms-RTT tunnel.
+
+    ``parity0`` continues the lr/rl alternation across re-dispatches when
+    the static ``max_sweeps`` bucket is exhausted; ``remaining`` trims the
+    loop below the bucket.  Returns (cores, res_hist, count): hist[i] is
+    the relative residual AFTER half-sweep i, valid for i < count."""
+
+    def run(x_cores, A_cores, b_cores, conv_eps, parity0, remaining):
+        dtype = x_cores[0].dtype
+        limit = jnp.minimum(jnp.asarray(max_sweeps, jnp.int32),
+                            remaining.astype(jnp.int32))
+
+        def cond(carry):
+            _cs, _h, i, _l, _l2, stop = carry
+            return jnp.logical_and(i < limit, jnp.logical_not(stop))
+
+        def body(carry):
+            cores, hist, i, last, last2, _stop = carry
+            cores = jax.lax.cond(
+                (parity0 + i) % 2 == 0,
+                lambda cs: _als_half_sweep(cs, A_cores, b_cores),
+                lambda cs: _als_half_sweep_rl(cs, A_cores, b_cores),
+                cores)
+            res = tt_residual_rel(cores, A_cores, b_cores)
+            hist = hist.at[i].set(res)
+            stop = jnp.logical_or(jnp.abs(last - res) < conv_eps,
+                                  jnp.abs(last2 - res) < conv_eps)
+            return (cores, hist, i + 1, res, last, stop)
+
+        hist0 = jnp.full((max_sweeps,), jnp.inf, dtype)
+        carry = (tuple(x_cores), hist0, jnp.zeros((), jnp.int32),
+                 jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
+                 jnp.zeros((), jnp.bool_))
+        cores, hist, i, _l, _l2, _s = jax.lax.while_loop(cond, body, carry)
+        return cores, hist, i
+
+    return jit_f32(run, dtype_str)
+
+
 @lru_cache(maxsize=64)
 def make_als_sweep(shapes_key: Tuple, dtype_str: str, direction: str = "lr",
                    spd: bool = True, solver: str = "lapack"):
