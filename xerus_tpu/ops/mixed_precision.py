@@ -93,6 +93,14 @@ def df_qr(ah: jnp.ndarray, al: jnp.ndarray) -> Tuple[DF, DF]:
     Sequential over columns; each step is df matvecs (CGS2)."""
     m, r = ah.shape
     dtype = ah.dtype
+    # matrix scale for the deficiency test: a column whose post-projection
+    # norm is f32-noise RELATIVE TO THE MATRIX (not merely to its own
+    # original norm) carries no df-trustworthy direction — normalizing it
+    # yields a column orthogonal only to ~f32 accuracy (measured 3.6e-8
+    # |QtQ-I| on v5e for a 1e-16-relative column), silently poisoning the
+    # ALS frames and flooring the df sweep at f32 residuals.  Such columns
+    # must take the exact canonical-vector fallback instead.
+    mat_scale = jnp.sqrt(jnp.max(jnp.sum(ah * ah, axis=0)))
 
     def body(j, state):
         qh, ql, rh_, rl_ = state
@@ -112,7 +120,8 @@ def df_qr(ah: jnp.ndarray, al: jnp.ndarray) -> Tuple[DF, DF]:
         # the frame stays orthonormal (the local problems need full rank).
         # The absolute floor catches exactly-zero columns whose relative
         # threshold underflows; without it 1/nh overflows the Veltkamp split.
-        deficient = nh <= 1e-12 * orig_norm + 1e-30
+        deficient = nh <= jnp.maximum(1e-12 * orig_norm,
+                                      1e-13 * mat_scale) + 1e-30
         eh = jnp.zeros((m,), dtype).at[j % m].set(1.0)
         fch, fcl = df_matvec(qh.T, ql.T, eh, jnp.zeros_like(eh))
         fph, fpl = df_matvec(qh, ql, fch, fcl)
@@ -272,11 +281,11 @@ def make_df_als_multi_sweep(shapes_key, dtype_str: str, n_half_sweeps: int,
 
 
 def als_spd_mixed(A, x, b, num_half_sweeps: int = 6):
-    """Mixed-precision single-site SPD ALS on TT objects: each half-sweep is
-    one jitted df program; direction alternates via site reversal (exact
-    transposes).  Residual verification stays in host float64 — the df
-    quadratic form would cancel below ~1e-7.  Returns (x_df64_cores,
-    residual)."""
+    """Mixed-precision single-site SPD ALS on TT objects: ALL half-sweeps
+    run as ONE jitted df program (make_df_als_multi_sweep), alternating
+    direction via in-program site reversal.  Residual verification stays
+    in host float64 — the df quadratic form would cancel below ~1e-7.
+    Returns the refined f64 cores."""
     from ..config import host
     x = x.copy()
     with host():   # object-level f64 prep stays off the TPU
@@ -291,20 +300,10 @@ def als_spd_mixed(A, x, b, num_half_sweeps: int = 6):
     A_df = to_df_list(A.components, True)
     b_df = to_df_list(b.components)
 
-    def reverse(cores, op=False):
-        perm = (3, 1, 2, 0) if op else (2, 1, 0)
-        return tuple((jnp.transpose(h, perm), jnp.transpose(l, perm))
-                     for (h, l) in reversed(cores))
-
-    reversed_state = False
-    for sweep in range(num_half_sweeps):
-        shapes_key = tuple(tuple(h.shape) for h, _ in x_df)
-        fn = make_df_als_sweep(shapes_key, "float32")
-        x_df = fn(x_df, A_df, b_df)
-        x_df = reverse(x_df)
-        A_df = reverse(A_df, op=True)
-        b_df = reverse(b_df)
-        reversed_state = not reversed_state
-    if reversed_state:
-        x_df = reverse(x_df)
+    # all half-sweeps (+ in-program site reversals) as ONE XLA program —
+    # the per-sweep host loop paid a dispatch plus 3 tuple-of-transposes
+    # dispatches per half-sweep through the ~150ms-RTT tunnel
+    shapes_key = tuple(tuple(h.shape) for h, _ in x_df)
+    fn = make_df_als_multi_sweep(shapes_key, "float32", int(num_half_sweeps))
+    x_df = fn(x_df, A_df, b_df)
     return [df_to_f64(h, l) for (h, l) in x_df]
