@@ -84,49 +84,72 @@ t_upload = time.perf_counter() - t0
 print("upload: %.2f s" % t_upload, flush=True)
 
 shapes_key = tuple(tuple(c.shape) for c in x32)
-# SMALL programs (2 half-sweeps each), dispatched repeatedly: each extra
-# dispatch costs ~150ms tunnel RTT, each extra sweep-in-program costs
-# minutes of tunnel compile — small-and-repeated wins decisively
-fn1 = make_als_multi_sweep_res(shapes_key, "float32", 2)
-fn2 = make_df_als_multi_sweep(shapes_key, "float32", 2)
+FUSED = "--staged" not in sys.argv
+if not FUSED:
+    # SMALL programs (2 half-sweeps each), dispatched repeatedly: each
+    # extra dispatch costs ~150ms tunnel RTT, each extra sweep-in-program
+    # costs minutes of tunnel compile
+    fn1 = make_als_multi_sweep_res(shapes_key, "float32", 2)
+    fn2 = make_df_als_multi_sweep(shapes_key, "float32", 2)
 
-# df-phase seeding as ONE jitted program: per-core .astype/zeros_like
-# would be 2*D tiny un-jitted dispatches through the ~150ms-RTT tunnel
-# (measured ~5 s of the solve wall — the dominant cost before this fix)
-seed_df = jax.jit(lambda cs: tuple((c.astype(jnp.float32),
-                                    jnp.zeros_like(c)) for c in cs))
+    # df-phase seeding as ONE jitted program: per-core .astype/zeros_like
+    # would be 2*D tiny un-jitted dispatches through the ~150ms-RTT tunnel
+    # (measured ~5 s of the solve wall)
+    seed_df = jax.jit(lambda cs: tuple((c.astype(jnp.float32),
+                                        jnp.zeros_like(c)) for c in cs))
 
-# ---- compile (warm the programs once; excluded, reported) ----
-t0 = time.perf_counter()
-c_out, res_hist = fn1(x32, A32, b32)
-float(res_hist[-1])
-t_c1 = time.perf_counter() - t0
-print("phase1 compile+first-run: %.1f s" % t_c1, flush=True)
-t0 = time.perf_counter()
-w = fn2(tuple((h, l) for h, l in x_df), A_df, b_df)
-float(jnp.sum(w[0][0]))
-t_c2 = time.perf_counter() - t0
-print("phase2 compile+first-run: %.1f s" % t_c2, flush=True)
-jax.block_until_ready(seed_df(x32))  # warm the seed program too
+    # ---- compile (warm the programs once; excluded, reported) ----
+    t0 = time.perf_counter()
+    c_out, res_hist = fn1(x32, A32, b32)
+    float(res_hist[-1])
+    t_c1 = time.perf_counter() - t0
+    print("phase1 compile+first-run: %.1f s" % t_c1, flush=True)
+    t0 = time.perf_counter()
+    w = fn2(tuple((h, l) for h, l in x_df), A_df, b_df)
+    float(jnp.sum(w[0][0]))
+    t_c2 = time.perf_counter() - t0
+    print("phase2 compile+first-run: %.1f s" % t_c2, flush=True)
+    jax.block_until_ready(seed_df(x32))  # warm the seed program too
+if FUSED:
+    # the WHOLE solve as ONE program: f32 while_loop to the plateau
+    # (same 3x-per-sweep auto-stop, in-program, even-count stops) +
+    # in-program df seed + df finish (ops/mixed_precision.py)
+    from xerus_tpu.ops.mixed_precision import make_als_f32_df_run
+    run = make_als_f32_df_run(shapes_key, "float32", N1,
+                              2 * ((N2 + 1) // 2))
+    t0 = time.perf_counter()
+    c2f, hist_f, cnt = run(x32, A32, b32, A_df, b_df)
+    float(jnp.sum(c2f[0][0]))
+    t_cf = time.perf_counter() - t0
+    print("fused compile+first-run: %.1f s" % t_cf, flush=True)
 
-# ---- the measured solve: fresh start, warm programs ----
-t0 = time.perf_counter()
-c1 = x32
-hist = []
-for _ in range((N1 + 1) // 2):
-    c1, res_hist = fn1(c1, A32, b32)
-    hist += [float(v) for v in res_hist]      # sync per call (2 sweeps)
-    if len(hist) >= 4 and hist[-1] > 0.3 * hist[-3]:
-        break       # no longer improving 3x per sweep: f32 floor reached
-# seed the df phase with the f32 result (hi = f32 cores, lo = 0)
-c2 = seed_df(c1)
-for _ in range((N2 + 1) // 2):
-    c2 = fn2(c2, A_df, b_df)
-float(jnp.sum(c2[0][0]))                      # final sync
-t_solve = time.perf_counter() - t0
-print("f32 residual history:", hist, flush=True)
-print("SOLVE WALL (%d f32 + %d df half-sweeps, 2-sweep programs): %.3f s"
-      % (len(hist), 2 * ((N2 + 1) // 2), t_solve), flush=True)
+    t0 = time.perf_counter()
+    c2, hist_arr, cnt = run(x32, A32, b32, A_df, b_df)
+    cnt = int(cnt)                            # the ONLY sync of the solve
+    t_solve = time.perf_counter() - t0
+    hist = [float(v) for v in np.asarray(hist_arr)[:cnt]]
+    print("f32 residual history:", hist, flush=True)
+    print("SOLVE WALL (%d f32 + %d df half-sweeps, ONE program/dispatch): "
+          "%.3f s" % (cnt, 2 * ((N2 + 1) // 2), t_solve), flush=True)
+else:
+    # ---- the measured solve: fresh start, warm programs ----
+    t0 = time.perf_counter()
+    c1 = x32
+    hist = []
+    for _ in range((N1 + 1) // 2):
+        c1, res_hist = fn1(c1, A32, b32)
+        hist += [float(v) for v in res_hist]  # sync per call (2 sweeps)
+        if len(hist) >= 4 and hist[-1] > 0.3 * hist[-3]:
+            break   # no longer improving 3x per sweep: f32 floor reached
+    # seed the df phase with the f32 result (hi = f32 cores, lo = 0)
+    c2 = seed_df(c1)
+    for _ in range((N2 + 1) // 2):
+        c2 = fn2(c2, A_df, b_df)
+    float(jnp.sum(c2[0][0]))                  # final sync
+    t_solve = time.perf_counter() - t0
+    print("f32 residual history:", hist, flush=True)
+    print("SOLVE WALL (%d f32 + %d df half-sweeps, 2-sweep programs): %.3f s"
+          % (len(hist), 2 * ((N2 + 1) // 2), t_solve), flush=True)
 
 # ---- download + host-f64 verification (excluded, reported) ----
 t0 = time.perf_counter()

@@ -62,3 +62,43 @@ def test_mixed_als_reaches_f64_quality():
     bv = b.to_tensor().to_ndarray().reshape(-1)
     resid = np.linalg.norm(Am @ xv - bv) / np.linalg.norm(bv)
     assert resid < 1e-12
+
+
+def test_fused_f32_df_run_reaches_f64_floor():
+    """make_als_f32_df_run: the WHOLE mixed-precision solve (f32
+    while_loop to the plateau + in-program df seed + df finish) as one
+    program must reach the f64-quality floor, stop the f32 phase only on
+    even sweep counts (the df phase needs the core at site 0), and report
+    the f32 residual history."""
+    import jax.numpy as jnp
+    import xerus_tpu as xe
+    from xerus_tpu.examples import laplace_operator
+    from xerus_tpu.ops.mixed_precision import (make_als_f32_df_run,
+                                               df_from_f64, df_to_f64)
+    from xerus_tpu.core.tensor import Tensor
+    from xerus_tpu.tt.ttnetwork import TTTensor, apply_operator
+
+    xe.set_seed(0xBAADF00D + 3)
+    dims = [2] * 8
+    Aop = laplace_operator(dims)
+    b = TTTensor.ones(dims)
+    x0 = TTTensor.random(dims, 5)
+    x0.move_core(0)
+    f32 = lambda cs: tuple(jnp.asarray(np.asarray(c.to_ndarray(),
+                                                  np.float32)) for c in cs)
+    x32, A32, b32 = (f32(x0.components), f32(Aop.components),
+                     f32(b.components))
+    A_df = tuple(df_from_f64(np.asarray(c.to_ndarray(), np.float64))
+                 for c in Aop.components)
+    b_df = tuple(df_from_f64(np.asarray(c.to_ndarray(), np.float64))
+                 for c in b.components)
+    fn = make_als_f32_df_run(tuple(tuple(c.shape) for c in x32),
+                             "float32", 12, 2)
+    out, hist, cnt = fn(x32, A32, b32, A_df, b_df)
+    cnt = int(cnt)
+    assert cnt % 2 == 0 and 0 < cnt <= 12
+    assert all(np.isfinite(v) for v in np.asarray(hist)[:cnt])
+    out64 = [df_to_f64(np.asarray(h), np.asarray(l)) for (h, l) in out]
+    xx = TTTensor._make([Tensor.from_ndarray(c) for c in out64])
+    res = float((apply_operator(Aop, xx) - b).frob_norm() / b.frob_norm())
+    assert res < 1e-12, res

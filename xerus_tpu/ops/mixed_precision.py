@@ -280,6 +280,67 @@ def make_df_als_multi_sweep(shapes_key, dtype_str: str, n_half_sweeps: int,
     return jit_f32(multi, dtype_str)
 
 
+@lru_cache(maxsize=8)
+def make_als_f32_df_run(shapes_key, dtype_str: str, max_f32_sweeps: int,
+                        df_sweeps: int, refine_iters: int = 3):
+    """The WHOLE mixed-precision solve as ONE XLA program: a lax.while_loop
+    of f32 SPD half-sweeps (lr/rl by parity, fused relative residual) that
+    stops at the f32 plateau (res > 0.3 * res_two_sweeps_ago — the
+    measured e2e auto-stop rule), then an in-program df seed (hi = f32
+    cores, lo = 0) and ``df_sweeps`` df half-sweeps with in-program site
+    reversal.  One dispatch for the full f64-quality solve: the staged
+    driver paid one dispatch + one history fetch per 2-sweep program plus
+    a seed dispatch (~0.69 s wall for ~0.3 s of work on the d=32 r=30
+    north star).
+
+    Returns (df_cores, f32_hist, f32_count)."""
+    from .tt_kernels import (jit_f32, _als_half_sweep, _als_half_sweep_rl,
+                             tt_residual_rel)
+
+    def run(x32, A32, b32, A_df, b_df):
+        dtype = x32[0].dtype
+        inf = jnp.asarray(jnp.inf, dtype)
+
+        def cond(carry):
+            _cs, _h, i, _r1, _r2, stop = carry
+            return jnp.logical_and(i < max_f32_sweeps,
+                                   jnp.logical_not(stop))
+
+        def body(carry):
+            cores, hist, i, r_prev, r_prev2, _stop = carry
+            cores = jax.lax.cond(
+                i % 2 == 0,
+                lambda cs: _als_half_sweep(cs, A32, b32),
+                lambda cs: _als_half_sweep_rl(cs, A32, b32),
+                cores)
+            res = tt_residual_rel(cores, A32, b32)
+            hist = hist.at[i].set(res)
+            # no longer improving 3x per sweep — but only stop on EVEN
+            # sweep counts (after an rl sweep): the df phase needs the
+            # core at site 0, and an lr-ended state (core at d-1) breaks
+            # its canonicalization assumption (observed: df NaN)
+            stop = jnp.logical_and(res > 0.3 * r_prev2, i % 2 == 1)
+            return (cores, hist, i + 1, res, r_prev, stop)
+
+        hist0 = jnp.full((max_f32_sweeps,), jnp.inf, dtype)
+        carry = (tuple(x32), hist0, jnp.zeros((), jnp.int32), inf, inf,
+                 jnp.zeros((), jnp.bool_))
+        cores, hist, cnt, _r1, _r2, _s = jax.lax.while_loop(cond, body,
+                                                            carry)
+        x_df = tuple((c, jnp.zeros_like(c)) for c in cores)
+        for s in range(df_sweeps):
+            x_df = _als_half_sweep_df(x_df, A_df, b_df,
+                                      refine_iters=refine_iters)
+            x_df = _reverse_df(x_df)
+            A_df = _reverse_df(A_df, op=True)
+            b_df = _reverse_df(b_df)
+        if df_sweeps % 2 == 1:
+            x_df = _reverse_df(x_df)
+        return x_df, hist, cnt
+
+    return jit_f32(run, dtype_str)
+
+
 def als_spd_mixed(A, x, b, num_half_sweeps: int = 6):
     """Mixed-precision single-site SPD ALS on TT objects: ALL half-sweeps
     run as ONE jitted df program (make_df_als_multi_sweep), alternating
