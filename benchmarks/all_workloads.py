@@ -165,16 +165,14 @@ def main() -> None:
     if TPU_MODE:
         xw = x0.copy()
         t0 = time.perf_counter()
-        xe.ALS_SPD(Aop, xw, b, 1e-7)           # warm (compile) run
-        xe.als_spd_mixed(Aop, xw, b, num_half_sweeps=2)
+        xe.als_spd_fused(Aop, xw, b)           # warm (compile) run
         warm = time.perf_counter() - t0
         x = x0.copy()
         t0 = time.perf_counter()
-        resid = xe.ALS_SPD(Aop, x, b, 1e-7)
-        # double-word f32 finishing phase: f64-quality residual on TPU
-        # (matches the CPU reference's 1e-16-level solve, BASELINE.md
-        # quality-parity rule) — same recipe as the d=32 north star
-        x = xe.als_spd_mixed(Aop, x, b, num_half_sweeps=2)
+        # the whole mixed-precision solve (f32 while_loop to the plateau
+        # + df finish, f64-quality residual) as ONE device program —
+        # same recipe as the d=32 north star (BASELINE.md quality rule)
+        x, _hist = xe.als_spd_fused(Aop, x, b)
         secs = time.perf_counter() - t0
         with host():
             from xerus_tpu.tt.ttnetwork import apply_operator
@@ -184,7 +182,7 @@ def main() -> None:
                         "seconds": round(secs, 3), "warm_s": round(warm, 1),
                         "relative_residual": f"{res64:.3e}",
                         "ranks": x.ranks(),
-                        "mode": "tpu f32 _solve_fast + df32 finish"})
+                        "mode": "tpu fused f32-while_loop + df32 program"})
     else:
         x = x0.copy()
         t0 = time.perf_counter()

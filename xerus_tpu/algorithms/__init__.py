@@ -27,3 +27,40 @@ def als_spd_mixed(A, x, b, num_half_sweeps: int = 6):
     from ..core.tensor import Tensor
     cores = _impl(A, x, b, num_half_sweeps)
     return TTTensor._make([Tensor.from_ndarray(c) for c in cores])
+
+
+def als_spd_fused(A, x, b, max_f32_sweeps: int = 16, df_sweeps: int = 2):
+    """Full mixed-precision SPD solve as ONE device program: f32
+    while_loop half-sweeps to the f32 plateau, in-program double-word
+    seed, then ``df_sweeps`` df half-sweeps — f64-quality residuals in
+    one dispatch (ops/mixed_precision.make_als_f32_df_run; the d=32
+    rank-30 Poisson north star measures 0.268 s / 9.4e-15 on v5e-1).
+    Returns (solution TTTensor, f32 residual history list)."""
+    import numpy as np
+    from ..config import host
+    from ..ops.mixed_precision import (make_als_f32_df_run, df_from_f64,
+                                       df_to_f64)
+    from ..tt.ttnetwork import TTTensor
+    from ..core.tensor import Tensor
+    import jax.numpy as jnp
+
+    x = x.copy()
+    with host():   # object-level f64 prep stays off the accelerator
+        x.move_core(0)
+        x_np = [np.asarray(c.to_ndarray(), np.float64) for c in x.components]
+        A_np = [np.asarray(c.to_ndarray(), np.float64) for c in A.components]
+        b_np = [np.asarray(c.to_ndarray(), np.float64) for c in b.components]
+    x32 = tuple(jnp.asarray(c.astype(np.float32)) for c in x_np)
+    A32 = tuple(jnp.asarray(c.astype(np.float32)) for c in A_np)
+    b32 = tuple(jnp.asarray(c.astype(np.float32)) for c in b_np)
+    A_df = tuple(df_from_f64(c) for c in A_np)
+    b_df = tuple(df_from_f64(c) for c in b_np)
+    run = make_als_f32_df_run(tuple(tuple(c.shape) for c in x32),
+                              "float32", int(max_f32_sweeps),
+                              int(df_sweeps))
+    out, hist, cnt = run(x32, A32, b32, A_df, b_df)
+    cnt = int(cnt)
+    hist = [float(v) for v in np.asarray(hist)[:cnt]]
+    cores = [df_to_f64(np.asarray(h), np.asarray(l)) for (h, l) in out]
+    return (TTTensor._make([Tensor.from_ndarray(c) for c in cores]),
+            hist)
