@@ -32,8 +32,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 D = int(os.environ.get("E2E_D", 32))
 RANK = int(os.environ.get("E2E_RANK", 30))
-N1 = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-N2 = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+N1 = int(_pos[0]) if len(_pos) > 0 else 8
+N2 = int(_pos[1]) if len(_pos) > 1 else 3
 
 rng = np.random.Generator(np.random.PCG64(0xBAADF00D))
 

@@ -305,7 +305,8 @@ def test_dmrg_device_run_matches_host_loop():
                         24, False, 64)
     for rem in (1, 3, 6):
         xs2, e2, cnt = run(x_stack, A_stack, jnp.float32(0.0),
-                           jnp.float32(1e-12), jnp.asarray(rem, jnp.int32))
+                           jnp.float32(1e-12), jnp.asarray(rem, jnp.int32),
+                           jnp.float32(np.inf))
         assert int(cnt) == rem
         assert abs(float(e2) - hist[rem - 1]) <= 1e-6 * abs(hist[rem - 1])
     # final orientation: host loop ends reversed after an even count and

@@ -102,3 +102,37 @@ def test_fused_f32_df_run_reaches_f64_floor():
     xx = TTTensor._make([Tensor.from_ndarray(c) for c in out64])
     res = float((apply_operator(Aop, xx) - b).frob_norm() / b.frob_norm())
     assert res < 1e-12, res
+
+
+def test_fused_f32_df_run_odd_cap_stays_finite():
+    """An ODD max_f32_sweeps cap must not leave the core at site d-1 when
+    the f32 loop exits at the cap — the df phase assumes the core at 0
+    and returned silent NaNs (the effective cap rounds down to even)."""
+    import jax.numpy as jnp
+    import xerus_tpu as xe
+    from xerus_tpu.examples import laplace_operator
+    from xerus_tpu.ops.mixed_precision import (make_als_f32_df_run,
+                                               df_from_f64, df_to_f64)
+
+    xe.set_seed(3)
+    dims = [2] * 6
+    Aop = laplace_operator(dims)
+    from xerus_tpu.tt.ttnetwork import TTTensor
+    b = TTTensor.ones(dims)
+    x0 = TTTensor.random(dims, 3)
+    x0.move_core(0)
+    f32 = lambda cs: tuple(jnp.asarray(np.asarray(c.to_ndarray(),
+                                                  np.float32)) for c in cs)
+    x32, A32, b32 = (f32(x0.components), f32(Aop.components),
+                     f32(b.components))
+    A_df = tuple(df_from_f64(np.asarray(c.to_ndarray(), np.float64))
+                 for c in Aop.components)
+    b_df = tuple(df_from_f64(np.asarray(c.to_ndarray(), np.float64))
+                 for c in b.components)
+    for cap in (1, 3):
+        fn = make_als_f32_df_run(tuple(tuple(c.shape) for c in x32),
+                                 "float32", cap, 2)
+        out, hist, cnt = fn(x32, A32, b32, A_df, b_df)
+        assert int(cnt) % 2 == 0
+        for h, l in out:
+            assert bool(jnp.all(jnp.isfinite(h))), f"NaN at cap={cap}"

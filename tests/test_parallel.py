@@ -392,3 +392,25 @@ def test_adf_variant_mesh_check_every(mesh):
     r2 = adf(x2, ms, mesh=mesh, check_every=5)
     assert r2 < 1e-6
     assert abs(r1 - r2) < 1e-6
+
+
+def test_adf_variant_mesh_device_loop(mesh):
+    """check_every="device" with a mesh must dp-shard the measurement
+    axis inside the while_loop program (previously the device branch
+    silently ignored the mesh) and match the unsharded device loop
+    exactly."""
+    from xerus_tpu.algorithms.adf import ADFVariant
+    from xerus_tpu.algorithms.measurements import SinglePointMeasurementSet
+
+    d, n, r, M = 5, 3, 2, 200
+    target = TTTensor.random([n] * d, r)
+    ms = SinglePointMeasurementSet.random(M, target)
+
+    x1 = TTTensor.random([n] * d, r)
+    x2 = x1.copy()
+    adf = ADFVariant(40, 1e-10, 0.999)
+    r1 = adf(x1, ms, check_every="device")
+    r2 = adf(x2, ms, mesh=mesh, check_every="device")
+    assert abs(r1 - r2) < 1e-9 * max(1.0, abs(r1))
+    for a, b in zip(x1.components, x2.components):
+        assert np.allclose(a.to_ndarray(), b.to_ndarray(), atol=1e-8)

@@ -190,8 +190,12 @@ class _InternalSolver:
                 # (target and last are pre-multiplied by norm_values).
                 from ..ops.adf_kernels import make_adf_device_run
                 CAP = 512  # static compile bucket; `remaining` trims it
-                fn = make_adf_device_run(shapes_key, str(cores[0].dtype),
-                                         CAP, self.rank_one)
+                # with a mesh, the one-hots/values dp-shard over the
+                # measurement axis (point measurements; rank-one sets run
+                # replicated, mirroring the chained factories)
+                fn = make_adf_device_run(
+                    shapes_key, str(cores[0].dtype), CAP, self.rank_one,
+                    mesh if not self.rank_one else None)
                 remaining = (self.v.maxIterations - self.iteration
                              if self.v.maxIterations else CAP)
                 nv = self.norm_values

@@ -182,7 +182,11 @@ class ALSVariant:
                 cores, hist, cnt = run(
                     cores, A_cores, b_cores, jnp.asarray(conv_eps, dt),
                     jnp.asarray(parity, jnp.int32),
-                    jnp.asarray(remaining_before, jnp.int32))
+                    jnp.asarray(remaining_before, jnp.int32),
+                    jnp.asarray(energy if math.isfinite(energy)
+                                else np.inf, dt),
+                    jnp.asarray(last if math.isfinite(last)
+                                else np.inf, dt))
                 cnt = int(cnt)
                 hist_host = np.asarray(hist)[:cnt]
                 for j, rv in enumerate(hist_host):

@@ -136,7 +136,7 @@ def make_adf_multi_iteration(shapes_key, dtype_str: str, k: int,
 
 @lru_cache(maxsize=32)
 def make_adf_device_run(shapes_key, dtype_str: str, max_iters: int,
-                        rank_one: bool = False):
+                        rank_one: bool = False, mesh=None):
     """The WHOLE fixed-rank ADF solve as ONE XLA program: a lax.while_loop
     whose body is (iteration + left re-canonicalization) and whose carried
     stopping logic replicates the host driver exactly (adf.cpp:541-566):
@@ -154,6 +154,10 @@ def make_adf_device_run(shapes_key, dtype_str: str, max_iters: int,
     continuous across dispatches (rank bumps restart it on the host, same
     as the reference).  ``remaining`` bounds the loop below the static
     ``max_iters`` compile bucket without recompiling per cap.
+
+    With ``mesh`` (point measurements only, same contract as the chained
+    factories), the one-hots and values dp-shard over the measurement
+    axis; cores and outputs stay replicated (GSPMD inserts the psums).
 
     Returns (cores, hist, count): hist[i] is the residual norm at the
     start of inner iteration i (unscaled, like the other factories),
@@ -190,7 +194,29 @@ def make_adf_device_run(shapes_key, dtype_str: str, max_iters: int,
         cs, hist, i, _rd, _l, _s = jax.lax.while_loop(cond, body, carry)
         return cs, hist, i
 
-    return jit_f32(run, dtype_str)
+    if mesh is None:
+        return jit_f32(run, dtype_str)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    ms = NamedSharding(mesh, P("dp"))
+
+    def sharded(cores, onehots, values, *rest):
+        onehots = tuple(jax.lax.with_sharding_constraint(o, ms)
+                        for o in onehots)
+        values = jax.lax.with_sharding_constraint(values, ms)
+        return run(cores, onehots, values, *rest)
+
+    n_cores = len(shapes_key)
+    jfn = jax.jit(sharded, out_shardings=((rep,) * n_cores, rep, rep))
+    if dtype_str != "float32":
+        return jfn
+
+    def wrapped(*args, **kwargs):
+        with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+            return jfn(*args, **kwargs)
+
+    return wrapped
 
 
 def canonicalize_left_cores(cs):

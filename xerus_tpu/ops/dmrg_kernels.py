@@ -422,7 +422,9 @@ def make_dmrg_run(shape_key, rank: int, dtype_str: str, solver: str,
     unconditional in the body, so the final state is un-reversed when the
     executed sweep count is odd — identical final orientation.
 
-    Returns (x_stack, energy, count)."""
+    ``energy0`` carries the convergence reference across re-dispatches
+    when the static ``max_sweeps`` bucket is exhausted (pass +inf on the
+    first call).  Returns (x_stack, energy, count)."""
     from .tt_kernels import jit_f32
     if solver in ("lobpcg", "lanczos"):
         body_fn = partial(_dmrg_lobpcg_half_sweep_scan, rank=rank,
@@ -433,7 +435,7 @@ def make_dmrg_run(shape_key, rank: int, dtype_str: str, solver: str,
         raise ValueError(f"unknown local solver {solver!r}; "
                          "expected 'eigh', 'lanczos' or 'lobpcg'")
 
-    def run(x_stack, A_stack, shift, conv_eps, remaining):
+    def run(x_stack, A_stack, shift, conv_eps, remaining, energy0):
         d = x_stack.shape[0]
         dtype = x_stack.dtype
         limit = jnp.minimum(jnp.asarray(max_sweeps, jnp.int32),
@@ -456,7 +458,7 @@ def make_dmrg_run(shape_key, rank: int, dtype_str: str, solver: str,
             stop = jnp.abs(e - energy) < conv_eps
             return (_rev_x_stack(xs), _rev_A_stack(As), e, i + 1, stop)
 
-        carry = (x_stack, A_stack, jnp.asarray(jnp.inf, dtype),
+        carry = (x_stack, A_stack, energy0.astype(dtype),
                  jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_))
         xs, _As, e, i, _stop = jax.lax.while_loop(cond, body, carry)
         xs = jax.lax.cond(i % 2 == 1, _rev_x_stack, lambda s: s, xs)
@@ -888,7 +890,9 @@ def dmrg_groundstate_scan(A, x, num_half_sweeps: int = 8,
         x_stack, e, cnt = run(x_stack, A_stack, sdt.type(shift),
                               sdt.type(conv_eps),
                               jnp.asarray(num_half_sweeps - total,
-                                          jnp.int32))
+                                          jnp.int32),
+                              sdt.type(energy if np.isfinite(energy)
+                                       else np.inf))
         cnt = int(cnt)
         total += max(cnt, 1)
         energy = float(e)

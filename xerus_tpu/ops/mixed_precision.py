@@ -297,13 +297,18 @@ def make_als_f32_df_run(shapes_key, dtype_str: str, max_f32_sweeps: int,
     from .tt_kernels import (jit_f32, _als_half_sweep, _als_half_sweep_rl,
                              tt_residual_rel)
 
+    # the df phase needs the core at site 0 (an lr-ended f32 state NaNs
+    # its canonicalization assumption), so BOTH exits of the f32 loop —
+    # the plateau stop and the sweep cap — must land on even counts
+    max_even = max_f32_sweeps - (max_f32_sweeps % 2)
+
     def run(x32, A32, b32, A_df, b_df):
         dtype = x32[0].dtype
         inf = jnp.asarray(jnp.inf, dtype)
 
         def cond(carry):
             _cs, _h, i, _r1, _r2, stop = carry
-            return jnp.logical_and(i < max_f32_sweeps,
+            return jnp.logical_and(i < max_even,
                                    jnp.logical_not(stop))
 
         def body(carry):
@@ -361,10 +366,15 @@ def als_spd_mixed(A, x, b, num_half_sweeps: int = 6):
     A_df = to_df_list(A.components, True)
     b_df = to_df_list(b.components)
 
-    # all half-sweeps (+ in-program site reversals) as ONE XLA program —
-    # the per-sweep host loop paid a dispatch plus 3 tuple-of-transposes
-    # dispatches per half-sweep through the ~150ms-RTT tunnel
+    # 2-half-sweep programs dispatched repeatedly: each program starts
+    # and ends site-UNreversed, so chaining them is exact — this keeps
+    # the tunnel compile bounded (CLAUDE.md: a 2-half-sweep df program
+    # compiles in ~550 s; chaining all num_half_sweeps into one program
+    # scales that with the sweep count) while still amortizing the
+    # per-half-sweep dispatch + reversal dispatches of the old loop.
+    # Odd counts round up to the next even (one extra cheap half-sweep).
     shapes_key = tuple(tuple(h.shape) for h, _ in x_df)
-    fn = make_df_als_multi_sweep(shapes_key, "float32", int(num_half_sweeps))
-    x_df = fn(x_df, A_df, b_df)
+    fn = make_df_als_multi_sweep(shapes_key, "float32", 2)
+    for _ in range((int(num_half_sweeps) + 1) // 2):
+        x_df = fn(x_df, A_df, b_df)
     return [df_to_f64(h, l) for (h, l) in x_df]

@@ -1916,12 +1916,15 @@ def make_als_run(shapes_key: Tuple, dtype_str: str, max_sweeps: int):
     als.py _solve_fast).  One dispatch replaces one dispatch + one scalar
     fetch per half-sweep through the ~150 ms-RTT tunnel.
 
-    ``parity0`` continues the lr/rl alternation across re-dispatches when
-    the static ``max_sweeps`` bucket is exhausted; ``remaining`` trims the
-    loop below the bucket.  Returns (cores, res_hist, count): hist[i] is
-    the relative residual AFTER half-sweep i, valid for i < count."""
+    ``parity0`` continues the lr/rl alternation and ``last0``/``last20``
+    the two-back stagnation history across re-dispatches when the static
+    ``max_sweeps`` bucket is exhausted (pass +inf on the first call);
+    ``remaining`` trims the loop below the bucket.  Returns
+    (cores, res_hist, count): hist[i] is the relative residual AFTER
+    half-sweep i, valid for i < count."""
 
-    def run(x_cores, A_cores, b_cores, conv_eps, parity0, remaining):
+    def run(x_cores, A_cores, b_cores, conv_eps, parity0, remaining,
+            last0, last20):
         dtype = x_cores[0].dtype
         limit = jnp.minimum(jnp.asarray(max_sweeps, jnp.int32),
                             remaining.astype(jnp.int32))
@@ -1945,7 +1948,7 @@ def make_als_run(shapes_key: Tuple, dtype_str: str, max_sweeps: int):
 
         hist0 = jnp.full((max_sweeps,), jnp.inf, dtype)
         carry = (tuple(x_cores), hist0, jnp.zeros((), jnp.int32),
-                 jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
+                 last0.astype(dtype), last20.astype(dtype),
                  jnp.zeros((), jnp.bool_))
         cores, hist, i, _l, _l2, _s = jax.lax.while_loop(cond, body, carry)
         return cores, hist, i

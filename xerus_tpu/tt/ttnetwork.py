@@ -20,6 +20,7 @@ ops/tt_kernels.py.
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -213,15 +214,21 @@ class TTNetwork:
             else:
                 t = Tensor.ones([1, dims[i], 1])
             comps.append(t)
-        out = cls._make(comps, canonicalized=False, core_position=0)
-        # the all-ones cores are NOT orthogonal (a (n,1) column of ones has
-        # norm sqrt(n)) — the reference canonicalizes before claiming the
-        # format (ttNetwork.cpp:189 result.canonicalize_left()).  A false
-        # claim made frob_norm() read sqrt(n) off core 0 instead of
-        # sqrt(prod dims) — every "relative residual / ||ones||" readout
-        # was inflated ~22x for d=10.
-        out.canonicalize_left()
-        return out
+        # Claiming canonical format over raw all-ones cores is FALSE (a
+        # row of n ones has norm sqrt(n), not 1) — it made frob_norm()
+        # read sqrt(n) off core 0 instead of sqrt(prod dims), inflating
+        # every "residual / ||ones||" readout ~22x at d=10.  The
+        # reference canonicalizes with QR (ttNetwork.cpp:189); the
+        # canonical form is analytic here — scale each core to unit row
+        # norm and put the total norm on core 0 — so no factorization
+        # (and, on a TPU session, no device math) is needed.
+        total = 1.0
+        for i, t in enumerate(comps):
+            n_sq = float(np.prod(t.dimensions[1:-1]))
+            comps[i] = t * (1.0 / math.sqrt(n_sq))
+            total *= math.sqrt(n_sq)
+        comps[0] = comps[0] * total
+        return cls._make(comps, canonicalized=True, core_position=0)
 
     @classmethod
     def kronecker(cls, dimensions: Sequence[int]) -> "TTNetwork":
@@ -1012,13 +1019,20 @@ class TTOperator(TTNetwork):
             for k in range(dims[i]):
                 t._sparse[Tensor.multiIndex_to_position([0, k, k, 0], t.dimensions)] = 1.0
             comps.append(t)
-        out = cls._make(comps, canonicalized=False, core_position=0)
-        # identity cores I(n) flattened are columns of norm sqrt(n), not
-        # orthonormal — canonicalize before claiming the format (the
-        # reference's identity also canonicalizes, ttNetwork.cpp:225-252);
-        # a false claim made frob_norm() read sqrt(n) instead of n^(d/2)
-        out.canonicalize_left()
-        return out
+        # identity cores I(n) flattened are rows of norm sqrt(n), not
+        # orthonormal — a raw canonical claim made frob_norm() read
+        # sqrt(n) instead of n^(d/2).  The reference canonicalizes with
+        # QR (ttNetwork.cpp:219); the canonical form is analytic here —
+        # I/sqrt(n) per core, total norm on core 0 — which needs no
+        # factorization (no device math on a TPU session) and PRESERVES
+        # the sparse representation (a QR would densify it).
+        total = 1.0
+        for i, t in enumerate(comps):
+            n_i = float(dims[i])
+            comps[i] = t * (1.0 / math.sqrt(n_i))
+            total *= math.sqrt(n_i)
+        comps[0] = comps[0] * total
+        return cls._make(comps, canonicalized=True, core_position=0)
 
 
 # ---------------------------------------------------------------------------
