@@ -8,6 +8,17 @@ make the unit suite unusable.
 """
 
 import os
+import resource
+
+# XLA's CPU compiler (LLVM passes) can recurse deeply on large fused
+# programs (whole-sweep scan kernels); the default 8 MiB main-thread
+# stack has been observed to segfault mid-compile late in the suite.
+# The Linux main stack grows on demand up to the CURRENT soft rlimit,
+# so raising it here (hard limit is unlimited in this image) gives the
+# compiler room without any spawning tricks.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _hard == resource.RLIM_INFINITY or _hard >= 512 * 1024 * 1024:
+    resource.setrlimit(resource.RLIMIT_STACK, (512 * 1024 * 1024, _hard))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")

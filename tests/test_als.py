@@ -193,3 +193,32 @@ def test_als_cg_matrix_free_local_solver():
     from xerus_tpu.tt.ttnetwork import apply_operator
     true = float((apply_operator(A, x) - b).frob_norm() / b.frob_norm())
     assert true < 1e-7, true
+
+
+def test_device_loop_matches_host_loop_reversal_paths():
+    """make_als_run_rev (whole-solve while_loop for the lr-only kernels:
+    non-SPD normal equations, ASD, CG) must match the per-sweep host loop
+    exactly.  The host loop is forced via an instrumented PerformanceData
+    (error_function callbacks need the iterate on host)."""
+    from xerus_tpu.examples import laplace_operator
+
+    dims = [3] * 3
+    ident = TTOperator.identity(dims + dims)
+    A = TTOperator.random(dims + dims, 2)
+    A += 5.0 * ident
+    b = TTTensor.random(dims, 2)
+
+    for variant, op in ((xe.ALSVariant(1, 6, "lapack", assume_spd=False), A),
+                        (xe.ALSVariant(1, 6, "asd", assume_spd=True), ident),
+                        (xe.ALSVariant(1, 6, "cg", assume_spd=True), ident)):
+        x0 = TTTensor.random(dims, 3)
+        x_host, x_dev = x0.copy(), x0.copy()
+        perf = xe.PerformanceData(error_function=lambda t: 0.0)
+        r_host = variant(op, x_host, b, perf_data=perf)   # host loop
+        r_dev = variant(op, x_dev, b)                     # device loop
+        assert abs(r_host - r_dev) < 1e-10 * max(1.0, abs(r_host)), \
+            (variant.local_solver, r_host, r_dev)
+        assert len(perf.data) > 0
+        for ch, cd in zip(x_host.components, x_dev.components):
+            assert np.allclose(ch.to_ndarray(), cd.to_ndarray(),
+                               atol=1e-9), variant.local_solver

@@ -179,3 +179,26 @@ def test_require_coverage_landmarks(tmp_path, monkeypatch):
         assert all(":" in s for s in sites)
     finally:
         coverage._HITS.update(saved)
+
+
+def test_performance_data_get_histogram_convergence_rates():
+    """get_histogram models x2 = x1 * 2^(-rate*dt_us) and buckets the decay
+    rate weighted by dt (performanceData.cpp:110-140); assume_convergence
+    measures residuals relative to the final point and drops it."""
+    perf = xe.PerformanceData()
+    perf.start()
+    from xerus_tpu.algorithms.performance_data import DataPoint
+    # synthetic trace: residual halves every 2us -> rate 0.5 per us
+    for n, r in enumerate([1.0, 0.5, 0.25, 0.125]):
+        perf.data.append(DataPoint(n, n * 2e-6, r, None, [1], 0))
+    hist = perf.get_histogram(2.0)
+    # rate = -log2(0.5)/2 = 0.5 -> bucket floor(log2(0.5)) = -1
+    assert hist.buckets == {-1: 6}          # 3 steps x dt=2us each
+    # assume_convergence: residuals relative to the final point (dropped):
+    # [0.875, 0.375, 0.125] over 2us steps -> rates log2(7/3)/2, log2(3)/2
+    hist2 = perf.get_histogram(2.0, True)
+    assert hist2.total_count() == 4         # 2 steps x dt=2us each
+    assert set(hist2.buckets) == {-1}       # both rates in [0.5, 1)
+    # non-decreasing steps are skipped
+    perf.data.append(DataPoint(4, 8e-6, 0.5, None, [1], 0))
+    assert perf.get_histogram(2.0).total_count() == 6

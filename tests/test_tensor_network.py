@@ -177,3 +177,31 @@ def test_sum_falls_back_to_dense_node():
     net(i, j) << A(i, j) + B(i, j)
     assert len([n for n in net.nodes if not n.erased]) == 1
     assert np.allclose(net.to_tensor().to_ndarray(), A.to_ndarray() + B.to_ndarray())
+
+
+def test_tt_to_network_cast_preserves_graph():
+    """TensorNetwork(tt) / tt.copy_as_network() mirror the TT chain as a
+    node graph (reference: TTNetwork IS-A TensorNetwork, ttNetwork.h:44) —
+    one node per component, bond links, physical modes external."""
+    tt = xe.TTTensor.random([3] * 4, 2)
+    tn = xe.TensorNetwork(tt)
+    assert len(tn.nodes) == 4 and tn.degree() == 4
+    tn.require_valid_network()
+    assert np.allclose(tn.to_tensor().to_ndarray(), tt.to_tensor().to_ndarray())
+    assert tn.contraction_cost(0, 1) > 0
+    # graph ops work on the cast result
+    tn.fix_mode(0, 1)
+    tn.sanitize()
+    tn.require_valid_network()
+    assert tn.degree() == 3
+
+    op = xe.TTOperator.random([3, 4, 3, 4], 2)
+    tno = op.copy_as_network()
+    assert len(tno.nodes) == 2 and tno.dimensions == [3, 4, 3, 4]
+    assert np.allclose(tno.to_tensor().to_ndarray(), op.to_tensor().to_ndarray())
+
+    # copy ctor from another network deep-copies
+    tn2 = xe.TensorNetwork(tno)
+    tn2.nodes[0].tensor *= 2.0
+    assert abs(tno.to_tensor().frob_norm() * 2
+               - tn2.to_tensor().frob_norm()) < 1e-10 * tno.frob_norm()

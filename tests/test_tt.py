@@ -535,3 +535,20 @@ def test_constructor_canonical_claims_are_true():
         tt.require_correct_format()  # claims must hold structurally
     # the specific regression: ||ones([2]*10)|| is 2^5, not sqrt(2)
     assert abs(TTTensor.ones([2] * 10).frob_norm() - 32.0) < 1e-10
+
+
+def test_dyadic_product_list_overload():
+    """dyadic_product(list) — the vector overload the reference python
+    binding exposes (python/ttnetwork.cpp:95,164)."""
+    a = TTTensor.random([2, 3], 2)
+    b = TTTensor.random([4], 1)
+    c = TTTensor.random([5, 2], 2)
+    out = xe.dyadic_product([a, b, c])
+    ref = xe.dyadic_product(xe.dyadic_product(a, b), c)
+    assert out.dimensions == [2, 3, 4, 5, 2]
+    assert np.allclose(out.to_tensor().to_ndarray(), ref.to_tensor().to_ndarray())
+
+    M1 = TTOperator.random([10, 10], [])
+    I = TTOperator.identity([4, 4])
+    Op = xe.dyadic_product([M1, I])
+    assert Op.dimensions == [10, 4, 10, 4]

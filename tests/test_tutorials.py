@@ -1,10 +1,43 @@
-"""Doc-example tests (intent of tutorials.cxx and strassen.cxx)."""
+"""Doc-example tests (intent of tutorials.cxx and strassen.cxx), plus a
+runner that executes every ```python block in doc/tutorials/*.md — the
+tutorial pages are living documentation (reference doc/jekyll/_posts/)."""
+
+import os
+import re
 
 import numpy as np
 import pytest
 
 import xerus_tpu as xe
 from xerus_tpu import Tensor, TTTensor, TTOperator
+
+_TUTORIAL_DIR = os.path.join(os.path.dirname(__file__), "..", "doc",
+                             "tutorials")
+
+
+def _tutorial_pages():
+    if not os.path.isdir(_TUTORIAL_DIR):
+        return []
+    return sorted(f for f in os.listdir(_TUTORIAL_DIR)
+                  if f.endswith(".md"))
+
+
+@pytest.mark.parametrize("page", _tutorial_pages())
+def test_tutorial_page_snippets(page):
+    """All ```python blocks of one tutorial page run top-to-bottom in a
+    shared namespace (each page is a self-contained script)."""
+    text = open(os.path.join(_TUTORIAL_DIR, page)).read()
+    blocks = re.findall(r"```python\n(.*?)```", text, flags=re.S)
+    if not blocks:
+        pytest.skip("no python snippets")
+    ns = {}
+    for n, block in enumerate(blocks):
+        try:
+            exec(compile(block, f"{page}[block {n}]", "exec"), ns)
+        except Exception as e:  # pragma: no cover - diagnostic clarity
+            raise AssertionError(
+                f"{page} block {n} failed: {type(e).__name__}: {e}\n"
+                f"--- snippet ---\n{block}") from e
 
 
 def _dense_laplace(n):

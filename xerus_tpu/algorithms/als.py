@@ -162,15 +162,22 @@ class ALSVariant:
         asd = self.local_solver in ("asd", "cg")
         instrumented = bool(perf) and (perf.error_function
                                        or perf.checkpoint_path)
-        if spd and not asd and not instrumented:
+        if not instrumented:
             # device-resident loop: ALL half-sweeps + residuals + the
             # two-back stagnation test as ONE while_loop program
-            # (ops/tt_kernels.make_als_run) — the per-sweep host loop
-            # paid one dispatch + one scalar fetch per half-sweep
-            from ..ops.tt_kernels import make_als_run
+            # (ops/tt_kernels.make_als_run / make_als_run_rev) — the
+            # per-sweep host loop paid one dispatch + one scalar fetch
+            # (+ reversal dispatches for the lr-only kernels) per
+            # half-sweep
+            from ..ops.tt_kernels import make_als_run, make_als_run_rev
             CAP = 32  # static compile bucket; `remaining` trims it
             shapes_key = tuple(tuple(c.shape) for c in cores)
-            run = make_als_run(shapes_key, str(cores[0].dtype), CAP)
+            if spd and not asd:
+                run = make_als_run(shapes_key, str(cores[0].dtype), CAP)
+            else:
+                run = make_als_run_rev(
+                    shapes_key, str(cores[0].dtype), CAP,
+                    solver=self.local_solver if asd else "nonspd")
             dt = cores[0].dtype
             total = 0
             parity = 0

@@ -122,18 +122,27 @@ class PerformanceData:
                 f.write(f"{p.iteration}\t{p.elapsed_time}\t{p.residual}\t"
                         f"{p.error}\t{p.flags}\t{','.join(map(str, p.ranks))}\n")
 
-    def get_histogram(self, base: float, assume_linear_time: bool = False) -> LogHistogram:
-        """Convergence-rate histogram (performanceData.cpp:~100-143)."""
+    def get_histogram(self, base: float,
+                      assume_convergence: bool = False) -> LogHistogram:
+        """Convergence-rate histogram (performanceData.cpp:110-140): model
+        each step as ``x2 = x1 * 2^(-rate * dt_us)`` and bucket the decay
+        rate, weighted by the step's duration.  ``assume_convergence``
+        measures residuals relative to the final one (and drops the final
+        point), as the reference does for its benchmark histograms."""
         hist = LogHistogram(base)
-        for prev, cur in zip(self.data, self.data[1:]):
-            if prev.residual <= 0 or cur.residual <= 0:
+        points = [(p.elapsed_time, p.residual) for p in self.data]
+        if assume_convergence and points:
+            final = points[-1][1]
+            points = [(t, r - final) for t, r in points[:-1]]
+        for (t0, r0), (t1, r1) in zip(points, points[1:]):
+            if r0 <= 0 or r1 <= 0 or r1 >= r0:
                 continue
-            dt = cur.elapsed_time - prev.elapsed_time if not assume_linear_time else 1.0
-            if dt <= 0:
-                continue
-            rate = (cur.residual / prev.residual) ** (1.0 / dt)
-            if 0 < rate and math.isfinite(rate):
-                hist.add(rate)
+            exponent = math.log2(r1 / r0)
+            # microsecond resolution like the reference; 0us -> 1us
+            delta_t = max(int(round((t1 - t0) * 1e6)), 1)
+            rate = -exponent / delta_t
+            if math.isfinite(rate) and rate > 0:
+                hist.add(rate, delta_t)
         return hist
 
 

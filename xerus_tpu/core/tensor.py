@@ -60,6 +60,31 @@ class Tensor:
                  representation: Representation = Representation.Sparse,
                  init: Initialisation = Initialisation.Zero,
                  data=None):
+        if isinstance(dimensions, (int, np.integer)):
+            # degree ctor: a 1x...x1 zero tensor of the given degree
+            # (tensor.h:145-150; python binding `xerus.Tensor(3)`)
+            dimensions = [1] * int(dimensions)
+        elif hasattr(dimensions, "to_tensor"):
+            # cast ctor: contract a TensorNetwork/TTNetwork to a single
+            # dense tensor (python binding `xerus.Tensor(ttA)`;
+            # tensorNetwork.h conversion operator)
+            src = dimensions.to_tensor()
+            self.dimensions = list(src.dimensions)
+            self.factor = src.factor
+            self.representation = src.representation
+            self._dense = src._dense
+            self._sparse = (dict(src._sparse)
+                            if src._sparse is not None else None)
+            return
+        elif isinstance(dimensions, Tensor):
+            src = dimensions  # copy ctor (python binding `Tensor(A)`)
+            self.dimensions = list(src.dimensions)
+            self.factor = src.factor
+            self.representation = src.representation
+            self._dense = src._dense
+            self._sparse = (dict(src._sparse)
+                            if src._sparse is not None else None)
+            return
         self.dimensions: List[int] = [int(d) for d in dimensions]
         self.factor: float = 1.0
         self.representation = representation

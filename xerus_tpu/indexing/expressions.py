@@ -258,10 +258,14 @@ class SVD(Factorisation):
     kind = "svd"
 
     def __init__(self, source, max_rank: int = 0, eps: Optional[float] = None,
-                 soft_threshold: float = 0.0):
+                 soft_threshold: float = 0.0, maxRank: int = 0,
+                 softThreshold: float = 0.0):
+        # maxRank/softThreshold: reference python binding spellings
+        # (factorizations.cpp SVD args) accepted as aliases
         from ..config import config
-        super().__init__(source, max_rank,
-                         config.epsilon if eps is None else eps, soft_threshold)
+        super().__init__(source, max_rank or maxRank,
+                         config.epsilon if eps is None else eps,
+                         soft_threshold or softThreshold)
 
 
 class QR(Factorisation):

@@ -71,7 +71,14 @@ class TensorNetwork:
         self.dimensions: List[int] = []
         self.nodes: List[TensorNode] = []
         self.external_links: List[Link] = []
-        if tensor is not None:
+        if isinstance(tensor, TensorNetwork):
+            TensorNetwork._copy_into(tensor, self)  # copy ctor
+        elif tensor is not None and hasattr(tensor, "copy_as_network") \
+                and not isinstance(tensor, Tensor):
+            # TT/network cast (reference TTNetwork IS-A TensorNetwork):
+            # the node graph mirrors the TT chain
+            TensorNetwork._copy_into(tensor.copy_as_network(), self)
+        elif tensor is not None:
             self.dimensions = list(tensor.dimensions)
             links = [Link(i, i, d, True) for i, d in enumerate(self.dimensions)]
             self.external_links = [Link(0, i, d, False) for i, d in enumerate(self.dimensions)]

@@ -1956,6 +1956,70 @@ def make_als_run(shapes_key: Tuple, dtype_str: str, max_sweeps: int):
     return jit_f32(run, dtype_str)
 
 
+@lru_cache(maxsize=16)
+def make_als_run_rev(shapes_key: Tuple, dtype_str: str, max_sweeps: int,
+                     solver: str = "nonspd"):
+    """Device-resident whole-solve driver for the reversal-style ALS
+    paths — non-SPD normal equations (``solver="nonspd"``), ASD
+    (``"asd"``) and matrix-free CG (``"cg"``) — whose half-sweep kernels
+    only exist in lr form: odd half-sweeps run the lr kernel on the
+    site-REVERSED system, with both reversals traced inside the
+    lax.cond branch (the host loop paid reversal dispatches + one scalar
+    fetch per half-sweep through the ~150 ms tunnel; als.py:220-246).
+
+    Same carry/stop protocol as make_als_run: ``parity0`` continues the
+    alternation across re-dispatches, ``last0``/``last20`` the two-back
+    stagnation history, ``remaining`` trims the static bucket.  Cores
+    enter canonicalized at 0 and leave at d-1 (even executed parity) or
+    0 (odd), exactly like the host loop's reversal bookkeeping."""
+    if solver == "asd":
+        body_sweep = _asd_half_sweep
+    elif solver == "cg":
+        body_sweep = _als_half_sweep_cg
+    else:
+        body_sweep = _als_half_sweep_nonspd
+
+    def rev_tt(cs):
+        return tuple(jnp.transpose(c, (2, 1, 0)) for c in reversed(cs))
+
+    def rev_op(cs):
+        return tuple(jnp.transpose(c, (3, 1, 2, 0)) for c in reversed(cs))
+
+    def run(x_cores, A_cores, b_cores, conv_eps, parity0, remaining,
+            last0, last20):
+        dtype = x_cores[0].dtype
+        limit = jnp.minimum(jnp.asarray(max_sweeps, jnp.int32),
+                            remaining.astype(jnp.int32))
+        A_rev = rev_op(A_cores)
+        b_rev = rev_tt(b_cores)
+
+        def cond(carry):
+            _cs, _h, i, _l, _l2, stop = carry
+            return jnp.logical_and(i < limit, jnp.logical_not(stop))
+
+        def body(carry):
+            cores, hist, i, last, last2, _stop = carry
+            cores = jax.lax.cond(
+                (parity0 + i) % 2 == 0,
+                lambda cs: body_sweep(cs, A_cores, b_cores),
+                lambda cs: rev_tt(body_sweep(rev_tt(cs), A_rev, b_rev)),
+                cores)
+            res = tt_residual_rel(cores, A_cores, b_cores)
+            hist = hist.at[i].set(res)
+            stop = jnp.logical_or(jnp.abs(last - res) < conv_eps,
+                                  jnp.abs(last2 - res) < conv_eps)
+            return (cores, hist, i + 1, res, last, stop)
+
+        hist0 = jnp.full((max_sweeps,), jnp.inf, dtype)
+        carry = (tuple(x_cores), hist0, jnp.zeros((), jnp.int32),
+                 last0.astype(dtype), last20.astype(dtype),
+                 jnp.zeros((), jnp.bool_))
+        cores, hist, i, _l, _l2, _s = jax.lax.while_loop(cond, body, carry)
+        return cores, hist, i
+
+    return jit_f32(run, dtype_str)
+
+
 @lru_cache(maxsize=64)
 def make_als_sweep(shapes_key: Tuple, dtype_str: str, direction: str = "lr",
                    spd: bool = True, solver: str = "lapack"):

@@ -402,6 +402,10 @@ class TTNetwork:
         self.dimensions[idx] = tensor.dimensions[1]
         if self.is_operator:
             self.dimensions[num + idx] = tensor.dimensions[2]
+        # setting any component other than the core voids the
+        # canonicalization claim (ttNetwork.cpp:491) — orthogonality of
+        # the new tensor is never assumed
+        self.canonicalized = self.canonicalized and idx == self.corePosition
 
     def use_dense_representations(self) -> None:
         for c in self.components:
@@ -886,6 +890,54 @@ class TTNetwork:
             vec = c if vec is None else core_contract(vec, c, 1)
         return float(vec[[0, 0]])
 
+    def copy_as_network(self):
+        """Copy as a general TensorNetwork whose graph mirrors the TT
+        chain: one node per component (boundary rank-1 modes dropped),
+        bond links between neighbours, physical modes external.  The
+        reference gets this for free from TTNetwork IS-A TensorNetwork
+        (ttNetwork.h:44, tensorNetwork.h:130-140); here it is the
+        explicit cast used by ``TensorNetwork(tt)``."""
+        from ..network.network import TensorNetwork, TensorNode, Link
+
+        num = self.num_components()
+        if self.degree() == 0:
+            return TensorNetwork(self.components[0].copy())
+        tn = TensorNetwork.__new__(TensorNetwork)
+        tn.dimensions = list(self.dimensions)
+        tn.external_links = [None] * len(self.dimensions)
+        tn.nodes = []
+        for i, comp in enumerate(self.components):
+            dims = list(comp.dimensions)
+            # node-local mode order: [left bond] out [in] [right bond]
+            keep = ([0] if i > 0 else []) + [1]
+            if self.is_operator:
+                keep.append(2)
+            if i < num - 1:
+                keep.append(len(dims) - 1)
+            t = comp.copy()
+            t.reinterpret_dimensions([dims[k] for k in keep])
+            neighbors = [None] * len(keep)
+            pos = 0
+            if i > 0:
+                prev_last = len(tn.nodes[i - 1].neighbors) - 1
+                neighbors[pos] = Link(i - 1, prev_last, dims[0], False)
+                tn.nodes[i - 1].neighbors[prev_last] = Link(
+                    i, pos, dims[0], False)
+                pos += 1
+            neighbors[pos] = Link(i, i, dims[1], True)
+            tn.external_links[i] = Link(i, pos, dims[1], False)
+            pos += 1
+            if self.is_operator:
+                neighbors[pos] = Link(num + i, num + i, dims[2], True)
+                tn.external_links[num + i] = Link(i, pos, dims[2], False)
+                pos += 1
+            if i < num - 1:
+                # placeholder; overwritten when node i+1 wires its left bond
+                neighbors[pos] = Link(i + 1, 0, dims[-1], False)
+            tn.nodes.append(TensorNode(t, neighbors))
+        tn.require_valid_network()
+        return tn
+
     # ------------------------------------------------------------------
     # Structural ops
     # ------------------------------------------------------------------
@@ -1115,9 +1167,18 @@ def entrywise_product(a: TTNetwork, b: TTNetwork) -> TTNetwork:
     return type(a)._make(comps)
 
 
-def dyadic_product(a: TTNetwork, b: TTNetwork) -> TTNetwork:
+def dyadic_product(a, b: TTNetwork = None) -> TTNetwork:
     """Outer product: concatenated cores with a rank-1 junction
-    (ttNetwork.cpp:1319-1340)."""
+    (ttNetwork.cpp:1319-1340).  Also accepts a single list/tuple of TT
+    networks — the vector overload the reference python binding exposes
+    (python/ttnetwork.cpp:95,164)."""
+    if b is None:
+        require(isinstance(a, (list, tuple)) and len(a) > 0,
+                "dyadic_product needs two TT networks or a non-empty list")
+        out = a[0].copy()
+        for nxt in a[1:]:
+            out = dyadic_product(out, nxt)
+        return out
     require(type(a) is type(b), "dyadic product requires same TT type")
     if a.degree() == 0:
         out = b.copy()
