@@ -552,3 +552,22 @@ def test_dyadic_product_list_overload():
     I = TTOperator.identity([4, 4])
     Op = xe.dyadic_product([M1, I])
     assert Op.dimensions == [10, 4, 10, 4]
+
+
+def test_random_ttsvd():
+    """randomTTSVD (randomSVD.h:30-124 — shipped commented-out in the
+    reference; real here): quasi-optimal randomized TT approximation."""
+    rng = np.random.default_rng(3)
+    # exactly rank-2 tensor: recovery should be near-exact
+    low = TTTensor.random([4, 4, 4, 4], 2)
+    arr = low.to_tensor().to_ndarray()
+    tt = xe.randomTTSVD(xe.Tensor.from_ndarray(arr), [2, 2, 2], 4)
+    assert max(tt.ranks()) <= 2
+    err = np.linalg.norm(tt.to_tensor().to_ndarray() - arr) / np.linalg.norm(arr)
+    assert err < 1e-5, err
+    # per-bond rank vector respected on a full-rank tensor
+    full = rng.normal(size=(4, 4, 4, 4))
+    tt2 = xe.randomTTSVD(xe.Tensor.from_ndarray(full), [2, 4, 3])
+    assert [r for r in tt2.ranks()] == [2, 4, 3]
+    with pytest.raises(ValueError):
+        xe.randomTTSVD(xe.Tensor.from_ndarray(full), [2, 2])

@@ -47,7 +47,8 @@ from .algorithms import (PerformanceData, NoPerfData, ALSVariant, ALS,
                          decomposition_als, find_largest_entry,
                          UQMeasurementSet, uq_adf, uq_avg, uq_mc,
                          EigenALSVariant, DMRG_groundstate, ALS_groundstate,
-                         smallest_eigenvalue, als_spd_mixed, als_spd_fused)
+                         smallest_eigenvalue, als_spd_mixed, als_spd_fused,
+                         randomTTSVD)
 from . import examples
 
 from .core.tensor import Tensor as _T

@@ -16,6 +16,7 @@ from .uq_adf import (UQMeasurementSet, uq_adf, uq_avg, uq_mc,
                      randvar_to_position)
 from .eigensolver import (EigenALSVariant, DMRG_groundstate, ALS_groundstate,
                           smallest_eigenvalue)
+from .random_svd import randomTTSVD
 
 
 def als_spd_mixed(A, x, b, num_half_sweeps: int = 6):
