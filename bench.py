@@ -91,11 +91,16 @@ def _dispatch_rtt():
     return _RTT_CACHE[0]
 
 
-def _time_looped(kernel, cores, iters):
+def _time_looped(kernel, cores, iters, repeats: int = 3):
     """Per-iteration seconds via the chained-loop method: iters chained
     executions inside one program; dispatch RTT subtracted.  Runs under
     the f32 kernel discipline (x64 off, matmul precision 'highest' —
-    genuine f32 MXU arithmetic, ops/tt_kernels.jit_f32 policy)."""
+    genuine f32 MXU arithmetic, ops/tt_kernels.jit_f32 policy).
+
+    Pick `iters` so the program wall is >= ~0.5 s: for a fast kernel a
+    short chain leaves the measurement dominated by tunnel-RTT jitter
+    (a 16x2 ms chain is 32 ms of work behind a ~150+-5 ms dispatch —
+    +-15% run-to-run spread was observed on the headline kernel)."""
     import jax
     from xerus_tpu.ops.tt_kernels import make_timed_loop
     rtt = _dispatch_rtt()
@@ -108,7 +113,7 @@ def _time_looped(kernel, cores, iters):
     v = run()  # compile + first run
     assert np.isfinite(v), "kernel produced non-finite values"
     best = float("inf")
-    for _ in range(2):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)
@@ -166,7 +171,7 @@ def main() -> None:
         return tuple(_round_sweep_segmented(list(cs), [TARGET] * (D - 1),
                                             0.0, "subspace"))
 
-    sub_time = _time_looped(sub_kernel, dev_cores, ITERS)
+    sub_time = _time_looped(sub_kernel, dev_cores, 64)
     sub_tflops = flops / sub_time / 1e12
 
     # all-bonds-at-once GEMM-only deterministic rounding: gram_parallel's
@@ -178,7 +183,7 @@ def main() -> None:
     def subpar_kernel(inputs):
         return (_round_subspace_parallel(inputs[0], target_rank=TARGET),)
 
-    subpar_time = _time_looped(subpar_kernel, (stacked,), ITERS)
+    subpar_time = _time_looped(subpar_kernel, (stacked,), 128)
     subpar_tflops = flops / subpar_time / 1e12
 
     from xerus_tpu.ops.tt_kernels import _round_randomized_scan
@@ -190,7 +195,7 @@ def main() -> None:
                                      oversample=8, qr_method="cholqr1")
         return (out[0], out[1])
 
-    rnd_time = _time_looped(rnd_kernel, (stacked,), ITERS)
+    rnd_time = _time_looped(rnd_kernel, (stacked,), 256)
     rnd_tflops = randomized_round_flops(shapes, TARGET, 8) / rnd_time / 1e12
 
     # streaming two-sided-sketch (generalized Nyström) rounding: no
@@ -203,13 +208,16 @@ def main() -> None:
                                                   psi_oversample=64)
         return (first, mids, last)
 
-    stream_time = _time_looped(stream_kernel, (stacked,), ITERS)
+    stream_time = _time_looped(stream_kernel, (stacked,), 128)
 
-    # CPU float64 LAPACK baseline
+    # CPU float64 LAPACK baseline (best of 3 — the single-core host
+    # jitters by ~15% run to run, which used to leak into the headline)
     cpu_round_sweep(host_cores, TARGET)  # warm caches
-    t0 = time.perf_counter()
-    cpu_out = cpu_round_sweep(host_cores, TARGET)
-    cpu_time = time.perf_counter() - t0
+    cpu_time = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cpu_out = cpu_round_sweep(host_cores, TARGET)
+        cpu_time = min(cpu_time, time.perf_counter() - t0)
 
     # ---------------- workload 2: ALS half-sweep -----------------------
     xs = _make_cores(rng, D, N_PHYS, ALS_RANK, np.float64)
@@ -238,7 +246,7 @@ def main() -> None:
     def als_kernel(cs):
         return _als_half_sweep(tuple(cs), tuple(A_cores), b_cores)
 
-    als_time = _time_looped(als_kernel, x_cores, 8)
+    als_time = _time_looped(als_kernel, x_cores, 32)
 
     # correctness: compare TT log-norms f32-TPU vs f64-CPU (gauge-free)
     from xerus_tpu.ops.tt_kernels import tt_round_sweep_segmented
@@ -289,7 +297,7 @@ def main() -> None:
         out, e = dmrg_body(inputs[0], jnp.asarray(H_stack))
         return (out,)
 
-    dmrg_time = _time_looped(dmrg_kernel, (jnp.asarray(hx_stack),), 8)
+    dmrg_time = _time_looped(dmrg_kernel, (jnp.asarray(hx_stack),), 64)
 
     # ------------- workload 4: Ozaki split GEMM (f64-quality matmul) ----
     from xerus_tpu.ops.ozaki import ozaki_matmul
@@ -302,7 +310,7 @@ def main() -> None:
         ch, cl = ozaki_matmul(inputs[0], zo, Bo, zo)
         return (ch,)
 
-    oz_time = _time_looped(oz_kernel, (Ao,), 256)
+    oz_time = _time_looped(oz_kernel, (Ao,), 8192)
     oz_tflops = 2.0 * NO ** 3 / oz_time / 1e12
 
     # headline: TASK SPEEDUP — wall-clock of the reference's rounding task
