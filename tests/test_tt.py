@@ -238,9 +238,14 @@ def test_operator_compose_dsl():
 
 def test_tto_transpose():
     A = TTOperator.random([3, 4, 3, 4], 2)
-    At = A.transpose()
     ref = A.to_tensor().to_ndarray().reshape(12, 12).T
+    At = A.transposed()                    # functional form
     assert np.allclose(At.to_tensor().to_ndarray().reshape(12, 12), ref, atol=1e-12)
+    # reference semantics: transpose() mutates IN PLACE and returns None
+    # (ttNetwork.h:442-448, python/ttnetwork.cpp:160)
+    assert A.transpose() is None
+    assert np.allclose(A.to_tensor().to_ndarray().reshape(12, 12), ref, atol=1e-12)
+    A.require_correct_format()
 
 
 def test_tt_fix_mode():

@@ -68,7 +68,7 @@ class GeometricCGVariant:
         def update_gradient():
             if self.assumeSymmetricPositiveDefiniteOperator or A is None:
                 return TTTangentVector(x, residual_tt)
-            grad_tt = apply_operator(A.transpose(), residual_tt)
+            grad_tt = apply_operator(A.transposed(), residual_tt)
             return TTTangentVector(x, grad_tt)
 
         gradient = update_gradient()

@@ -119,7 +119,7 @@ class SteepestDescentVariant:
                 if self.assumeSymmetricPositiveDefiniteOperator:
                     y = residual_tt
                 else:
-                    y = apply_operator(A.transpose(), residual_tt)
+                    y = apply_operator(A.transposed(), residual_tt)
                 if self.preconditioner is not None:
                     y = apply_operator(self.preconditioner, y)
             else:

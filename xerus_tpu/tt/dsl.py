@@ -137,7 +137,7 @@ def _try_tt_eval(cls, lhs_labels, rhs) -> Optional[TTNetwork]:
             del remaining[idx]
             break
         if o_h == in_target:
-            current = f.obj.transpose()
+            current = f.obj.transposed()
             cur_top = i_h
             del remaining[idx]
             break

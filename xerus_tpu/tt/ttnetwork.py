@@ -991,14 +991,25 @@ class TTNetwork:
         if initial_canon:
             self.move_core(initial_core)
 
-    def transpose(self) -> "TTNetwork":
-        """Swap in/out modes of a TTOperator (ttNetwork.h:442-448)."""
+    def transpose(self) -> None:
+        """Swap in/out modes of a TTOperator IN PLACE — the reference's
+        ``void transpose()`` (ttNetwork.h:442-448, bound as a mutator in
+        python/ttnetwork.cpp:160).  Use :meth:`transposed` for the
+        functional form."""
         require(self.is_operator, "transpose requires TTOperator")
-        out = self.copy()
-        for i, c in enumerate(out.components):
-            out.components[i] = core_reshuffle(c, [0, 2, 1, 3])
+        for i, c in enumerate(self.components):
+            self.components[i] = core_reshuffle(c, [0, 2, 1, 3])
         num = self.num_components()
-        out.dimensions = self.dimensions[num:] + self.dimensions[:num]
+        self.dimensions = list(self.dimensions[num:]) + \
+            list(self.dimensions[:num])
+        # the reshuffle does not disturb bond orthogonality, so the
+        # canonicalization claim survives (as in the reference, which
+        # reshuffles components without touching corePosition)
+
+    def transposed(self) -> "TTNetwork":
+        """Functional transpose: returns a new transposed TTOperator."""
+        out = self.copy()
+        out.transpose()
         return out
 
     # ------------------------------------------------------------------
