@@ -219,13 +219,106 @@ def trial_structural(seed: int) -> list:
     return fails
 
 
+def trial_dsl_solvers(seed: int) -> list:
+    """Third tier: DSL edge paths (fixed ints, aliasing, spans, stack
+    apply), soft_threshold oracle, tiny end-to-end ALS vs dense solve."""
+    rng = np.random.default_rng(seed)
+    xe.set_seed(seed)
+    fails = []
+
+    def check(name, ok):
+        if not ok:
+            fails.append(name)
+
+    i, j, k, l = xe.indices(4)
+
+    # fixed integer indices: A(2, i) == dense slice
+    d1, d2 = int(rng.integers(3, 6)), int(rng.integers(2, 6))
+    A = rng.normal(size=(d1, d2))
+    fx = int(rng.integers(0, d1))
+    out = Tensor()
+    out(i) << Tensor.from_ndarray(A)(fx, i)
+    check("fixed_index", np.allclose(out.to_ndarray(), A[fx], atol=1e-12))
+
+    # aliasing assignment: x(i) << x(i) + alpha * M(i,j) * x(j)
+    x0 = rng.normal(size=(d2,))
+    M = rng.normal(size=(d2, d2))
+    alpha = float(rng.normal())
+    xt = Tensor.from_ndarray(x0)
+    xt(i) << xt(i) + alpha * Tensor.from_ndarray(M)(i, j) * xt(j)
+    check("aliasing", np.allclose(xt.to_ndarray(), x0 + alpha * (M @ x0),
+                                  atol=1e-10))
+
+    # span operators through an identity MPO (TTStack path)
+    d = int(rng.integers(2, 5))
+    tdims = [int(rng.integers(2, 4)) for _ in range(d)]
+    v = TTTensor.random(tdims, int(rng.integers(1, 4)))
+    Aop = TTOperator.identity(tdims + tdims)
+    u = TTTensor.random(tdims, 1)
+    u(i & 0) << Aop(i / 2, j / 2) * v(j & 0)
+    check("stack_apply", np.allclose(u.to_tensor().to_ndarray(),
+                                     v.to_tensor().to_ndarray(), atol=1e-9))
+
+    # soft_threshold on a d=2 TT == dense SVD shrinkage
+    m2, n2 = int(rng.integers(2, 6)), int(rng.integers(2, 6))
+    Mat = rng.normal(size=(m2, n2))
+    tau = float(abs(rng.normal())) * 0.3
+    t2 = TTTensor.from_tensor(Tensor.from_ndarray(Mat), eps=0.0)
+    t2.soft_threshold(tau)
+    U, s, Vt = np.linalg.svd(Mat, full_matrices=False)
+    shr = U @ np.diag(np.maximum(s - tau, 0.0)) @ Vt
+    check("soft_threshold", np.allclose(t2.to_tensor().to_ndarray(), shr,
+                                        atol=1e-9 * (np.abs(shr).max() + 1)))
+
+    # remove_slate vs dense delete (through the network cast — the
+    # reference reaches it via TTNetwork IS-A TensorNetwork)
+    t3 = TTTensor.random(tdims, 2)
+    d3 = t3.to_tensor().to_ndarray()
+    mode = int(rng.integers(0, d))
+    if tdims[mode] > 2:
+        slate = int(rng.integers(0, tdims[mode]))
+        tn3 = t3.copy_as_network()
+        tn3.remove_slate(mode, slate)
+        tn3.require_valid_network()
+        check("remove_slate",
+              np.allclose(tn3.to_tensor().to_ndarray(),
+                          np.delete(d3, slate, axis=mode),
+                          atol=1e-9 * (np.abs(d3).max() + 1)))
+
+    # tiny end-to-end ALS vs dense solve (SPD system)
+    sdims = [2] * int(rng.integers(2, 4))
+    N = int(np.prod(sdims))
+    ident = TTOperator.identity(sdims + sdims)
+    Arand = TTOperator.random(sdims + sdims, 2)
+    spd_op = ident * float(4 + rng.random() * 4)
+    spd_op += Arand
+    # symmetrize: B = A + A^T keeps TT form via +=
+    spd_op += Arand.transposed()
+    bvec = TTTensor.random(sdims, 2)
+    xsol = TTTensor.random(sdims, max(2, min(4, N // 2)))
+    dense_A = spd_op.to_tensor().to_ndarray().reshape(N, N)
+    # ensure definiteness for the oracle (shift if needed)
+    wmin = float(np.linalg.eigvalsh(dense_A).min())
+    if wmin < 1.0:
+        spd_op += ident * (1.5 - wmin)
+        dense_A = dense_A + (1.5 - wmin) * np.eye(N)
+    resid = xe.ALS_SPD(spd_op, xsol, bvec, 1e-12)
+    ref = np.linalg.solve(dense_A,
+                          bvec.to_tensor().to_ndarray().reshape(-1))
+    got = xsol.to_tensor().to_ndarray().reshape(-1)
+    # full-rank x: ALS solves exactly
+    check("als_vs_dense", np.allclose(got, ref,
+                                      atol=1e-6 * (np.abs(ref).max() + 1)))
+    return fails
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     base = int(sys.argv[2]) if len(sys.argv) > 2 else 0xF022
     bad = 0
     for t in range(n):
         seed = base + t
-        for fn in (trial, trial_structural):
+        for fn in (trial, trial_structural, trial_dsl_solvers):
             try:
                 fails = fn(seed)
             except Exception as e:  # noqa: BLE001 - report and continue
