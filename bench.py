@@ -186,16 +186,16 @@ def main() -> None:
     subpar_time = _time_looped(subpar_kernel, (stacked,), 128)
     subpar_tflops = flops / subpar_time / 1e12
 
-    from xerus_tpu.ops.tt_kernels import _round_randomized_scan
+    def rnd_kernel(cs):
+        # UNROLLED true-shape sweep with cholqr1 panels: boundary-ramp
+        # sites run at their tiny true ranks and the scan-loop machinery
+        # disappears — measured 1.72 ms vs 2.03 ms for the padded
+        # lax.scan form (both cholqr1) with bit-identical truncation
+        # error (tests/test_kernels.py); householder panels measured
+        # 2.81 ms
+        return _round_randomized(cs, None, TARGET, 8, qr_method="cholqr1")
 
-    def rnd_kernel(inputs):
-        # cholqr1 panels: measured 2.03 ms vs 2.81 ms householder on v5e
-        # with identical f32 truncation quality (tests/test_kernels.py)
-        out = _round_randomized_scan(inputs[0], target_rank=TARGET,
-                                     oversample=8, qr_method="cholqr1")
-        return (out[0], out[1])
-
-    rnd_time = _time_looped(rnd_kernel, (stacked,), 256)
+    rnd_time = _time_looped(rnd_kernel, dev_cores, 256)
     rnd_tflops = randomized_round_flops(shapes, TARGET, 8) / rnd_time / 1e12
 
     # streaming two-sided-sketch (generalized Nyström) rounding: no

@@ -572,3 +572,39 @@ def test_chol_orth_cols_contract():
     ueps = float(np.finfo(np.float64).eps)
     Q3 = chol_orth_cols(Xb, (10 * 40 * ueps, 10 * ueps, 10 * ueps))
     assert np.linalg.norm(np.asarray(Q3.T @ Q3) - np.eye(8)) < 1e-9
+
+
+def test_randomized_round_unrolled_cholqr1_matches_householder():
+    """The unrolled true-shape randomized sweep (_round_randomized) with
+    cholqr1 panels truncates identically to its householder form — the
+    bench headline kernel (boundary panels keep householder; tall
+    well-conditioned sketch panels take the one-pass shifted
+    Gram+chol+trsm route)."""
+    from xerus_tpu.ops.tt_kernels import _round_randomized
+
+    rng = np.random.default_rng(5)
+    d, n, r, target = 8, 2, 16, 8
+    cs = []
+    for i in range(d):
+        rl = 1 if i == 0 else min(r, 2 ** i, 2 ** (d - i))
+        rr = 1 if i == d - 1 else min(r, 2 ** (i + 1), 2 ** (d - i - 1))
+        cs.append(jnp.asarray(
+            rng.normal(size=(rl, n, rr)).astype(np.float32)) / np.sqrt(r))
+
+    def densify(cores):
+        acc = np.asarray(cores[0], np.float64)
+        for c in cores[1:]:
+            acc = np.tensordot(acc, np.asarray(c, np.float64),
+                               axes=([-1], [0]))
+        return acc.reshape(-1)
+
+    ref = densify(cs)
+    errs = {}
+    for method in ("householder", "cholqr1"):
+        out = _round_randomized(tuple(cs), None, target, 8,
+                                qr_method=method)
+        assert max(c.shape[2] for c in out[:-1]) <= target
+        errs[method] = np.linalg.norm(densify(out) - ref) / np.linalg.norm(ref)
+    # same sketch, same projections -> identical truncation error
+    assert abs(errs["cholqr1"] - errs["householder"]) < 1e-6, errs
+    assert errs["householder"] < 0.2, errs

@@ -1099,7 +1099,8 @@ def make_timed_loop(kernel, iters: int):
 # ---------------------------------------------------------------------------
 
 def _round_randomized(cores: Tuple[jnp.ndarray, ...], seeds: jnp.ndarray,
-                      target_rank: int, oversample: int):
+                      target_rank: int, oversample: int,
+                      qr_method: str = "householder"):
     """Randomized rounding to fixed target rank (Al Daas/Ballard-style
     'randomize-then-orthogonalize').
 
@@ -1138,7 +1139,20 @@ def _round_randomized(cores: Tuple[jnp.ndarray, ...], seeds: jnp.ndarray,
         G = out[i] if carry is None else jnp.einsum("ka,anb->knb", carry, out[i])
         rl, n, rr = G.shape
         Y = jnp.einsum("anb,bl->anl", G, W[i]).reshape(rl * n, -1)
-        q, _ = jnp.linalg.qr(Y)
+        if qr_method == "cholqr1" and rl * n >= Y.shape[1]:
+            # one shifted Gram+chol+trsm pass — sound for the tall
+            # well-conditioned sketch panels (see _round_randomized_scan's
+            # cholqr1 note); short/boundary panels keep Householder
+            from jax.scipy.linalg import solve_triangular
+            lc = Y.shape[1]
+            Gm = Y.T @ Y
+            shift = (jnp.asarray(10 * Y.shape[0] * jnp.finfo(dtype).eps,
+                                 dtype) * jnp.max(jnp.diagonal(Gm))
+                     + jnp.asarray(1e-30, dtype))
+            Lc = jnp.linalg.cholesky(Gm + shift * jnp.eye(lc, dtype=dtype))
+            q = solve_triangular(Lc, Y.T, lower=True).T
+        else:
+            q, _ = jnp.linalg.qr(Y)
         k = min(target_rank, q.shape[1])
         q = q[:, :k]
         out[i] = q.reshape(rl, n, k)
