@@ -312,13 +312,64 @@ def trial_dsl_solvers(seed: int) -> list:
     return fails
 
 
+def trial_eps_rounding(seed: int) -> list:
+    """Fourth tier: round(eps) rank decisions vs the dense-unfolding
+    singular spectra (ttNetwork.cpp:644-685 / round_edge eps rule:
+    discard sigma_i < eps * sigma_max per bond).  Uses well-separated
+    spectra (geometric rank-1 sums) so sequential-truncation
+    perturbation cannot flip a rank decision."""
+    rng = np.random.default_rng(seed)
+    xe.set_seed(seed)
+    fails = []
+
+    def check(name, ok):
+        if not ok:
+            fails.append(name)
+
+    d = int(rng.integers(3, 5))
+    tdims = [int(rng.integers(2, 4)) for _ in range(d)]
+    terms = int(rng.integers(2, 5))
+    acc = None
+    for t in range(terms):
+        vecs = [rng.normal(size=(dd,)) for dd in tdims]
+        vecs = [v / np.linalg.norm(v) for v in vecs]
+        term = vecs[0]
+        for v in vecs[1:]:
+            term = np.multiply.outer(term, v)
+        acc = (0.1 ** t) * term if acc is None else acc + (0.1 ** t) * term
+    tt = TTTensor.from_tensor(Tensor.from_ndarray(acc), eps=0.0)
+    # eps strictly between two geometric levels
+    lvl = int(rng.integers(1, terms))
+    eps = 0.1 ** lvl * 0.3
+    expected = []
+    N = int(np.prod(tdims))
+    flat = acc.reshape(-1)
+    decidable = []   # sequential rounding shifts sigmas by the removed
+    for bond in range(1, d):   # mass, so only margin-safe bonds are oracles
+        L = int(np.prod(tdims[:bond]))
+        s = np.linalg.svd(flat.reshape(L, N // L), compute_uv=False)
+        rel = s / s[0]
+        decidable.append(not np.any((rel > eps / 3) & (rel < 3 * eps)))
+        expected.append(int(np.sum(s >= eps * s[0])))
+    tt.round(eps)
+    got = list(tt.ranks())
+    check("round_eps_ranks",
+          all(g == e for g, e, ok in zip(got, expected, decidable) if ok))
+    # and the kept mass is intact
+    err = np.linalg.norm(tt.to_tensor().to_ndarray() - acc)
+    check("round_eps_error", err <= 2.0 * np.sqrt(d) * eps
+          * np.linalg.norm(acc))
+    return fails
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     base = int(sys.argv[2]) if len(sys.argv) > 2 else 0xF022
     bad = 0
     for t in range(n):
         seed = base + t
-        for fn in (trial, trial_structural, trial_dsl_solvers):
+        for fn in (trial, trial_structural, trial_dsl_solvers,
+                   trial_eps_rounding):
             try:
                 fails = fn(seed)
             except Exception as e:  # noqa: BLE001 - report and continue
