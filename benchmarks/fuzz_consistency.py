@@ -362,6 +362,60 @@ def trial_eps_rounding(seed: int) -> list:
     return fails
 
 
+def trial_eigen_ops(seed: int) -> list:
+    """Fifth tier: ground-state eigensolver vs dense eigh, TTOperator
+    rounding vs dense, tangent-space properties."""
+    rng = np.random.default_rng(seed)
+    xe.set_seed(seed)
+    fails = []
+
+    def check(name, ok):
+        if not ok:
+            fails.append(name)
+
+    # ground state of a random symmetric MPO vs dense eigh
+    d = 3
+    odims = [2] * d
+    N = 2 ** d
+    Ar = TTOperator.random(odims + odims, 2)
+    H = Ar + Ar.transposed()          # symmetric by construction
+    dense_H = H.to_tensor().to_ndarray().reshape(N, N)
+    w = np.linalg.eigvalsh(dense_H)
+    g = TTTensor.random(odims, N // 2)    # full-rank ansatz
+    e0 = xe.smallest_eigenvalue(H, g, sites=2, max_rank=N // 2,
+                                eps=1e-12, solver="exact")
+    check("groundstate", abs(e0 - w[0]) < 1e-6 * max(1.0, abs(w[0])))
+    # the iterate is the eigenvector: H g ~= e0 g
+    gv = g.to_tensor().to_ndarray().reshape(-1)
+    gv = gv / np.linalg.norm(gv)
+    check("groundvec", np.linalg.norm(dense_H @ gv - e0 * gv)
+          < 1e-5 * max(1.0, abs(w[0])))
+
+    # TTOperator round vs dense truncation error bound
+    op2 = TTOperator.random(odims + odims, 3)
+    dop = op2.to_tensor().to_ndarray()
+    opr = op2.copy()
+    opr.round(2)
+    derr = np.linalg.norm(opr.to_tensor().to_ndarray() - dop)
+    check("op_round_sane", derr <= 1.5 * np.linalg.norm(dop))
+    check("op_round_ranks", max(opr.ranks()) <= 2)
+
+    # tangent space: projection of a tangent vector is itself
+    base = TTTensor.random([3] * 4, 2)
+    dirn = TTTensor.random([3] * 4, 2)
+    tang = xe.TTTangentVector(base, dirn)
+    emb = tang.added_to_base() - base
+    tang2 = xe.TTTangentVector(base, emb)
+    diff = tang2.added_to_base() - tang.added_to_base()
+    check("tangent_idempotent",
+          diff.frob_norm() < 1e-7 * max(1.0, base.frob_norm()))
+    # linearity: scalar product consistency
+    s = tang.scalar_product(tang)
+    check("tangent_norm", abs(s - tang.frob_norm() ** 2)
+          < 1e-7 * max(1.0, abs(s)))
+    return fails
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     base = int(sys.argv[2]) if len(sys.argv) > 2 else 0xF022
@@ -369,7 +423,7 @@ def main():
     for t in range(n):
         seed = base + t
         for fn in (trial, trial_structural, trial_dsl_solvers,
-                   trial_eps_rounding):
+                   trial_eps_rounding, trial_eigen_ops):
             try:
                 fails = fn(seed)
             except Exception as e:  # noqa: BLE001 - report and continue
