@@ -247,6 +247,12 @@ def main() -> None:
         return _als_half_sweep(tuple(cs), tuple(A_cores), b_cores)
 
     als_time = _time_looped(als_kernel, x_cores, 32)
+    # NOTE a batched-8 variant of this config was measured at 24.8 ms
+    # per instance — WORSE than the 21.7 ms single-instance sweep: the
+    # rank-30 local solves already saturate the MXU, so batching only
+    # pays on latency-bound small-rank configs (the d=10 workloads,
+    # WORKLOADS.md).  Not reported here to avoid implying a throughput
+    # win at this size.
 
     # correctness: compare TT log-norms f32-TPU vs f64-CPU (gauge-free)
     from xerus_tpu.ops.tt_kernels import tt_round_sweep_segmented
