@@ -576,3 +576,25 @@ def test_random_ttsvd():
     assert [r for r in tt2.ranks()] == [2, 4, 3]
     with pytest.raises(ValueError):
         xe.randomTTSVD(xe.Tensor.from_ndarray(full), [2, 2])
+
+
+def test_round_fast_randomized_unrolled():
+    """round_fast(method='randomized_unrolled'): the unrolled true-shape
+    cholqr1 sweep behind the object API (quality on par with the padded
+    scan; compiles per shape tuple)."""
+    xe.set_seed(1)
+    tt = TTTensor.random([2] * 8, 16)
+    ref = tt.to_tensor().to_ndarray()
+    t2 = tt.copy()
+    t2.round_fast(8, method="randomized_unrolled")
+    t2.require_correct_format()
+    assert max(t2.ranks()) <= 8
+    e2 = np.linalg.norm(t2.to_tensor().to_ndarray() - ref) / np.linalg.norm(ref)
+    t3 = tt.copy()
+    t3.round_fast(8, method="randomized")
+    e3 = np.linalg.norm(t3.to_tensor().to_ndarray() - ref) / np.linalg.norm(ref)
+    assert abs(e2 - e3) < 0.5 * max(e2, e3) + 1e-6, (e2, e3)
+    # eps composite falls back to the exact svd pass
+    t4 = tt.copy()
+    t4.round_fast(8, method="randomized_unrolled", eps=1e-2)
+    assert max(t4.ranks()) <= 8

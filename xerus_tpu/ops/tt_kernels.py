@@ -2095,3 +2095,16 @@ def als_sweep_flops(x_shapes, A_shapes) -> float:
         loc = rl * n * rr
         total += 2.0 * loc * loc * max(al, ar) + (2.0 / 3.0) * loc ** 3
     return total
+
+
+@lru_cache(maxsize=32)
+def make_randomized_round_unrolled(shapes_key: Tuple, target_rank: int,
+                                   oversample: int, dtype_str: str):
+    """Jitted unrolled true-shape randomized rounding sweep with cholqr1
+    panels (the bench headline kernel; see _round_randomized).  One
+    compile per exact shape tuple — use the padded scan factory
+    (make_randomized_round_scan) when shapes vary."""
+    def fn(cores):
+        return _round_randomized(cores, None, target_rank, oversample,
+                                 qr_method="cholqr1")
+    return jit_f32(fn, dtype_str)

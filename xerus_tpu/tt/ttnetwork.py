@@ -675,6 +675,22 @@ class TTNetwork:
                 out = tt_round_eps_fast(cores, int(max_rank), float(eps))
             else:
                 out = tt_round_randomized_uniform(cores, int(max_rank))
+        elif method == "randomized_unrolled":
+            # fastest randomized form for REPEATED same-shape use: the
+            # whole sweep unrolled at true per-site shapes with cholqr1
+            # panels (the bench headline kernel, 1.71 ms vs 2.03 ms for
+            # the padded scan at d=32 r=256->128 on v5e).  CAVEAT: one
+            # compile per exact shape TUPLE — through a slow-compile
+            # tunnel prefer "randomized" (pads, amortizes compiles) for
+            # one-off shapes.  eps falls back to the exact svd pass.
+            from ..ops.tt_kernels import make_randomized_round_unrolled
+            fn = make_randomized_round_unrolled(
+                tuple(tuple(c.shape) for c in cores), int(max_rank), 8,
+                str(jnp.asarray(cores[0]).dtype))
+            out = fn(tuple(jnp.asarray(c) for c in cores))
+            if eps > 0.0:
+                out = tt_round_sweep_segmented(list(out), int(max_rank),
+                                               eps=float(eps), method="svd")
         elif method == "streaming":
             out = tt_round_streaming_uniform(cores, int(max_rank))
             if eps > 0.0:
