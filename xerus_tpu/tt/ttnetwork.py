@@ -614,7 +614,10 @@ class TTNetwork:
         eps) signature, ttNetwork.cpp:644-658).
 
         method: 'randomized' (randomize-then-orthogonalize, quasi-optimal,
-        fastest on v5e), 'streaming' (two-sided Nyström, no sequential
+        fastest on v5e), 'randomized_unrolled' (same math unrolled at true
+        per-site shapes with cholqr1 panels — fastest for repeated
+        same-shape use; compiles per shape tuple), 'streaming' (two-sided
+        Nyström, no sequential
         factorization), 'svd' / 'gram' (deterministic, segmented true-shape
         sweep), 'cholqr' / 'gram_parallel' (deterministic, padded uniform
         scan), 'subspace_parallel' (deterministic GEMM-only all-bonds-
