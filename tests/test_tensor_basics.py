@@ -240,3 +240,22 @@ def test_reshuffle_sparse_preserves_rep():
     out = xe.reshuffle(t, [1, 0])
     assert out.is_sparse()
     assert np.allclose(out.to_ndarray(), t.to_ndarray().T)
+
+
+def test_tensor_binding_ctor_overloads():
+    """Reference python binding ctors (tensor.cpp bindings): Tensor(int
+    degree) -> 1x...x1 zero tensor; Tensor(TTTensor) contracts a network;
+    Tensor(Tensor) deep-copies."""
+    t3 = Tensor(3)
+    assert t3.dimensions == [1, 1, 1] and float(t3[[0, 0, 0]]) == 0.0
+
+    tt = xe.TTTensor.random([3, 4, 3], 2)
+    dense = Tensor(tt)
+    assert np.allclose(dense.to_ndarray(), tt.to_tensor().to_ndarray(),
+                       atol=1e-12)
+
+    src = Tensor.random([2, 5])
+    cp = Tensor(src)
+    cp[[0, 0]] = 123.0
+    assert src[[0, 0]] != 123.0   # deep copy, not aliased
+    assert cp.dimensions == [2, 5]

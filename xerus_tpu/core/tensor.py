@@ -77,13 +77,15 @@ class Tensor:
                             if src._sparse is not None else None)
             return
         elif isinstance(dimensions, Tensor):
-            src = dimensions  # copy ctor (python binding `Tensor(A)`)
-            self.dimensions = list(src.dimensions)
+            src = dimensions.copy()  # copy ctor (python binding `Tensor(A)`)
+            self.dimensions = src.dimensions
             self.factor = src.factor
             self.representation = src.representation
+            # .copy() duplicated any mutable (numpy) dense buffer — the
+            # plain-field version aliased it and a later __setitem__ on
+            # the copy wrote through to the source
             self._dense = src._dense
-            self._sparse = (dict(src._sparse)
-                            if src._sparse is not None else None)
+            self._sparse = src._sparse
             return
         self.dimensions: List[int] = [int(d) for d in dimensions]
         self.factor: float = 1.0
