@@ -174,3 +174,20 @@ def test_factorisation_dsl_errors():
         (Q(i, r),) << xe.QR(A(i, j))            # wrong target count
     with pytest.raises(Exception):
         (Q(i, r), R(r, j)) << xe.SVD(A(i, j))   # SVD needs 3 targets
+
+
+def test_svd_reference_binding_kwarg_aliases():
+    """SVD(maxRank=, softThreshold=) — the reference python binding's
+    spellings (factorizations.cpp) accepted as aliases."""
+    A = xe.Tensor.random([6, 6])
+    i, j, r1, r2 = xe.indices(4)
+    U, S, Vt = xe.Tensor(), xe.Tensor(), xe.Tensor()
+    (U(i, r1), S(r1, r2), Vt(r2, j)) << xe.SVD(A(i, j), maxRank=2)
+    assert S.dimensions == [2, 2]
+    U2, S2, Vt2 = xe.Tensor(), xe.Tensor(), xe.Tensor()
+    (U2(i, r1), S2(r1, r2), Vt2(r2, j)) << xe.SVD(A(i, j), softThreshold=0.1)
+    import numpy as np
+    s_ref = np.linalg.svd(A.to_ndarray(), compute_uv=False)
+    s_got = np.diag(S2.to_ndarray())
+    assert np.allclose(s_got, np.maximum(s_ref[:len(s_got)] - 0.1, 0.0)[
+        :len(s_got)], atol=1e-10)
