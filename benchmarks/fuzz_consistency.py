@@ -416,6 +416,75 @@ def trial_eigen_ops(seed: int) -> list:
     return fails
 
 
+def trial_stacks_decomp(seed: int) -> list:
+    """Sixth tier: chained MPO stacks through the DSL, decomposition_als
+    vs TT-SVD, approximation-mode solvers (A=None), network round_edge."""
+    rng = np.random.default_rng(seed)
+    xe.set_seed(seed)
+    fails = []
+
+    def check(name, ok):
+        if not ok:
+            fails.append(name)
+
+    i, j, k, l = xe.indices(4)
+
+    # chained operator application (TTStack): y = A (B x) via one DSL line
+    d = int(rng.integers(2, 4))
+    odims = [2] * d
+    N = 2 ** d
+    A = TTOperator.random(odims + odims, 2)
+    B = TTOperator.random(odims + odims, 2)
+    x = TTTensor.random(odims, 2)
+    y = TTTensor.random(odims, 1)
+    y(i & 0) << A(i / 2, j / 2) * B(j / 2, k / 2) * x(k & 0)
+    dA = A.to_tensor().to_ndarray().reshape(N, N)
+    dB = B.to_tensor().to_ndarray().reshape(N, N)
+    dx = x.to_tensor().to_ndarray().reshape(-1)
+    check("mpo_stack", np.allclose(y.to_tensor().to_ndarray().reshape(-1),
+                                   dA @ (dB @ dx),
+                                   atol=1e-8 * (np.abs(dA).max()
+                                                * np.abs(dB).max()
+                                                * np.abs(dx).max() * N + 1)))
+
+    # decomposition_als approximates a dense low-rank tensor
+    tdims = [int(rng.integers(2, 4)) for _ in range(3)]
+    low = TTTensor.random(tdims, 2)
+    target = low.to_tensor()
+    xd = TTTensor.random(tdims, 2)
+    xe.decomposition_als(xd, target)
+    derr = np.linalg.norm(xd.to_tensor().to_ndarray()
+                          - target.to_ndarray())
+    check("decomposition_als", derr < 1e-6 * np.linalg.norm(
+        target.to_ndarray()))
+
+    # approximation mode (A=None): ALS finds the best fixed-rank approx
+    b = TTTensor.random(tdims, 3)
+    xa = TTTensor.random(tdims, 3)
+    r = xe.ALS(xa, b, 1e-12)
+    check("als_approx", np.allclose(xa.to_tensor().to_ndarray(),
+                                    b.to_tensor().to_ndarray(),
+                                    atol=1e-7 * (b.frob_norm() + 1)))
+
+    # round_edge on a cast network truncates one bond like a local SVD;
+    # the local truncation equals the global one only when the
+    # environment around the edge is orthogonal, so put the core at
+    # node 1 first
+    tt = TTTensor.random([3, 3, 3], 3)
+    tt.move_core(1)
+    tn = tt.copy_as_network()
+    tn.round_edge(1, 2, 1, 0.0, 0.0)
+    tn.require_valid_network()
+    dense = tt.to_tensor().to_ndarray()
+    got = tn.to_tensor().to_ndarray()
+    # rank-1 truncation of bond (1,2): error equals the discarded sigmas
+    s = np.linalg.svd(dense.reshape(9, 3), compute_uv=False)
+    expect_err = np.sqrt(np.sum(s[1:] ** 2))
+    err = np.linalg.norm(got - dense)
+    check("round_edge", abs(err - expect_err) < 1e-6 * (s[0] + 1))
+    return fails
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     base = int(sys.argv[2]) if len(sys.argv) > 2 else 0xF022
@@ -423,7 +492,8 @@ def main():
     for t in range(n):
         seed = base + t
         for fn in (trial, trial_structural, trial_dsl_solvers,
-                   trial_eps_rounding, trial_eigen_ops):
+                   trial_eps_rounding, trial_eigen_ops,
+                   trial_stacks_decomp):
             try:
                 fails = fn(seed)
             except Exception as e:  # noqa: BLE001 - report and continue
