@@ -598,3 +598,58 @@ def test_round_fast_randomized_unrolled():
     t4 = tt.copy()
     t4.round_fast(8, method="randomized_unrolled", eps=1e-2)
     assert max(t4.ranks()) <= 8
+
+
+def test_tt_special_sum_diff_zero_tensor():
+    """Zero-tensor TT arithmetic through the DSL
+    (ttArithmetic.cxx special_sum_diff)."""
+    i = xe.Index()
+    A = Tensor([6, 6, 6, 6])          # the 0 tensor
+    B = Tensor.random([6, 6, 6, 6])
+    ttA, ttB = TTTensor(A), TTTensor(B)
+    ttC = TTTensor(4)
+    ttC(i & 0) << ttA(i & 0) + ttB(i & 0)
+    assert np.allclose(ttC.to_tensor().to_ndarray(), B.to_ndarray(), atol=1e-12)
+    ttC(i & 0) << ttA(i & 0) - ttB(i & 0)
+    assert np.allclose(ttC.to_tensor().to_ndarray(), -B.to_ndarray(), atol=1e-12)
+    ttC(i & 0) << ttB(i & 0) - ttA(i & 0)
+    assert np.allclose(ttC.to_tensor().to_ndarray(), B.to_ndarray(), atol=1e-12)
+    # degree-1
+    X, Y = Tensor([10]), Tensor.random([10])
+    ttZ = TTTensor(X) + TTTensor(Y)
+    assert np.allclose(ttZ.to_tensor().to_ndarray(), Y.to_ndarray(), atol=1e-13)
+
+
+def test_tt_real_difference_commutation():
+    """Expression-level cancellation and commutation
+    (ttArithmetic.cxx real_difference)."""
+    xe.set_seed(3)
+    i = xe.Index()
+    ttA = TTTensor.random([6] * 5, [4, 4, 4, 4])
+    ttB = TTTensor.random([6] * 5, [4, 4, 4, 4])
+    ttC = TTTensor(5)
+    ttC(i & 0) << ttA(i & 0) - ttA(i & 0)
+    assert ttC.frob_norm() < 1e-10
+    ttC(i & 0) << (ttA(i & 0) + ttB(i & 0))
+    assert ttC.ranks() == [6, 8, 8, 6]   # 4+4 clamped at the dim-6 bonds
+    ttC(i & 0) << (73 * ttA(i & 0) + ttB(i & 0)) \
+        - (ttB(i & 0) + 73 * ttA(i & 0))
+    assert ttC.frob_norm() < 1e-8
+    ttA2 = TTTensor.random([6] * 5, [2, 5, 7, 2])
+    ttC(i & 0) << (ttA2(i & 0) + ttB(i & 0)) - (ttB(i & 0) + ttA2(i & 0))
+    assert ttC.frob_norm() < 1e-10
+
+
+def test_tt_disjoint_product_all_degrees():
+    """dyadic_product through degrees 0..4 incl. degree-0 factors
+    (ttArithmetic.cxx disjoint_product)."""
+    rng = np.random.default_rng(0)
+    dimsA, dimsB = [], []
+    for d in range(5):
+        A, B = Tensor.random(dimsA), Tensor.random(dimsB)
+        ttC = xe.dyadic_product(TTTensor(A), TTTensor(B))
+        ref = np.multiply.outer(A.to_ndarray(), B.to_ndarray())
+        got = np.asarray(ttC.to_tensor().to_ndarray()).reshape(ref.shape)
+        assert np.allclose(got, ref, atol=1e-12), d
+        dimsA.append(int(rng.integers(1, 6)))
+        dimsB.append(int(rng.integers(1, 6)))
