@@ -255,3 +255,38 @@ def test_matmul_tensor_identity_and_tt_ranks():
                            A.to_ndarray() @ B.to_ndarray(), atol=1e-12)
         tt = TTTensor(T, eps=1e-12)
         assert max(tt.ranks()) <= n * n
+
+
+def test_triple_index_misuse_raises():
+    """An index appearing three or more times across a product is invalid
+    (tensorNetwork.cxx triple_indices FAILTESTs)."""
+    i1, i2, i3, i4 = xe.indices(4)
+    A = Tensor.random([3, 3, 3])
+    B = Tensor.random([3, 3])
+    C = Tensor.random([3, 3])
+    D = Tensor.random([3, 3])
+    F = Tensor.random([3, 3])
+    for expr in (
+        lambda: float(A(i1, i1, i2) * B(i2, i2)),
+        lambda: float(A(i1, i2, i2) * B(i2, i1)),
+        lambda: float(A(i2, i2, i2) * B(i1, i1)),
+        lambda: float(B(i1, i2) * C(i2, i3) * D(i3, i2)),
+        lambda: float(B(i1, i2) * C(i2, i3) * D(i1, i2)),
+        lambda: float(B(i1, i2) * C(i2, i3) * D(i3, i4) * F(i4, i2)),
+    ):
+        with pytest.raises(ValueError):
+            expr()
+
+
+def test_multi_node_trace_through_network():
+    """tmp(i1,i2,i3,i4) = A(i1,i3)*B(i2,i4) then the double trace
+    tmp(i1,i1,i2,i2) (tensorNetwork.cxx contraction_multi_node_trace)."""
+    A = Tensor.random([1, 10])
+    B = Tensor.random([1, 10])
+    i1, i2, i3, i4 = xe.indices(4)
+    tmp = xe.TensorNetwork()
+    tmp(i1, i2, i3, i4) << A(i1, i3) * B(i2, i4)
+    val = float(tmp(i1, i1, i2, i2))
+    # i1 traces the (1,1) mode pair; i2 traces the (10,10) pair -> dot
+    ref = float(np.dot(A.to_ndarray()[0], B.to_ndarray()[0]))
+    assert np.isclose(val, ref, atol=1e-12)
