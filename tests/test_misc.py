@@ -202,3 +202,78 @@ def test_performance_data_get_histogram_convergence_rates():
     # non-decreasing steps are skipped
     perf.data.append(DataPoint(4, 8e-6, 0.5, None, [1], 0))
     assert perf.get_histogram(2.0).total_count() == 6
+
+
+def test_romberg_integration():
+    """misc.integrate matches the reference oracles (misc.cxx
+    romberg_integration)."""
+    import math
+    from xerus_tpu.misc import integrate
+    npi = 2 * integrate(lambda x: math.sqrt(1 - x * x), -1, 1, 1e-16)
+    assert abs(npi - math.pi) < 1e-13
+    npi = 2 * integrate(lambda x: -math.sqrt(1 - x * x), -1, 1, 1e-16)
+    assert abs(npi + math.pi) < 1e-13
+    assert abs(integrate(lambda x: 1 - x, -1, 1, 1e-14) - 2.0) < 2e-14
+    assert abs(integrate(lambda x: x ** 3 + 1e-14, -1, 1, 1e-14)
+               - 2e-14) < 1e-14
+    assert abs(integrate(math.cos, 0, 1, 1e-14) - math.sin(1)) < 2e-14
+    # discontinuous integrand: adaptive splitting localizes the jump
+    step = lambda x: 1.0 if 0 < x <= 1 else 0.0
+    assert abs(integrate(step, -2, 2, 1e-14, 3) - 1.0) < 2e-10
+    # reversed bounds flip the sign
+    assert abs(integrate(math.cos, 1, 0, 1e-14) + math.sin(1)) < 2e-14
+
+
+def test_orthogonal_polynomial_base():
+    """Polynomial.build_orthogonal_base: orthonormal w.r.t. a weighted
+    product (misc.cxx polynomial; used by the reference's UQ bases)."""
+    import math
+    from xerus_tpu.misc import Polynomial
+    weight = lambda x: abs(math.sin(x))
+    base = Polynomial.build_orthogonal_base(6, weight, -1, 1)
+    for i, p in enumerate(base):
+        assert p.terms() == i + 1
+        assert abs(p.norm(weight, -1, 1) - 1.0) < 1e-10
+        for j, q in enumerate(base):
+            if i != j:
+                assert abs(p.scalar_product(q, weight, -1, 1)) < 1e-9
+    # legendre check: base over weight 1 matches normalized legendre P2
+    b2 = Polynomial.build_orthogonal_base(3, lambda x: 1.0, -1, 1)[2]
+    # P2 = (3x^2-1)/2, norm sqrt(2/5) -> normalized coeffs
+    scale = b2.coefficients[2] / (1.5 / math.sqrt(2.0 / 5.0))
+    assert abs(abs(scale) - 1.0) < 1e-8
+
+
+def test_sequence_limit_extractors():
+    from xerus_tpu.misc import ShanksTransformation, RichardsonExtrapolation
+    # geometric approach x_n = 1 + 0.5^n: shanks nails it from 3 terms
+    sh = ShanksTransformation()
+    for n in range(6):
+        sh.push_back(1.0 + 0.5 ** n)
+    assert abs(sh.best_estimate() - 1.0) < 1e-10
+    assert sh.error_approximate() < 1e-6
+    # richardson: the static formula eliminates an exact alpha/(n+1) term
+    # ((n+1)*x2 - n*x1 with x_k = L + a/(k+1) gives L exactly); the
+    # cascaded push_back mirrors the reference loop verbatim
+    # (simpleNumerics.cpp:305-317 — which the reference never unit-tests)
+    # x_k = L + a/k: (n+1)*x_{n+1} - n*x_n = L exactly
+    assert abs(RichardsonExtrapolation.richard(3, 2.0 + 1.0 / 3,
+                                               2.0 + 1.0 / 4) - 2.0) < 1e-12
+    ri = RichardsonExtrapolation()
+    ri.push_back(3.0)
+    ri.push_back(2.5)
+    assert abs(ri.best_estimate() - 2.5) < 1e-12  # richard(0,.) == x2
+    ri.reset()
+    import pytest
+    with pytest.raises(ValueError):
+        ri.best_estimate()
+
+
+def test_find_root_bisection():
+    import math
+    from xerus_tpu.misc import find_root_bisection
+    r = find_root_bisection(lambda x: x * x - 2.0, 0, 2)
+    assert abs(r - math.sqrt(2)) < 1e-12
+    import pytest
+    with pytest.raises(ValueError):
+        find_root_bisection(lambda x: x * x + 1.0, -1, 1)

@@ -18,3 +18,6 @@ def xethrow():
     """Raise a generic library error (python/misc.cpp:121 `xethrow` test
     helper; the Python traceback plays the role of get_call_stack)."""
     raise ValueError("xerus_tpu generic error (xethrow)")
+from .numerics import (integrate, integrate_segmented,  # noqa: F401
+                       find_root_bisection, Polynomial,
+                       ShanksTransformation, RichardsonExtrapolation)
