@@ -121,3 +121,19 @@ def test_tt_sum_preserves_sparse_components():
     assert all(c.is_sparse() for c in s.components)
     want = a.to_tensor().to_ndarray() + b.to_tensor().to_ndarray()
     assert np.allclose(s.to_tensor().to_ndarray(), want, atol=1e-12)
+
+
+def test_sparse_zero_contractions():
+    """Contractions with an all-zero sparse tensor give exact zeros in
+    every dense/sparse pairing (sparseTensor.cxx Contraction_with_0)."""
+    i, j, k = xe.indices(3)
+    A = Tensor.random([10, 10])
+    B = Tensor([10, 10], xe.Representation.Sparse)
+    B[[1, 1]] = 15
+    Z = Tensor([10, 10], xe.Representation.Sparse)
+    tmp = Tensor()
+    for expr in (lambda: A(i, k) * Z(k, j), lambda: B(i, k) * Z(k, j),
+                 lambda: Z(i, k) * Z(k, j), lambda: Z(i, k) * A(k, j),
+                 lambda: Z(i, k) * B(k, j)):
+        tmp(i, j) << expr()
+        assert tmp.frob_norm() == 0.0
