@@ -222,3 +222,33 @@ def test_device_loop_matches_host_loop_reversal_paths():
         for ch, cd in zip(x_host.components, x_dev.components):
             assert np.allclose(ch.to_ndarray(), cd.to_ndarray(),
                                atol=1e-9), variant.local_solver
+
+
+def test_spd_variant_nonsymmetric_operator_lu_dispatch():
+    """ALS_SPD on a NON-symmetric operator must still solve the system:
+    the reference's local solver runtime-detects symmetry and falls back
+    to PLU (blasLapackWrapper.cpp:542-585); our fast path decides once
+    per operator via TTOperator.is_symmetric.  With Cholesky local
+    solves this test produces O(1) residuals."""
+    from xerus_tpu.examples import laplace_operator
+
+    dims = [3] * 3
+    lap = laplace_operator(dims)
+    assert lap.is_symmetric()
+
+    A = TTOperator.random(dims + dims, 2)
+    A += 8.0 * TTOperator.identity(dims + dims)  # well-conditioned
+    assert not A.is_symmetric()
+
+    b = TTTensor.random(dims, 2)
+    x = TTTensor.random(dims, 4)
+    res = xe.ALS_SPD(A, x, b, 12)
+    assert res < 1e-8, res
+
+    # oracle: dense solve
+    n = int(np.prod(dims))
+    Ad = A.to_tensor().to_ndarray().reshape(n, n)
+    bd = b.to_tensor().to_ndarray().reshape(n)
+    ref = np.linalg.solve(Ad, bd)
+    xd = x.to_tensor().to_ndarray().reshape(n)
+    assert np.linalg.norm(xd - ref) / np.linalg.norm(ref) < 1e-7

@@ -47,6 +47,12 @@ def als_spd_fused(A, x, b, max_f32_sweeps: int = 16, df_sweeps: int = 2):
 
     x = x.copy()
     with host():   # object-level f64 prep stays off the accelerator
+        from ..config import require
+        # Cholesky-based local solves throughout: symmetric operators only
+        # (general operators: xe.ALS_SPD auto-selects LU local solves)
+        require(A.is_symmetric(),
+                "als_spd_fused requires a symmetric operator; "
+                "use xe.ALS_SPD for general operators")
         x.move_core(0)
         x_np = [np.asarray(c.to_ndarray(), np.float64) for c in x.components]
         A_np = [np.asarray(c.to_ndarray(), np.float64) for c in A.components]

@@ -129,6 +129,14 @@ class ALSVariant:
         with host():   # object-level f64 prep stays off the TPU
             x.move_core(0)
             norm_b = b.frob_norm() or 1.0
+            # The reference's local solver runtime-detects symmetry and
+            # falls back to PLU (blasLapackWrapper.cpp:542-585); decide
+            # once per operator here so the compiled sweeps stay
+            # branch-free.  "assumeSPD" selects the energy functional,
+            # NOT the local factorization (als.cpp:43-48 calls the
+            # auto-dispatching xerus::solve).
+            local_assume = "pos" if (self.assumeSPD
+                                     and A.is_symmetric()) else "gen"
         # f64 is unusable on this TPU backend (doc/performance.md): run the
         # sweep kernels in f32 and keep f64 object semantics on host
         obj_dtype = np.asarray(x.components[0].to_ndarray()).dtype
@@ -173,7 +181,8 @@ class ALSVariant:
             CAP = 32  # static compile bucket; `remaining` trims it
             shapes_key = tuple(tuple(c.shape) for c in cores)
             if spd and not asd:
-                run = make_als_run(shapes_key, str(cores[0].dtype), CAP)
+                run = make_als_run(shapes_key, str(cores[0].dtype), CAP,
+                                   local_assume=local_assume)
             else:
                 run = make_als_run_rev(
                     shapes_key, str(cores[0].dtype), CAP,
@@ -238,7 +247,8 @@ class ALSVariant:
                 cores, res = fn(cores, A_cores, b_cores)
             elif spd:
                 fn = make_als_sweep_res(shapes_key, str(cores[0].dtype),
-                                        direction)
+                                        direction,
+                                        local_assume=local_assume)
                 cores, res = fn(cores, A_cores, b_cores)
             else:
                 # non-SPD: lr kernel only; odd half-sweeps run on the

@@ -352,9 +352,14 @@ def als_spd_mixed(A, x, b, num_half_sweeps: int = 6):
     direction via in-program site reversal.  Residual verification stays
     in host float64 — the df quadratic form would cancel below ~1e-7.
     Returns the refined f64 cores."""
-    from ..config import host
+    from ..config import host, require
     x = x.copy()
     with host():   # object-level f64 prep stays off the TPU
+        # the df local solves are Cholesky-based: symmetric operators only
+        # (general operators: xe.ALS_SPD auto-selects LU local solves)
+        require(A.is_symmetric(),
+                "als_spd_mixed requires a symmetric operator; "
+                "use xe.ALS_SPD for general operators")
         x.move_core(0)
     d = x.num_components()
 

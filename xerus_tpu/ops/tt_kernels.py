@@ -1558,9 +1558,18 @@ def randomized_round_flops(shapes, target_rank: int, oversample: int) -> float:
 # ALS sweep (SPD): one full left->right half-sweep in a single XLA program
 # ---------------------------------------------------------------------------
 
-def _als_half_sweep(x_cores, A_cores, b_cores):
-    """Single-site SPD ALS half-sweep; x assumed canonicalized at 0.
-    Returns updated x cores (core at d-1)."""
+def _als_half_sweep(x_cores, A_cores, b_cores, assume="pos"):
+    """Single-site ALS half-sweep (energy-functional local problems);
+    x assumed canonicalized at 0.  Returns updated x cores (core at d-1).
+
+    ``assume`` picks the local solver: "pos" = Cholesky (symmetric
+    operators), "gen" = LU.  The reference runtime-detects symmetry of
+    every local operator and falls back to PLU
+    (blasLapackWrapper.cpp:542-585) — that is what lets its ALS_SPD run
+    on non-symmetric operators (e.g. the cascade master-equation
+    generator, doc cascade.md); here the choice is made ONCE per
+    operator on the host (TTOperator symmetry check) so the compiled
+    program stays branch-free."""
     d = len(x_cores)
     dtype = x_cores[0].dtype
     # right environments
@@ -1584,7 +1593,7 @@ def _als_half_sweep(x_cores, A_cores, b_cores):
         shape = bloc.shape
         nn = shape[0] * shape[1] * shape[2]
         sol = jax.scipy.linalg.solve(
-            Aloc.reshape(nn, nn), bloc.reshape(nn), assume_a="pos")
+            Aloc.reshape(nn, nn), bloc.reshape(nn), assume_a=assume)
         core = sol.reshape(shape)
         if k < d - 1:
             rl, n, rr = core.shape
@@ -1723,7 +1732,7 @@ def _asd_half_sweep(x_cores, A_cores, b_cores):
     return tuple(x_cores)
 
 
-def _als_half_sweep_rl(x_cores, A_cores, b_cores):
+def _als_half_sweep_rl(x_cores, A_cores, b_cores, assume="pos"):
     """Right-to-left SPD half-sweep; x assumed canonicalized at d-1.
     Returns updated cores with the core at 0 (mirror of _als_half_sweep)."""
     d = len(x_cores)
@@ -1748,7 +1757,7 @@ def _als_half_sweep_rl(x_cores, A_cores, b_cores):
         shape = bloc.shape
         nn = shape[0] * shape[1] * shape[2]
         sol = jax.scipy.linalg.solve(
-            Aloc.reshape(nn, nn), bloc.reshape(nn), assume_a="pos")
+            Aloc.reshape(nn, nn), bloc.reshape(nn), assume_a=assume)
         core = sol.reshape(shape)
         if k > 0:
             rl, n, rr = core.shape
@@ -1875,7 +1884,7 @@ def tt_residual_rel(x_cores, A_cores, b_cores):
 @lru_cache(maxsize=64)
 def make_als_sweep_res(shapes_key: Tuple, dtype_str: str,
                        direction: str = "lr", spd: bool = True,
-                       solver: str = "lapack"):
+                       solver: str = "lapack", local_assume: str = "pos"):
     """Fused half-sweep + relative residual: ONE XLA program per
     half-sweep, ONE scalar fetched — no host round-trip of the cores
     (the ~150ms-RTT tunnel makes per-sweep core transfers the dominant
@@ -1887,7 +1896,8 @@ def make_als_sweep_res(shapes_key: Tuple, dtype_str: str,
     elif not spd:
         body = _als_half_sweep_nonspd
     else:
-        body = _als_half_sweep if direction == "lr" else _als_half_sweep_rl
+        raw = _als_half_sweep if direction == "lr" else _als_half_sweep_rl
+        body = partial(raw, assume=local_assume)
 
     def fused(x_cores, A_cores, b_cores):
         out = body(x_cores, A_cores, b_cores)
@@ -1898,7 +1908,8 @@ def make_als_sweep_res(shapes_key: Tuple, dtype_str: str,
 
 @lru_cache(maxsize=16)
 def make_als_multi_sweep_res(shapes_key: Tuple, dtype_str: str,
-                             n_half_sweeps: int, spd: bool = True):
+                             n_half_sweeps: int, spd: bool = True,
+                             local_assume: str = "pos"):
     """N alternating-direction half-sweeps + per-sweep relative residual,
     ALL inside one XLA program — one dispatch for a whole solve phase
     (each dispatch through the axon tunnel costs ~150ms RTT, so chaining
@@ -1911,7 +1922,7 @@ def make_als_multi_sweep_res(shapes_key: Tuple, dtype_str: str,
         for s in range(n_half_sweeps):
             if spd:
                 body = _als_half_sweep if s % 2 == 0 else _als_half_sweep_rl
-                cores = body(cores, A_cores, b_cores)
+                cores = body(cores, A_cores, b_cores, assume=local_assume)
             else:
                 cores = _als_half_sweep_nonspd(cores, A_cores, b_cores)
             res_hist.append(tt_residual_rel(cores, A_cores, b_cores))
@@ -1921,7 +1932,8 @@ def make_als_multi_sweep_res(shapes_key: Tuple, dtype_str: str,
 
 
 @lru_cache(maxsize=16)
-def make_als_run(shapes_key: Tuple, dtype_str: str, max_sweeps: int):
+def make_als_run(shapes_key: Tuple, dtype_str: str, max_sweeps: int,
+                 local_assume: str = "pos"):
     """The WHOLE fixed-rank SPD ALS solve as ONE XLA program: a
     lax.while_loop alternating lr/rl half-sweeps (lax.cond on the sweep
     parity — no data reversal, so the ragged per-site core shapes stay a
@@ -1951,8 +1963,10 @@ def make_als_run(shapes_key: Tuple, dtype_str: str, max_sweeps: int):
             cores, hist, i, last, last2, _stop = carry
             cores = jax.lax.cond(
                 (parity0 + i) % 2 == 0,
-                lambda cs: _als_half_sweep(cs, A_cores, b_cores),
-                lambda cs: _als_half_sweep_rl(cs, A_cores, b_cores),
+                lambda cs: _als_half_sweep(cs, A_cores, b_cores,
+                                           assume=local_assume),
+                lambda cs: _als_half_sweep_rl(cs, A_cores, b_cores,
+                                              assume=local_assume),
                 cores)
             res = tt_residual_rel(cores, A_cores, b_cores)
             hist = hist.at[i].set(res)
@@ -2036,7 +2050,8 @@ def make_als_run_rev(shapes_key: Tuple, dtype_str: str, max_sweeps: int,
 
 @lru_cache(maxsize=64)
 def make_als_sweep(shapes_key: Tuple, dtype_str: str, direction: str = "lr",
-                   spd: bool = True, solver: str = "lapack"):
+                   spd: bool = True, solver: str = "lapack",
+                   local_assume: str = "pos"):
     if solver == "asd":
         # ASD: lr kernel only (the driver site-reverses for rl sweeps)
         return jit_f32(_asd_half_sweep, dtype_str)
@@ -2045,8 +2060,9 @@ def make_als_sweep(shapes_key: Tuple, dtype_str: str, direction: str = "lr",
         return jit_f32(_als_half_sweep_cg, dtype_str)
     if not spd:
         return jit_f32(_als_half_sweep_nonspd, dtype_str)
-    return jit_f32(_als_half_sweep if direction == "lr"
-                   else _als_half_sweep_rl, dtype_str)
+    return jit_f32(partial(_als_half_sweep if direction == "lr"
+                           else _als_half_sweep_rl, assume=local_assume),
+                   dtype_str)
 
 
 @lru_cache(maxsize=32)

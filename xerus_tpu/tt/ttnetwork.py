@@ -54,7 +54,16 @@ class TTNetwork:
 
         if source is None:
             return
-        if isinstance(source, int):
+        if isinstance(source, TTNetwork):
+            # copy construction (ttNetwork.h:106 default copy ctor; the
+            # python binding's TTTensor(other) deep-copies)
+            require(source.is_operator == self.is_operator,
+                    "cannot copy-construct across TTTensor/TTOperator")
+            self.components = [c.copy() for c in source.components]
+            self.canonicalized = source.canonicalized
+            self.corePosition = source.corePosition
+            self.dimensions = list(source.dimensions)
+        elif isinstance(source, int):
             # zero TT of given degree with ranks 1 (ttNetwork.cpp:64-88)
             self._init_zero([1] * source)
         elif isinstance(source, Tensor):
@@ -1030,6 +1039,19 @@ class TTNetwork:
         out = self.copy()
         out.transpose()
         return out
+
+    def is_symmetric(self, tol: float = 1e-12) -> bool:
+        """True iff ||A - A^T||_F <= tol * max(||A||_F, 1).
+
+        Used by the ALS fast paths to pick the local solver ONCE per
+        operator — Cholesky for symmetric, LU otherwise — mirroring the
+        reference's per-local-solve runtime symmetry dispatch
+        (blasLapackWrapper.cpp:542-585) without data-dependent branches
+        inside the compiled sweep.  Cost: one TT subtraction + norm,
+        O(d * (2a)^3 * n^2) host flops."""
+        nrm = self.frob_norm()
+        diff = self - self.transposed()
+        return diff.frob_norm() <= tol * max(nrm, 1.0)
 
     # ------------------------------------------------------------------
     # DSL integration
