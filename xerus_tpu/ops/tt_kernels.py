@@ -2067,7 +2067,8 @@ def make_als_sweep(shapes_key: Tuple, dtype_str: str, direction: str = "lr",
 
 @lru_cache(maxsize=32)
 def make_als_sweep_batched(shapes_key: Tuple, dtype_str: str,
-                           direction: str = "lr", batched_A: bool = False):
+                           direction: str = "lr", batched_A: bool = False,
+                           local_assume: str = "pos"):
     """Throughput-mode SPD ALS: one jitted program sweeping a BATCH of
     independent (x, b) systems (optionally per-instance operators A).
 
@@ -2078,7 +2079,8 @@ def make_als_sweep_batched(shapes_key: Tuple, dtype_str: str,
     math.  This is the TPU analogue of the reference benchmark protocol's
     10-solves-per-run loop (benchmark.cxx:215-267), executed as one XLA
     program instead of 10 host iterations."""
-    body = _als_half_sweep if direction == "lr" else _als_half_sweep_rl
+    body = partial(_als_half_sweep if direction == "lr"
+                   else _als_half_sweep_rl, assume=local_assume)
     a_axes = 0 if batched_A else None
     fn = jax.vmap(body, in_axes=(0, a_axes, 0))
     return jit_f32(fn, dtype_str)
