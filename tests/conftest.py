@@ -32,6 +32,25 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compile_state_per_module():
+    """Drop all jitted executables before each test module.
+
+    The XLA CPU compiler segfaults (rc=139, inside
+    `backend_compile_and_load`) once a single process has accumulated a
+    few hundred compiled programs — reproduced at different modules on
+    different runs (test_parallel.py in r1, test_mixed_precision.py in
+    r2), while every module passes in isolation and a raised
+    RLIMIT_STACK does not help.  Clearing the caches at module
+    boundaries reproduces the passing fresh-process condition
+    everywhere instead of papering over one module at a time; the
+    recompile cost is bounded by each module's own program set (the
+    reference suite runs all 154 tests in one process,
+    test.cpp:196-214, which is the invariant this preserves)."""
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(autouse=True)
 def _deterministic_seed(request):
     """Deterministic seed per test (reference: 0xBAADF00D, test.cpp:90-96).
@@ -55,7 +74,8 @@ def _deterministic_seed(request):
 
 
 def pytest_runtest_makereport(item, call):
-    if call.when == "call" and call.excinfo is not None:
+    if (call.when == "call" and call.excinfo is not None
+            and not call.excinfo.errisinstance(pytest.skip.Exception)):
         seed = getattr(item, "_xerus_seed", None)
         if seed is not None:
             print(f"\n[xerus_tpu] failing seed: replay with "

@@ -252,3 +252,56 @@ def test_spd_variant_nonsymmetric_operator_lu_dispatch():
     ref = np.linalg.solve(Ad, bd)
     xd = x.to_tensor().to_ndarray().reshape(n)
     assert np.linalg.norm(xd - ref) / np.linalg.norm(ref) < 1e-7
+
+
+def test_spd_variant_symmetric_indefinite_cholesky_fallback():
+    """A symmetric-INDEFINITE operator passes is_symmetric, so the fast
+    path first dispatches Cholesky local solves, which NaN (jnp returns
+    NaN rather than raising).  The engine must detect the non-finite
+    residual and re-dispatch with the general solver — the reference
+    solves this case via LDL^T (blasLapackWrapper.cpp:586-651)."""
+    dims = [2] * 4
+    A = TTOperator.identity(dims + dims)
+    # site 0 becomes diag(1,-1): A = diag(1,-1) (x) I (x) I (x) I —
+    # symmetric, indefinite, orthogonal (so perfectly conditioned)
+    core = np.zeros((1, 2, 2, 1))
+    core[0, 0, 0, 0] = 1.0
+    core[0, 1, 1, 0] = -1.0
+    A.set_component(0, Tensor.from_ndarray(core))
+    assert A.is_symmetric()
+
+    b = TTTensor.random(dims, 2)
+    b /= b.frob_norm()
+    x = TTTensor.random(dims, 3)
+    res = xe.ALS_SPD(A, x, b, 16)
+    assert np.isfinite(res), "fallback did not fire: NaN residual"
+
+    n = int(np.prod(dims))
+    Ad = A.to_tensor().to_ndarray().reshape(n, n)
+    bd = b.to_tensor().to_ndarray().reshape(n)
+    xd = x.to_tensor().to_ndarray().reshape(n)
+    assert np.all(np.isfinite(xd)), "NaN cores leaked into x"
+    assert np.linalg.norm(Ad @ xd - bd) < 1e-8
+
+
+def test_is_symmetric_shape_guards_and_cache():
+    """is_symmetric returns False (does not raise) for TTTensors and
+    non-square operators, and memoizes per component list (ADVICE r2)."""
+    dims = [3] * 3
+    t = TTTensor.random(dims, 2)
+    assert t.is_symmetric() is False  # not an operator
+
+    A = TTOperator.random([2, 3] + [3, 2], 2)  # non-square
+    assert A.is_symmetric() is False
+
+    from xerus_tpu.examples import laplace_operator
+    lap = laplace_operator(dims)
+    assert lap.is_symmetric()
+    assert lap._symmetric_cache is not None
+    # poison the cached verdict: a cache hit must return the poisoned
+    # value, proving the TT subtraction is not recomputed
+    lap._symmetric_cache = (1e-12, lap._symmetric_cache[1], "poisoned")
+    assert lap.is_symmetric() == "poisoned"
+    # replacing a component invalidates (identity comparison fails)
+    lap.set_component(0, lap.get_component(0).copy())
+    assert lap.is_symmetric() is True  # recomputed, still symmetric

@@ -72,6 +72,45 @@ def test_performance_analysis_counters():
     assert "Dense" in report and "GEMM(64x64): 2 calls" in report
 
 
+def test_performance_analysis_wired_into_dispatch():
+    """get_analysis() after real library work must be non-empty: the
+    reference wraps every kernel invocation in XERUS_PA_START/END
+    (blasLapackWrapper.cpp:582, sparseTimesFullContraction.cpp:94); our
+    dispatch layer (core/contract.py, core/factorizations.py, the
+    ops/tt_kernels jit wrapper) feeds the same group->name->param map."""
+    import numpy as np
+    from xerus_tpu import Tensor, TTTensor, TTOperator
+
+    perf.enable(True)
+    perf.clear_analysis()
+    try:
+        # dense contraction + factorization + solve through the Tensor core
+        a = Tensor.random([6, 6])
+        b = Tensor.random([6, 6])
+        from xerus_tpu.core.contract import contract
+        from xerus_tpu.core import factorizations as fact
+        contract(a, b, 1)
+        fact.calculate_svd(a, 1)
+        fact.calculate_qr(a, 1)
+        fact.solve(a, Tensor.random([6]))
+        # an ALS solve exercises the jitted TT-kernel dispatch wrapper
+        dims = [2] * 4
+        A = TTOperator.identity(dims + dims)
+        x = TTTensor.random(dims, 2)
+        rhs = TTTensor.random(dims, 2)
+        import xerus_tpu as xe
+        xe.ALS_SPD(A, x, rhs, 2)
+        report = perf.get_analysis()
+    finally:
+        perf.enable(False)
+        perf.clear_analysis()
+    assert "Dense BLAS" in report
+    assert "Matrix-Matrix-Multiplication" in report
+    assert "Singular Value Decomposition(6x6)" in report
+    assert "QR Factorisation(6x6)" in report
+    assert "TT Kernels" in report, report
+
+
 def test_nan_guard():
     from xerus_tpu.misc.profiling import guard_finite
     from xerus_tpu.config import config

@@ -4,22 +4,6 @@ import numpy as np
 import pytest
 import jax
 
-
-@pytest.fixture(scope="module", autouse=True)
-def _fresh_compile_state():
-    """Drop all jitted executables before this module runs.
-
-    The full suite accumulates hundreds of compiled programs by the time
-    it reaches this module, and the XLA CPU compiler then segfaults
-    deterministically while compiling `dmrg_half_sweep_batched`
-    (test_sharded_batched_sweeps_match_unsharded) — reproduced at the
-    same test in three separate full runs (rc=139), while every partial
-    run (this module alone, or with any half of the preceding modules)
-    passes, and a raised RLIMIT_STACK does not help.  Clearing the
-    caches reproduces the passing fresh-process condition."""
-    jax.clear_caches()
-    yield
-
 import xerus_tpu as xe
 from xerus_tpu import TTTensor
 from xerus_tpu.parallel import (default_mesh, sharded_adf_gradient,

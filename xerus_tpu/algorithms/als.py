@@ -180,48 +180,71 @@ class ALSVariant:
             from ..ops.tt_kernels import make_als_run, make_als_run_rev
             CAP = 32  # static compile bucket; `remaining` trims it
             shapes_key = tuple(tuple(c.shape) for c in cores)
-            if spd and not asd:
-                run = make_als_run(shapes_key, str(cores[0].dtype), CAP,
-                                   local_assume=local_assume)
-            else:
-                run = make_als_run_rev(
-                    shapes_key, str(cores[0].dtype), CAP,
-                    solver=self.local_solver if asd else "nonspd")
             dt = cores[0].dtype
-            total = 0
-            parity = 0
-            # num_half_sweeps == 0 means run until stagnation (host loop
-            # semantics: `half_sweeps == num_half_sweeps` never fires)
-            while num_half_sweeps == 0 or total < num_half_sweeps:
-                remaining_before = (num_half_sweeps - total
-                                    if num_half_sweeps else CAP)
-                cores, hist, cnt = run(
-                    cores, A_cores, b_cores, jnp.asarray(conv_eps, dt),
-                    jnp.asarray(parity, jnp.int32),
-                    jnp.asarray(remaining_before, jnp.int32),
-                    jnp.asarray(energy if math.isfinite(energy)
-                                else np.inf, dt),
-                    jnp.asarray(last if math.isfinite(last)
-                                else np.inf, dt))
-                cnt = int(cnt)
-                hist_host = np.asarray(hist)[:cnt]
-                for j, rv in enumerate(hist_host):
-                    half_sweeps += 1
-                    last2, last = last, energy
-                    energy = float(rv)
-                    if not math.isfinite(energy):
-                        from ..misc.profiling import guard_finite
-                        guard_finite(cores[0],
-                                     f"ALS half-sweep {half_sweeps}")
-                    if perf:
-                        sweep_lr = (parity + j) % 2 == 0
-                        perf.add(energy, x,
-                                 FLAG_FINISHED_HALFSWEEP if sweep_lr
-                                 else FLAG_FINISHED_FULLSWEEP)
-                total += max(cnt, 1)
-                parity = total % 2
-                if cnt < min(remaining_before, CAP):
-                    break  # in-program stagnation/limit fired
+            cores0 = cores
+            while True:  # one-shot Cholesky-failure retry (see below)
+                if spd and not asd:
+                    run = make_als_run(shapes_key, str(cores0[0].dtype), CAP,
+                                       local_assume=local_assume)
+                else:
+                    run = make_als_run_rev(
+                        shapes_key, str(cores0[0].dtype), CAP,
+                        solver=self.local_solver if asd else "nonspd")
+                cores = cores0
+                total = 0
+                parity = 0
+                energy = last = last2 = math.inf
+                half_sweeps = 0
+                chol_nan = False
+                # num_half_sweeps == 0 means run until stagnation (host
+                # loop semantics: `half_sweeps == num_half_sweeps` never
+                # fires)
+                while num_half_sweeps == 0 or total < num_half_sweeps:
+                    remaining_before = (num_half_sweeps - total
+                                        if num_half_sweeps else CAP)
+                    cores, hist, cnt = run(
+                        cores, A_cores, b_cores, jnp.asarray(conv_eps, dt),
+                        jnp.asarray(parity, jnp.int32),
+                        jnp.asarray(remaining_before, jnp.int32),
+                        jnp.asarray(energy if math.isfinite(energy)
+                                    else np.inf, dt),
+                        jnp.asarray(last if math.isfinite(last)
+                                    else np.inf, dt))
+                    cnt = int(cnt)
+                    hist_host = np.asarray(hist)[:cnt]
+                    for j, rv in enumerate(hist_host):
+                        half_sweeps += 1
+                        last2, last = last, energy
+                        energy = float(rv)
+                        if not math.isfinite(energy):
+                            if local_assume == "pos" and spd and not asd:
+                                chol_nan = True
+                                break
+                            from ..misc.profiling import guard_finite
+                            guard_finite(cores[0],
+                                         f"ALS half-sweep {half_sweeps}")
+                        if perf:
+                            sweep_lr = (parity + j) % 2 == 0
+                            perf.add(energy, x,
+                                     FLAG_FINISHED_HALFSWEEP if sweep_lr
+                                     else FLAG_FINISHED_FULLSWEEP)
+                    if chol_nan:
+                        break
+                    total += max(cnt, 1)
+                    parity = total % 2
+                    if cnt < min(remaining_before, CAP):
+                        break  # in-program stagnation/limit fired
+                if chol_nan:
+                    # The reference's solve retries a failed Cholesky via
+                    # LDL^T (blasLapackWrapper.cpp:586-651): a symmetric
+                    # but INDEFINITE operator (e.g. a Hamiltonian MPO)
+                    # passes is_symmetric yet NaNs under assume_a='pos'.
+                    # Detect the non-finite fetched residual and re-run
+                    # the solve from the initial cores with the general
+                    # local solver.
+                    local_assume = "gen"
+                    continue
+                break
             direction = "lr" if (total - 1) % 2 == 0 else "rl"
             with host():
                 x.components = to_host_tensors(cores)
@@ -230,6 +253,7 @@ class ALSVariant:
                 if initial_canon and self.preserveCorePosition:
                     x.move_core(initial_core, keep_rank=True)
             return energy
+        cores0 = cores
         while True:
             shapes_key = tuple(tuple(c.shape) for c in cores)
             if asd:
@@ -268,6 +292,16 @@ class ALSVariant:
             # residual); it also serves as the finiteness guard
             energy = float(res)
             if not math.isfinite(energy):
+                if local_assume == "pos" and spd and not asd:
+                    # Cholesky NaN on a symmetric-indefinite operator:
+                    # restart with the general local solver (reference
+                    # LDL^T fallback, blasLapackWrapper.cpp:586-651)
+                    local_assume = "gen"
+                    cores = cores0
+                    energy = last = last2 = math.inf
+                    half_sweeps = 0
+                    direction = "lr"
+                    continue
                 from ..misc.profiling import guard_finite
                 guard_finite(cores[0], f"ALS half-sweep {half_sweeps}")
             if perf:

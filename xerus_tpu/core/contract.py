@@ -20,6 +20,7 @@ import numpy as np
 import jax
 
 from ..config import require
+from ..misc.performance import pa_section
 from .tensor import Tensor, Representation, _prod
 
 
@@ -65,7 +66,11 @@ def contract(lhs: Tensor, rhs: Tensor, num_modes: int,
     b = rhs.to_jax(apply_factor=False)
     a2 = a.reshape(k, m).T if lhs_trans else a.reshape(m, k)
     b2 = b.reshape(n, k).T if rhs_trans else b.reshape(k, n)
-    out = _matmul(a2, b2)
+    # host-side dispatch accounting (XERUS_PA_START/END around the GEMM,
+    # blasLapackWrapper.cpp:177-193)
+    with pa_section("Dense BLAS", "Matrix-Matrix-Multiplication",
+                    f"{m}x{k} * {k}x{n}"):
+        out = _matmul(a2, b2)
     result = Tensor.from_jax(out.reshape(out_dims) if out_dims else out.reshape(()))
     result.factor = lhs.factor * rhs.factor
     return result
@@ -127,7 +132,9 @@ def _contract_sparse(lhs: Tensor, rhs: Tensor, lhs_trans: bool, rhs_trans: bool,
             (n, k) if rhs_trans else (k, n))
         b = arr.T if rhs_trans else arr
 
-    prod = a @ b  # scipy handles sparse*dense, dense*sparse, sparse*sparse
+    with pa_section("Mixed BLAS", "Matrix-Matrix-Multiplication",
+                    f"{m}x{k} * {k}x{n}"):
+        prod = a @ b  # scipy: sparse*dense, dense*sparse, sparse*sparse
 
     if both_sparse and sp.issparse(prod):
         # Result sparse iff expected density low (tensor.cpp:1275-1279):

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import config, require
+from ..misc.performance import pa_section
 from .tensor import Tensor, Representation, _prod
 from .contract import contract
 
@@ -52,8 +53,10 @@ def calculate_svd(t: Tensor, split_pos: int, max_rank: int = 0,
     require(0.0 <= eps < 1.0, "epsilon must fulfill 0 <= eps < 1")
     lhs_size, rhs_size, rank = _split_sizes(t, split_pos)
     a = t.to_jax(apply_factor=False).reshape(lhs_size, rhs_size)
-    u, s, vt = _svd_jit(a)
-    s_host = np.asarray(s)
+    with pa_section("Dense LAPACK", "Singular Value Decomposition",
+                    f"{lhs_size}x{rhs_size}"):
+        u, s, vt = _svd_jit(a)
+        s_host = np.asarray(s)
 
     if max_rank:
         rank = min(rank, int(max_rank))
@@ -103,7 +106,9 @@ def calculate_qr(t: Tensor, split_pos: int) -> Tuple[Tensor, Tensor]:
             return _sparse_factorization_output(t, split_pos, rank, out[0],
                                                 out[1], t.factor)
     a = t.to_jax(apply_factor=False).reshape(lhs_size, rhs_size)
-    q, r = _qr_jit(a)
+    with pa_section("Dense LAPACK", "QR Factorisation",
+                    f"{lhs_size}x{rhs_size}"):
+        q, r = _qr_jit(a)
     Q = Tensor.from_jax(q.reshape(t.dimensions[:split_pos] + [rank]))
     R = Tensor.from_jax(r.reshape([rank] + t.dimensions[split_pos:]))
     R.factor = t.factor
@@ -120,7 +125,9 @@ def calculate_rq(t: Tensor, split_pos: int) -> Tuple[Tensor, Tensor]:
     lhs_size, rhs_size, rank = _split_sizes(t, split_pos)
     a = t.to_jax(apply_factor=False).reshape(lhs_size, rhs_size)
     # RQ via QR of reversed transpose: A[::-1,:].T -> QR -> transpose back.
-    q0, r0 = _qr_jit(a[::-1, :].T)
+    with pa_section("Dense LAPACK", "RQ Factorisation",
+                    f"{lhs_size}x{rhs_size}"):
+        q0, r0 = _qr_jit(a[::-1, :].T)
     # A[::-1] = r0.T @ q0.T ; reverse rows back: R rows reversed, and to keep
     # R upper-left-trapezoid reverse r0's columns/rows consistently.
     R = r0.T[::-1, ::-1]       # lhs_size x rank, upper-trapezoid
@@ -159,8 +166,10 @@ def calculate_qc(t: Tensor, split_pos: int) -> Tuple[Tensor, Tensor]:
             return _sparse_factorization_output(t, split_pos, out[2], out[0],
                                                 out[1], t.factor)
     a = t.to_jax(apply_factor=False).reshape(lhs_size, rhs_size)
-    u, s, vt = _svd_jit(a)
-    rank = _revealed_rank(np.asarray(s))
+    with pa_section("Dense LAPACK", "QRP Factorisation",
+                    f"{lhs_size}x{rhs_size}"):
+        u, s, vt = _svd_jit(a)
+        rank = _revealed_rank(np.asarray(s))
     Q = Tensor.from_jax(u[:, :rank].reshape(t.dimensions[:split_pos] + [rank]))
     C = Tensor.from_jax((s[:rank, None] * vt[:rank, :]).reshape(
         [rank] + t.dimensions[split_pos:]))
@@ -189,8 +198,10 @@ def calculate_cq(t: Tensor, split_pos: int) -> Tuple[Tensor, Tensor]:
             Q.use_dense_representation_if_desirable()
             return C, Q
     a = t.to_jax(apply_factor=False).reshape(lhs_size, rhs_size)
-    u, s, vt = _svd_jit(a)
-    rank = _revealed_rank(np.asarray(s))
+    with pa_section("Dense LAPACK", "QRP Factorisation",
+                    f"{lhs_size}x{rhs_size}"):
+        u, s, vt = _svd_jit(a)
+        rank = _revealed_rank(np.asarray(s))
     C = Tensor.from_jax((u[:, :rank] * s[None, :rank]).reshape(
         t.dimensions[:split_pos] + [rank]))
     Q = Tensor.from_jax(vt[:rank, :].reshape([rank] + t.dimensions[split_pos:]))
@@ -238,13 +249,21 @@ def _solve_matrix(a, b):
         scale = float(np.abs(a_host).max()) or 1.0
         symmetric = np.allclose(a_host, a_host.T, rtol=0, atol=1e-13 * scale)
         if symmetric:
-            x = _solve_sym_psd(a, b)
-            if bool(jnp.all(jnp.isfinite(x))):
+            with pa_section("Dense LAPACK", "Solve (Cholesky)",
+                            f"{m}x{n}x{b.shape[-1] if b.ndim > 1 else 1}"):
+                x = _solve_sym_psd(a, b)
+                ok = bool(jnp.all(jnp.isfinite(x)))
+            if ok:
                 return x
-        x = _solve_lu(a, b)
-        if bool(jnp.all(jnp.isfinite(x))):
+        with pa_section("Dense LAPACK", "Solve (PLU)",
+                        f"{m}x{n}x{b.shape[-1] if b.ndim > 1 else 1}"):
+            x = _solve_lu(a, b)
+            ok = bool(jnp.all(jnp.isfinite(x)))
+        if ok:
             return x
-    return _lstsq(a, b)
+    with pa_section("Dense LAPACK", "Solve Least Squares",
+                    f"{m}x{n}"):
+        return _lstsq(a, b)
 
 
 def _try_sparse_solve(A: Tensor, B: Tensor, deg_m: int, m: int, n: int,
@@ -301,7 +320,9 @@ def solve_least_squares(A: Tensor, B: Tensor, extra_degree: int = 0) -> Tensor:
         return X
     a = A.to_jax(apply_factor=False).reshape(m, n)
     b = B.to_jax(apply_factor=False).reshape(m, p)
-    x = _lstsq(a, b)
+    with pa_section("Dense LAPACK", "Solve Least Squares",
+                    f"{m}x{n} * {p}"):
+        x = _lstsq(a, b)
     out_dims = A.dimensions[deg_m:] + B.dimensions[deg_m:]
     X = Tensor.from_jax(x.reshape(out_dims) if out_dims else x.reshape(()))
     X.factor = B.factor / A.factor

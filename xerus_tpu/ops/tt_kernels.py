@@ -32,12 +32,23 @@ def jit_f32(fn, dtype_str: str = "float32"):
     - The TPU's DEFAULT f32 matmul precision is bf16 passes — measured to
       stall an ALS solve at residual 0.14 where true f32 reaches 6e-6.
       HIGHEST restores genuine f32 MXU arithmetic."""
+    from ..misc.performance import pa_section
     jfn = jax.jit(fn)
+    name = getattr(fn, "__qualname__", None) or getattr(
+        getattr(fn, "func", None), "__qualname__", "kernel")
+
     if dtype_str != "float32":
-        return jfn
+        def wrapped64(*args, **kwargs):
+            # host-side dispatch accounting (reference wraps every kernel
+            # call in XERUS_PA_START/END, blasLapackWrapper.cpp:582)
+            with pa_section("TT Kernels", name, dtype_str):
+                return jfn(*args, **kwargs)
+        return wrapped64
 
     def wrapped(*args, **kwargs):
-        with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+        with pa_section("TT Kernels", name, dtype_str), \
+                jax.enable_x64(False), \
+                jax.default_matmul_precision("highest"):
             return jfn(*args, **kwargs)
 
     return wrapped

@@ -1014,6 +1014,7 @@ class TTNetwork:
         initial_canon = self.canonicalized
         initial_core = self.corePosition
         self.components[comp_idx].resize_mode(phys, new_dim, cut_pos)
+        self._symmetric_cache = None  # in-place component mutation
         self.dimensions[mode] = new_dim
         self.canonicalized = False
         if initial_canon:
@@ -1048,10 +1049,29 @@ class TTNetwork:
         reference's per-local-solve runtime symmetry dispatch
         (blasLapackWrapper.cpp:542-585) without data-dependent branches
         inside the compiled sweep.  Cost: one TT subtraction + norm,
-        O(d * (2a)^3 * n^2) host flops."""
+        O(d * (2a)^3 * n^2) host flops.
+
+        Non-operators and non-square operators are simply not symmetric
+        (return False — do not raise); the result is memoized per
+        component-list fingerprint so repeated solves on an unchanged
+        operator (e.g. every implicit-Euler step of examples/cascade.py)
+        pay the TT subtraction once."""
+        num = self.num_components()
+        if not self.is_operator or \
+                list(self.dimensions[:num]) != list(self.dimensions[num:]):
+            return False
+        cached = getattr(self, "_symmetric_cache", None)
+        if cached is not None and cached[0] == tol and \
+                len(cached[1]) == len(self.components) and \
+                all(a is b for a, b in zip(cached[1], self.components)):
+            return cached[2]
         nrm = self.frob_norm()
         diff = self - self.transposed()
-        return diff.frob_norm() <= tol * max(nrm, 1.0)
+        result = bool(diff.frob_norm() <= tol * max(nrm, 1.0))
+        # holding strong refs to the component objects keeps their ids
+        # stable, making the identity comparison above sound
+        self._symmetric_cache = (tol, tuple(self.components), result)
+        return result
 
     # ------------------------------------------------------------------
     # DSL integration
