@@ -305,3 +305,41 @@ def test_is_symmetric_shape_guards_and_cache():
     # replacing a component invalidates (identity comparison fails)
     lap.set_component(0, lap.get_component(0).copy())
     assert lap.is_symmetric() is True  # recomputed, still symmetric
+
+
+def test_full_rank_boundary_node_elision_is_gauge_neutral():
+    """The reference's prepare_x_for_als (als.cpp:105-182) gauges
+    full-rank boundary nodes to reshape-identities and skips them in the
+    sweep.  We deliberately do not elide (PARITY.md §2.4); this test
+    pins the divergence as gauge-only: starting ALS from the identical
+    tensor in BOTH gauges converges to the same solution."""
+    dims = [2] * 4
+    from xerus_tpu.examples import laplace_operator
+    A = laplace_operator(dims)
+    b = TTTensor.random(dims, 2)
+    b /= b.frob_norm()
+
+    # max-possible ranks: node 0 (rank 2 = dim product) and node 1
+    # (rank 4 = 2*2) are "full-rank nodes" the reference would elide
+    x = TTTensor.random(dims, [2, 4, 2])
+    x_elided = x.copy()
+    c0 = x_elided.get_component(0).to_ndarray()     # (1, 2, 2)
+    c1 = x_elided.get_component(1).to_ndarray()     # (2, 2, 4)
+    merged = np.einsum("ac,cnr->anr", c0[0], c1)
+    x_elided.set_component(0, Tensor.from_ndarray(
+        np.eye(2).reshape(1, 2, 2)))
+    x_elided.set_component(1, Tensor.from_ndarray(merged))
+    # same represented tensor, different gauge
+    assert np.allclose(x.to_tensor().to_ndarray(),
+                       x_elided.to_tensor().to_ndarray(), atol=1e-12)
+
+    res1 = xe.ALS_SPD(A, x, b, 1e-13)
+    res2 = xe.ALS_SPD(A, x_elided, b, 1e-13)
+
+    n = int(np.prod(dims))
+    Ad = A.to_tensor().to_ndarray().reshape(n, n)
+    bd = b.to_tensor().to_ndarray().reshape(n)
+    oracle = np.linalg.solve(Ad, bd)
+    for xv, res in ((x, res1), (x_elided, res2)):
+        xd = xv.to_tensor().to_ndarray().reshape(n)
+        assert np.linalg.norm(xd - oracle) / np.linalg.norm(oracle) < 1e-8

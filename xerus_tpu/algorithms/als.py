@@ -15,8 +15,10 @@ Re-design of the reference's single configurable engine
   ops/tt_kernels.py.
 
 Not ported: prepare_x_for_als' full-rank node elision (als.cpp:105-182) — a
-CPU-side micro-optimization that skips provably-identity nodes; correctness
-is unaffected.
+work-skipping gauge choice (full-rank boundary nodes set to reshape-identity
+and excluded from the sweep).  Formalized divergence: see PARITY.md §2.4 and
+tests/test_als.py::test_full_rank_boundary_node_elision_is_gauge_neutral,
+which pins that both gauges converge to the same solution.
 """
 
 from __future__ import annotations
