@@ -313,8 +313,80 @@ class _InternalSolver:
                     self.x.move_core(cp + 1, keep_rank=True)
                     self.update_forward(cp, self.x.components[cp])
 
+    def _solve_adaptive_device(self) -> float:
+        """The whole rank-adaptive solve as ONE device program
+        (ops/adf_kernels.make_adf_adaptive_run): cores padded to
+        max_ranks, live ranks as data, rank bumps in-program (VERDICT r2
+        item #5 — the per-rank-level path paid a host bump + a fresh
+        while_loop program per level; this pays one dispatch total).
+
+        Semantics vs the host loop: the bump is the same
+        scale-eps*||x|| random rank-1 kick, drawn from an in-program
+        deterministic key instead of the library RNG, and capped bonds
+        ride slot 0 instead of being re-rounded (see _bump_cores).  The
+        stagnation window restarts (not resumes) if the solve overflows
+        the 512-iteration dispatch bucket."""
+        from ..ops.adf_kernels import make_adf_adaptive_run, build_onehots
+        from ..config import host
+
+        with host():
+            self.x.move_core(0, keep_rank=True)
+        d = self.d
+        caps = tuple(self.max_ranks)
+        dims = [c.dimensions[1] for c in self.x.components]
+        onehots = build_onehots(np.asarray(self.meas.positions), dims,
+                                np.dtype(config.value_dtype))
+        dt = np.dtype(config.value_dtype)
+        padded = []
+        for k, c in enumerate(self.x.components):
+            arr = np.asarray(c.to_ndarray(), dt)
+            capL = 1 if k == 0 else caps[k - 1]
+            capR = 1 if k == d - 1 else caps[k]
+            buf = np.zeros((capL, dims[k], capR), dt)
+            buf[:arr.shape[0], :, :arr.shape[2]] = arr
+            padded.append(jnp.asarray(buf))
+        ranks = np.asarray(self.x.ranks(), np.int32)
+        bump = max(1e-6, 16.0 * config.epsilon)
+        CAP = 512
+        shapes_key = tuple(tuple(c.shape) for c in padded)
+        fn = make_adf_adaptive_run(shapes_key, str(padded[0].dtype), CAP,
+                                   caps, float(bump))
+        nv = self.norm_values
+        cores = tuple(padded)
+        while self.v.maxIterations == 0 or self.iteration < self.v.maxIterations:
+            remaining = (self.v.maxIterations - self.iteration
+                         if self.v.maxIterations else CAP)
+            cores, ranks_dev, hist, cnt = fn(
+                cores, onehots, jnp.asarray(self.values, dt),
+                jnp.asarray(self.v.targetResidualNorm * nv, dt),
+                jnp.asarray(self.v.minimalResidualNormDecrease, dt),
+                jnp.asarray(ranks), jnp.asarray(self.residual_norm * nv, dt),
+                jnp.asarray(remaining, jnp.int32))
+            cnt = int(cnt)
+            ranks = np.asarray(ranks_dev)
+            for rv in np.asarray(hist)[:cnt]:
+                self.iteration += 1
+                self.last_residual = self.residual_norm
+                self.residual_norm = float(rv) / nv
+                self.perf.add(self.residual_norm, self.x, 0,
+                              iteration=self.iteration)
+            if cnt < remaining and cnt < CAP:
+                break  # the in-program done condition fired
+        out = []
+        for k, c in enumerate(cores):
+            rl = 1 if k == 0 else int(ranks[k - 1])
+            rr = 1 if k == d - 1 else int(ranks[k])
+            out.append(Tensor.from_ndarray(np.asarray(c)[:rl, :, :rr]))
+        self.x.components = out
+        self.x.assume_core_position(0)
+        return self.residual_norm
+
     def solve(self) -> float:
         self.perf.start()
+        if (getattr(self, "check_every", 1) == "device"
+                and not self.rank_one and getattr(self, "mesh", None) is None
+                and list(self.x.ranks()) != list(self.max_ranks)):
+            return self._solve_adaptive_device()
         self.x.canonicalize_left()
         self.solve_with_current_ranks()
         while (self.residual_norm > self.v.targetResidualNorm

@@ -219,6 +219,188 @@ def make_adf_device_run(shapes_key, dtype_str: str, max_iters: int,
     return wrapped
 
 
+def _bond_masks(ranks, caps):
+    """Per-bond live masks from the traced rank vector: mask[k][j] = 1.0
+    iff j < ranks[k] (caps are the static pad buckets)."""
+    return [(jnp.arange(c, dtype=jnp.int32) < ranks[k]) for k, c in
+            enumerate(caps)]
+
+
+def _adf_iteration_masked(cores, onehots, values, ranks, caps, dtype):
+    """One ADF iteration at PADDED shapes with live-rank masks.
+
+    Invariant: every core enters with exactly-zero dead bond slots
+    (beyond ``ranks``).  The stacks, gradients and step sizes then stay
+    exactly zero on dead slots automatically (every contraction factors
+    through a masked core); the ONLY place junk can appear is the Q of
+    each QR (Householder completes an orthonormal basis in the dead
+    columns), so Q columns are re-masked after every factorization.  The
+    matching R rows are zero already (R[j, l] = 0 for l < j by
+    triangularity and R[:, dead] = Q^T A[:, dead] = 0), so masking is an
+    exact identity on the represented tensor."""
+    d = len(cores)
+    M = values.shape[0]
+    bm = _bond_masks(ranks, caps)
+    colmask = [m.astype(dtype) for m in bm]
+
+    B = [None] * (d + 1)
+    B[d] = jnp.ones((M, 1), dtype=dtype)
+    for k in range(d - 1, 0, -1):
+        B[k] = jnp.einsum("mab,mb->ma", _site(onehots[k], cores[k]), B[k + 1])
+
+    F = jnp.ones((M, 1), dtype=dtype)
+    cores = list(cores)
+    residual0 = jnp.zeros((), dtype)
+    for cp in range(d):
+        pred = jnp.einsum("ma,mab,mb->m", F, _site(onehots[cp], cores[cp]),
+                          B[cp + 1])
+        res = values - pred
+        if cp == 0:
+            residual0 = jnp.linalg.norm(res)
+        outer = jnp.einsum("m,ma,mb->mab", res, F, B[cp + 1])
+        grad_by_slice = jnp.einsum("mn,mab->nab", onehots[cp], outer)
+        grad = jnp.transpose(grad_by_slice, (1, 0, 2))
+        Ggath = jnp.einsum("mn,nab->mab", onehots[cp], grad_by_slice)
+        val = jnp.einsum("ma,mab,mb->m", F, Ggath, B[cp + 1])
+        norms = jnp.einsum("mn,m->n", onehots[cp], val * val)
+        PyR = jnp.sum(grad_by_slice * grad_by_slice, axis=(1, 2))
+        alpha = jnp.where(norms > 0, PyR / jnp.maximum(norms, 1e-300), 0.0)
+        new_core = cores[cp] + alpha[None, :, None] * grad
+        if cp + 1 < d:
+            rl, n, rr = new_core.shape
+            q, r = jnp.linalg.qr(new_core.reshape(rl * n, rr))
+            q = q * colmask[cp][None, :]
+            cores[cp] = q.reshape(rl, n, q.shape[1])
+            cores[cp + 1] = jnp.einsum("ab,bnc->anc", r, cores[cp + 1])
+            F = jnp.einsum("ma,mab->mb", F, _site(onehots[cp], cores[cp]))
+        else:
+            cores[cp] = new_core
+    return tuple(cores), residual0
+
+
+def _canonicalize_left_masked(cs, ranks, caps, dtype):
+    """Right-to-left QR sweep at padded shapes; Q columns re-masked (see
+    _adf_iteration_masked)."""
+    bm = _bond_masks(ranks, caps)
+    cs = list(cs)
+    for i in range(len(cs) - 1, 0, -1):
+        rl, n, rr = cs[i].shape
+        q, r = jnp.linalg.qr(cs[i].reshape(rl, n * rr).T)
+        q = q * bm[i - 1].astype(dtype)[None, :]
+        cs[i] = q.T.reshape(q.shape[1], n, rr)
+        cs[i - 1] = jnp.einsum("anb,bk->ank", cs[i - 1], r.T)
+    return tuple(cs)
+
+
+def _bump_cores(cores, ranks, caps, key, scale, dtype):
+    """In-program rank bump (adf.cpp:589-601): add ``scale`` times a
+    random rank-1 TT, embedded block-diagonally in the dead pad slots.
+
+    Per bond k the rank-1 term occupies slot index ranks[k] when the
+    bond is below its cap (growing it by one) and rides slot 0 when the
+    bond is capped.  The reference instead rounds the bumped tensor back
+    to max_ranks — for capped bonds that folds the perturbation into the
+    kept subspace; riding slot 0 is the same "random kick at scale
+    eps*||x||" semantics without a device SVD.  Each slice is normalized
+    so the added term has unit Frobenius norm (rank-1 TT norm factors
+    over slices); ``scale`` carries the magnitude."""
+    d = len(cores)
+    keys = jax.random.split(key, d)
+    new = []
+    for k, core in enumerate(cores):
+        capL, n, capR = core.shape
+        g = jax.random.normal(keys[k], (n,), dtype)
+        g = g / (jnp.linalg.norm(g) + 1e-30)
+        if k == 0:
+            eL = jnp.ones((1,), dtype)
+            g = g * scale
+        else:
+            slotL = jnp.where(ranks[k - 1] < caps[k - 1], ranks[k - 1], 0)
+            eL = (jnp.arange(capL, dtype=jnp.int32) == slotL).astype(dtype)
+        if k == d - 1:
+            eR = jnp.ones((1,), dtype)
+        else:
+            slotR = jnp.where(ranks[k] < caps[k], ranks[k], 0)
+            eR = (jnp.arange(capR, dtype=jnp.int32) == slotR).astype(dtype)
+        new.append(core + eL[:, None, None] * g[None, :, None]
+                   * eR[None, None, :])
+    caps_v = jnp.asarray(caps, jnp.int32)
+    return tuple(new), jnp.minimum(ranks + 1, caps_v)
+
+
+@lru_cache(maxsize=32)
+def make_adf_adaptive_run(shapes_key, dtype_str: str, max_iters: int,
+                          caps: Tuple[int, ...], bump_scale: float,
+                          seed: int = 0):
+    """The WHOLE rank-adaptive ADF solve (adf.cpp:541-601) as ONE XLA
+    program: fixed-rank while_loop solves AND the rank bumps between
+    them run device-resident, with cores padded to the ``caps`` rank
+    vector and live ranks carried as data (VERDICT r2 item #5 — the
+    host-pinned bump paid object-level round math plus a fresh
+    while_loop compile/dispatch per rank level).
+
+    ``shapes_key`` are the PADDED core shapes (capL, n, capR).  The
+    stagnation logic per rank level matches make_adf_device_run; when a
+    fixed-rank level stagnates above ``target`` with ranks below
+    ``caps``, the body injects a scale-``bump_scale*||x||`` random
+    rank-1 term into the dead pad slots (_bump_cores), resets the
+    stagnation window, and keeps iterating — no host round trip.
+
+    Point measurements only.  Returns (cores, ranks, hist, count)."""
+    from .tt_kernels import jit_f32
+
+    def run(cores, onehots, values, target, min_decrease, ranks0, last0,
+            remaining):
+        dtype = values.dtype
+        d = len(cores)
+        limit = jnp.minimum(jnp.asarray(max_iters, jnp.int32),
+                            remaining.astype(jnp.int32))
+        thresh = min_decrease ** 4
+        caps_v = jnp.asarray(caps, jnp.int32)
+        key0 = jax.random.PRNGKey(seed)
+
+        def cond(carry):
+            i, done = carry[2], carry[7]
+            return jnp.logical_and(i < limit, jnp.logical_not(done))
+
+        def body(carry):
+            cs, hist, i, res_dec, last, ranks, key, _done = carry
+            new, res0 = _adf_iteration_masked(cs, onehots, values, ranks,
+                                              caps, dtype)
+            new = _canonicalize_left_masked(new, ranks, caps, dtype)
+            hist = hist.at[i].set(res0)
+            ratio = jnp.minimum(res0 / jnp.where(last > 0, last, 1.0), 1.0)
+            res_dec = jnp.concatenate([ratio[None], res_dec[:3]])
+            level_stop = jnp.logical_or(res0 < target,
+                                        jnp.prod(res_dec) > thresh)
+            at_max = jnp.all(ranks >= caps_v)
+            done = jnp.logical_and(level_stop,
+                                   jnp.logical_or(res0 < target, at_max))
+            do_bump = jnp.logical_and(level_stop, jnp.logical_not(done))
+
+            def bump(args):
+                cs_b, ranks_b, rd_b, key_b = args
+                key_b, sub = jax.random.split(key_b)
+                norm_x = jnp.linalg.norm(cs_b[0])  # left-canonical
+                cs2, ranks2 = _bump_cores(cs_b, ranks_b, caps, sub,
+                                          bump_scale * norm_x, dtype)
+                return cs2, ranks2, jnp.zeros_like(rd_b), key_b
+
+            new, ranks, res_dec, key = jax.lax.cond(
+                do_bump, bump, lambda a: a, (new, ranks, res_dec, key))
+            return (new, hist, i + 1, res_dec, res0, ranks, key, done)
+
+        hist0 = jnp.full((max_iters,), -1.0, dtype)
+        carry = (tuple(cores), hist0, jnp.zeros((), jnp.int32),
+                 jnp.zeros((4,), dtype), last0.astype(dtype),
+                 ranks0.astype(jnp.int32), key0, jnp.zeros((), jnp.bool_))
+        out = jax.lax.while_loop(cond, body, carry)
+        cs, hist, i, _rd, _l, ranks, _k, _dn = out
+        return cs, ranks, hist, i
+
+    return jit_f32(run, dtype_str)
+
+
 def canonicalize_left_cores(cs):
     """Right-to-left QR sweep moving the core to component 0 (jittable;
     the in-program equivalent of TTNetwork.move_core(0)).  Shared by the
