@@ -92,6 +92,33 @@ def main() -> None:
 
     # -- workload 2: indexed einsum chain suite -------------------------
     xe.set_seed(0xBAADF00D + 2)
+
+    def dsl_suite():
+        """The full indexed-expression suite through the object DSL —
+        the SAME code path both backends (VERDICT r2 item #4: same
+        granularity both sides; reference path
+        indexedTensorReadOnly.cpp:290-324).  Returns (wall_s, out, ref):
+        wall includes operand construction, DSL dispatch and evaluation,
+        exactly like the CPU branch always did."""
+        t0 = time.perf_counter()
+        i, j, k, l, m = xe.indices(5)
+        B = Tensor.random([40, 30, 20])
+        C = Tensor.random([30, 40, 20])
+        A = Tensor()
+        A(i, j) << B(i, k, l) * C(k, j, l)
+        chain = [Tensor.random([30, 30]) for _ in range(8)]
+        out = Tensor()
+        idxs = xe.indices(9)
+        expr = chain[0](idxs[0], idxs[1])
+        for p in range(1, 8):
+            expr = expr * chain[p](idxs[p], idxs[p + 1])
+        out(idxs[0], idxs[8]) << expr
+        wall = time.perf_counter() - t0
+        ref = np.asarray(chain[0].to_ndarray(), np.float64)
+        for p in range(1, 8):
+            ref = ref @ np.asarray(chain[p].to_ndarray(), np.float64)
+        return wall, out.to_ndarray(), ref
+
     if TPU_MODE:
         # the object DSL's evaluation is a cached jitted einsum; the TPU
         # number times the SAME contraction suite as one chained-loop
@@ -129,30 +156,28 @@ def main() -> None:
             got = np.asarray(suite((jnp.asarray(B), jnp.asarray(C),
                                     *map(jnp.asarray, chain)))[0])
         ok = bool(np.allclose(got, ref1, rtol=1e-4, atol=1e-2))
+        # the honest same-granularity number (VERDICT r2 item #4): the
+        # identical object-DSL suite, dispatch included.  Warm once (the
+        # two einsum programs compile through the tunnel), then time.
+        dsl_warm, _, _ = dsl_suite()
+        xe.set_seed(0xBAADF00D + 2)     # identical instance to the CPU run
+        dsl_wall, out_arr, dsl_ref = dsl_suite()
+        dsl_ok = bool(np.allclose(np.asarray(out_arr, np.float64), dsl_ref,
+                                  rtol=1e-4, atol=1e-2))
         results.append({"workload": "einsum_chain_suite",
-                        "seconds": round(per, 9), "warm_s": round(warm, 1),
-                        "correct": ok,
-                        "mode": "tpu f32 chained-loop per-suite"})
+                        "seconds": round(dsl_wall, 3),
+                        "warm_s": round(dsl_warm, 1),
+                        "correct": dsl_ok,
+                        "kernel_per_suite_s": round(per, 9),
+                        "kernel_warm_s": round(warm, 1),
+                        "kernel_correct": ok,
+                        "mode": "tpu object DSL wall (dispatch included); "
+                                "chained-loop kernel as sub-metric"})
     else:
-        t0 = time.perf_counter()
-        i, j, k, l, m = xe.indices(5)
-        B = Tensor.random([40, 30, 20])
-        C = Tensor.random([30, 40, 20])
-        A = Tensor()
-        A(i, j) << B(i, k, l) * C(k, j, l)
-        chain = [Tensor.random([30, 30]) for _ in range(8)]
-        out = Tensor()
-        idxs = xe.indices(9)
-        expr = chain[0](idxs[0], idxs[1])
-        for p in range(1, 8):
-            expr = expr * chain[p](idxs[p], idxs[p + 1])
-        out(idxs[0], idxs[8]) << expr
-        ref = chain[0].to_ndarray()
-        for p in range(1, 8):
-            ref = ref @ chain[p].to_ndarray()
-        ok = bool(np.allclose(out.to_ndarray(), ref, atol=1e-10))
+        wall, out_arr, ref = dsl_suite()
+        ok = bool(np.allclose(out_arr, ref, atol=1e-10))
         results.append({"workload": "einsum_chain_suite",
-                        "seconds": round(time.perf_counter() - t0, 3),
+                        "seconds": round(wall, 3),
                         "correct": ok})
 
     # -- workload 3: d=10 Poisson ALS solve ------------------------------

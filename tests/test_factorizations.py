@@ -96,6 +96,46 @@ def test_cq_rank_revealing():
     assert np.allclose(q @ q.T, np.eye(3), atol=1e-12)
 
 
+def test_qc_cq_pivoted_qr_method_parity(monkeypatch):
+    """method='qrp' (genuine dgeqp3-semantics pivoted Householder QR,
+    ops/pivoted_qr.py — the reference's blasLapackWrapper.cpp:262-361
+    path) must make the SAME rank decisions as the default SVD rule and
+    produce exact rank-revealing factorizations (VERDICT r2 item #8)."""
+    monkeypatch.setattr(fact, "_QC_METHOD", "qrp")
+    for lhs, rhs, true_rank in ((6, 8, 3), (9, 5, 2), (7, 7, 7)):
+        a = (xe.misc.randomEngine.normal(size=(lhs, true_rank))
+             @ xe.misc.randomEngine.normal(size=(true_rank, rhs)))
+        t = Tensor.from_ndarray(a)
+        Q, C = fact.calculate_qc(t, 1)
+        assert Q.dimensions[-1] == true_rank
+        assert xe.approx_equal(xe.contract(Q, C, 1), t, 1e-12)
+        q = Q.to_ndarray()
+        assert np.allclose(q.T @ q, np.eye(true_rank), atol=1e-12)
+        C2, Q2 = fact.calculate_cq(t, 1)
+        assert C2.dimensions[-1] == true_rank
+        assert xe.approx_equal(xe.contract(C2, Q2, 1), t, 1e-12)
+        q2 = Q2.to_ndarray()
+        assert np.allclose(q2 @ q2.T, np.eye(true_rank), atol=1e-12)
+
+
+def test_pivoted_qr_kernel_contract():
+    """householder_qrp: exact A[:, perm] = Q R, orthonormal Q,
+    non-increasing |diag(R)| (the pivoting invariant the rank rule
+    relies on), rectangular both ways."""
+    from xerus_tpu.ops.pivoted_qr import householder_qrp
+    import jax
+    import jax.numpy as jnp
+    for m, n in ((12, 7), (7, 12), (16, 16)):
+        a = xe.misc.randomEngine.normal(size=(m, n))
+        q, r, perm = jax.jit(householder_qrp)(jnp.asarray(a))
+        q, r, perm = np.asarray(q), np.asarray(r), np.asarray(perm)
+        assert np.allclose(a[:, perm], q @ r, atol=1e-12)
+        assert np.allclose(q.T @ q, np.eye(q.shape[1]), atol=1e-12)
+        d = np.abs(np.diag(r))
+        assert np.all(d[:-1] >= d[1:] - 1e-12)
+        assert sorted(perm.tolist()) == list(range(n))
+
+
 def test_pseudo_inverse():
     t = _rand([5, 3])
     pinv = fact.pseudo_inverse(t, 1)

@@ -17,6 +17,7 @@ Truncation semantics match the reference exactly:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -140,6 +141,33 @@ def calculate_rq(t: Tensor, split_pos: int) -> Tuple[Tensor, Tensor]:
 
 _QC_RANK_EPS_MULT = 16.0
 
+# QC/CQ dense method: 'svd' (default) or 'qrp' (genuine column-pivoted
+# Householder QR, ops/pivoted_qr.py — the reference's dgeqp3 path,
+# blasLapackWrapper.cpp:262-361).  Measured (doc/performance.md): the
+# jitted pivoted loop loses to one LAPACK/XLA SVD call on BOTH backends
+# (CPU f64 256x256: 93 ms vs 15 ms; v5e f32: see the benchmark note), so
+# the SVD rank rule stays the winner; 'qrp' is kept for exact dgeqp3
+# semantics (identical rank decisions, tested in test_factorizations).
+_QC_METHOD = os.environ.get("XERUS_TPU_QC_METHOD", "svd")
+
+
+def _qc_dense_factor(a, lhs_size: int, rhs_size: int):
+    """Rank-revealing split of a dense (lhs, rhs) matrix: returns
+    (basis, coeff, rank) with a = basis[:, :rank] @ coeff[:rank] and
+    basis having orthonormal columns."""
+    if _QC_METHOD == "qrp":
+        from ..ops.pivoted_qr import qrp
+        q, r, perm = qrp(a)
+        diag = np.abs(np.asarray(jnp.diagonal(r)))
+        cutoff = (_QC_RANK_EPS_MULT
+                  * float(np.finfo(config.value_dtype).eps) * float(diag[0]))
+        rank = max(int(np.sum(diag >= cutoff)), 1) if diag[0] > 0 else 1
+        inv = jnp.argsort(perm)
+        return q, r[:, inv], rank
+    u, s, vt = _svd_jit(a)
+    rank = _revealed_rank(np.asarray(s))
+    return u, s[:, None] * vt, rank
+
 
 def _revealed_rank(s_host: np.ndarray) -> int:
     """Rank rule of blasLapackWrapper.cpp:268-273 applied to singular values."""
@@ -168,10 +196,10 @@ def calculate_qc(t: Tensor, split_pos: int) -> Tuple[Tensor, Tensor]:
     a = t.to_jax(apply_factor=False).reshape(lhs_size, rhs_size)
     with pa_section("Dense LAPACK", "QRP Factorisation",
                     f"{lhs_size}x{rhs_size}"):
-        u, s, vt = _svd_jit(a)
-        rank = _revealed_rank(np.asarray(s))
-    Q = Tensor.from_jax(u[:, :rank].reshape(t.dimensions[:split_pos] + [rank]))
-    C = Tensor.from_jax((s[:rank, None] * vt[:rank, :]).reshape(
+        basis, coeff, rank = _qc_dense_factor(a, lhs_size, rhs_size)
+    Q = Tensor.from_jax(basis[:, :rank].reshape(
+        t.dimensions[:split_pos] + [rank]))
+    C = Tensor.from_jax(coeff[:rank, :].reshape(
         [rank] + t.dimensions[split_pos:]))
     C.factor = t.factor
     return Q, C
@@ -200,11 +228,11 @@ def calculate_cq(t: Tensor, split_pos: int) -> Tuple[Tensor, Tensor]:
     a = t.to_jax(apply_factor=False).reshape(lhs_size, rhs_size)
     with pa_section("Dense LAPACK", "QRP Factorisation",
                     f"{lhs_size}x{rhs_size}"):
-        u, s, vt = _svd_jit(a)
-        rank = _revealed_rank(np.asarray(s))
-    C = Tensor.from_jax((u[:, :rank] * s[None, :rank]).reshape(
+        basis, coeff, rank = _qc_dense_factor(a.T, rhs_size, lhs_size)
+    C = Tensor.from_jax(coeff[:rank, :].T.reshape(
         t.dimensions[:split_pos] + [rank]))
-    Q = Tensor.from_jax(vt[:rank, :].reshape([rank] + t.dimensions[split_pos:]))
+    Q = Tensor.from_jax(basis[:, :rank].T.reshape(
+        [rank] + t.dimensions[split_pos:]))
     C.factor = t.factor
     return C, Q
 
