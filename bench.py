@@ -164,6 +164,38 @@ def main() -> None:
     flops = round_flops(shapes, TARGET)   # useful (unpadded) flops
     tflops = flops / tpu_time / 1e12
 
+    # certified GEMM-only exact truncation (method='gemm_exact': Aitken-
+    # certified subspace iteration, fused Pallas kernel on aligned
+    # shapes; passes the same rtol-1e-8 oracles vs the SVD chain).  On
+    # THIS instance — a random TT whose cut-adjacent singular values are
+    # Marchenko-Pastur-tight (ratio ~1.004-1.03) — certification costs
+    # ~20-65 outer iterations per bond, the same physics that makes the
+    # f32 QDWH/Jacobi SVD cost ~2.4 ms at min-dim 256; see the
+    # decaying-spectrum row below for the regime where the certified
+    # iteration wins.
+    def gemm_exact_kernel(cs):
+        return tuple(_round_sweep_segmented(list(cs), [TARGET] * (D - 1),
+                                            0.0, "gemm_exact"))
+
+    ge_time = _time_looped(gemm_exact_kernel, dev_cores, ITERS)
+    ge_tflops = flops / ge_time / 1e12
+
+    # decaying-spectrum instance (solver-iterate-like: bond spectra with
+    # healthy gaps — the common case in ALS/ADF/DMRG pipelines, where
+    # iterates have rapidly decaying singular values).  Same shapes and
+    # flop accounting; exp(-6 j / r) bond decay.
+    decay_cores = []
+    for c in host_cores:
+        rl, n, rr = c.shape
+        dl = np.exp(-6.0 * np.arange(rl) / RANK).astype(dtype)
+        dr = np.exp(-6.0 * np.arange(rr) / RANK).astype(dtype)
+        decay_cores.append(c * dl[:, None, None] * dr[None, None, :])
+    decay_dev = tuple(jnp.asarray(c) for c in decay_cores)
+    ge_decay_time = _time_looped(gemm_exact_kernel, decay_dev, ITERS)
+    ge_decay_tflops = flops / ge_decay_time / 1e12
+    svd_decay_time = _time_looped(det_kernel, decay_dev, ITERS)
+    svd_decay_tflops = flops / svd_decay_time / 1e12
+
     # deterministic GEMM-only subspace truncation (no SVD/eigh in the
     # sweep; within 3% of the exact-SVD truncation error, see
     # _trunc_step_subspace)
@@ -368,6 +400,12 @@ def main() -> None:
         "vs_baseline": round(cpu_best / best_time, 2),
         "deterministic_segmented_time_s": round(tpu_time, 6),
         "deterministic_segmented_tflops": round(tflops, 4),
+        "deterministic_gemm_exact_time_s": round(ge_time, 6),
+        "deterministic_gemm_exact_tflops": round(ge_tflops, 4),
+        "deterministic_gemm_exact_decay_time_s": round(ge_decay_time, 6),
+        "deterministic_gemm_exact_decay_tflops": round(ge_decay_tflops, 4),
+        "deterministic_svd_decay_time_s": round(svd_decay_time, 6),
+        "deterministic_svd_decay_tflops": round(svd_decay_tflops, 4),
         "deterministic_subspace_time_s": round(sub_time, 6),
         "deterministic_subspace_tflops": round(sub_tflops, 4),
         "deterministic_parallel_time_s": round(subpar_time, 6),

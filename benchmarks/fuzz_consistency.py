@@ -485,6 +485,42 @@ def trial_stacks_decomp(seed: int) -> list:
     return fails
 
 
+def trial_round_methods(seed: int) -> list:
+    """Seventh tier: round_fast method portfolio consistency on random
+    instances — the certified GEMM-only exact method must match the SVD
+    chain's truncation error at oracle tolerance (rtol 1e-8; its
+    Eckart-Young certificate claims exactness-to-roundoff), and the
+    quasi-optimal methods must stay within their documented bounds."""
+    rng = np.random.default_rng(seed)
+    xe.set_seed(seed)
+    fails = []
+
+    def check(name, ok):
+        if not ok:
+            fails.append(name)
+
+    d = int(rng.integers(4, 8))
+    n = int(rng.integers(2, 4))
+    r = int(rng.integers(3, 9))
+    tgt = int(rng.integers(2, max(r - 1, 3)))
+    tt = TTTensor.random([n] * d, r)
+    dense = tt.to_tensor().to_ndarray()
+
+    a = tt.copy(); a.round_fast(tgt, method="svd")
+    b = tt.copy(); b.round_fast(tgt, method="gemm_exact")
+    b.require_correct_format()
+    e_svd = np.linalg.norm(a.to_tensor().to_ndarray() - dense)
+    e_ge = np.linalg.norm(b.to_tensor().to_ndarray() - dense)
+    check("gemm_exact_matches_svd",
+          np.isclose(e_ge, e_svd, rtol=1e-8, atol=1e-12))
+    check("gemm_exact_ranks", b.ranks() == a.ranks())
+
+    c = tt.copy(); c.round_fast(tgt, method="subspace")
+    e_sub = np.linalg.norm(c.to_tensor().to_ndarray() - dense)
+    check("subspace_quasi_optimal", e_sub <= 1.1 * e_svd + 1e-10)
+    return fails
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     base = int(sys.argv[2]) if len(sys.argv) > 2 else 0xF022
@@ -493,7 +529,7 @@ def main():
         seed = base + t
         for fn in (trial, trial_structural, trial_dsl_solvers,
                    trial_eps_rounding, trial_eigen_ops,
-                   trial_stacks_decomp):
+                   trial_stacks_decomp, trial_round_methods):
             try:
                 fails = fn(seed)
             except Exception as e:  # noqa: BLE001 - report and continue
