@@ -171,6 +171,23 @@ def test_adf_adaptive_device_run_matches_host_quality():
     xc.require_correct_format()
 
 
+def test_adf_adaptive_device_run_rank_one():
+    """Rank-one measurement sets route through the same adaptive device
+    program (masked rank-one gradient + global step size)."""
+    xe.set_seed(0xBAADF00D + 9)
+    dims = [3] * 4
+    truth = TTTensor.random(dims, 2)
+    truth /= truth.frob_norm()
+    ms = RankOneMeasurementSet.random(200, dims)
+    ms.measure(truth)
+    x = TTTensor.random(dims, 1)
+    r = xe.ADFVariant(400, 1e-8, 0.9999)(x, ms, max_ranks=[2] * 3,
+                                         check_every="device")
+    x.require_correct_format()
+    assert x.ranks() == [2, 2, 2]
+    assert r < 1e-7 and ms.test(x) < 1e-7
+
+
 def test_adf_rank_bump_survives_f32_epsilon():
     """The ADF rank bump adds a small random rank-1 term then rounds to
     max_ranks (adf.cpp:589-601).  Under the f32 TPU mode, config.epsilon

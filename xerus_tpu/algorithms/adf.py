@@ -334,8 +334,11 @@ class _InternalSolver:
         d = self.d
         caps = tuple(self.max_ranks)
         dims = [c.dimensions[1] for c in self.x.components]
-        onehots = build_onehots(np.asarray(self.meas.positions), dims,
-                                np.dtype(config.value_dtype))
+        if self.rank_one:
+            onehots = tuple(jnp.asarray(w) for w in self.meas.positions)
+        else:
+            onehots = build_onehots(np.asarray(self.meas.positions), dims,
+                                    np.dtype(config.value_dtype))
         dt = np.dtype(config.value_dtype)
         padded = []
         for k, c in enumerate(self.x.components):
@@ -350,7 +353,8 @@ class _InternalSolver:
         CAP = 512
         shapes_key = tuple(tuple(c.shape) for c in padded)
         fn = make_adf_adaptive_run(shapes_key, str(padded[0].dtype), CAP,
-                                   caps, float(bump))
+                                   caps, float(bump),
+                                   rank_one=self.rank_one)
         nv = self.norm_values
         cores = tuple(padded)
         while self.v.maxIterations == 0 or self.iteration < self.v.maxIterations:
@@ -384,7 +388,7 @@ class _InternalSolver:
     def solve(self) -> float:
         self.perf.start()
         if (getattr(self, "check_every", 1) == "device"
-                and not self.rank_one and getattr(self, "mesh", None) is None
+                and getattr(self, "mesh", None) is None
                 and list(self.x.ranks()) != list(self.max_ranks)):
             return self._solve_adaptive_device()
         self.x.canonicalize_left()

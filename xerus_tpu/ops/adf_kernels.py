@@ -226,8 +226,13 @@ def _bond_masks(ranks, caps):
             enumerate(caps)]
 
 
-def _adf_iteration_masked(cores, onehots, values, ranks, caps, dtype):
+def _adf_iteration_masked(cores, onehots, values, ranks, caps, dtype,
+                          rank_one: bool = False):
     """One ADF iteration at PADDED shapes with live-rank masks.
+    ``rank_one`` switches to the rank-one-measurement gradient/global
+    step size (the _adf_iteration_rankone semantics); the masking
+    discipline is identical — gradients inherit exact zeros on dead
+    slots from the masked stacks.
 
     Invariant: every core enters with exactly-zero dead bond slots
     (beyond ``ranks``).  The stacks, gradients and step sizes then stay
@@ -258,14 +263,25 @@ def _adf_iteration_masked(cores, onehots, values, ranks, caps, dtype):
         if cp == 0:
             residual0 = jnp.linalg.norm(res)
         outer = jnp.einsum("m,ma,mb->mab", res, F, B[cp + 1])
-        grad_by_slice = jnp.einsum("mn,mab->nab", onehots[cp], outer)
-        grad = jnp.transpose(grad_by_slice, (1, 0, 2))
-        Ggath = jnp.einsum("mn,nab->mab", onehots[cp], grad_by_slice)
-        val = jnp.einsum("ma,mab,mb->m", F, Ggath, B[cp + 1])
-        norms = jnp.einsum("mn,m->n", onehots[cp], val * val)
-        PyR = jnp.sum(grad_by_slice * grad_by_slice, axis=(1, 2))
-        alpha = jnp.where(norms > 0, PyR / jnp.maximum(norms, 1e-300), 0.0)
-        new_core = cores[cp] + alpha[None, :, None] * grad
+        if rank_one:
+            grad = jnp.einsum("mab,mn->anb", outer, onehots[cp])
+            val = jnp.einsum("ma,mab,mb->m", F, _site(onehots[cp], grad),
+                             B[cp + 1])
+            denom = jnp.sum(val * val)
+            alpha_g = jnp.where(denom > 0,
+                                jnp.sum(grad * grad)
+                                / jnp.maximum(denom, 1e-300), 0.0)
+            new_core = cores[cp] + alpha_g * grad
+        else:
+            grad_by_slice = jnp.einsum("mn,mab->nab", onehots[cp], outer)
+            grad = jnp.transpose(grad_by_slice, (1, 0, 2))
+            Ggath = jnp.einsum("mn,nab->mab", onehots[cp], grad_by_slice)
+            val = jnp.einsum("ma,mab,mb->m", F, Ggath, B[cp + 1])
+            norms = jnp.einsum("mn,m->n", onehots[cp], val * val)
+            PyR = jnp.sum(grad_by_slice * grad_by_slice, axis=(1, 2))
+            alpha = jnp.where(norms > 0,
+                              PyR / jnp.maximum(norms, 1e-300), 0.0)
+            new_core = cores[cp] + alpha[None, :, None] * grad
         if cp + 1 < d:
             rl, n, rr = new_core.shape
             q, r = jnp.linalg.qr(new_core.reshape(rl * n, rr))
@@ -331,7 +347,7 @@ def _bump_cores(cores, ranks, caps, key, scale, dtype):
 @lru_cache(maxsize=32)
 def make_adf_adaptive_run(shapes_key, dtype_str: str, max_iters: int,
                           caps: Tuple[int, ...], bump_scale: float,
-                          seed: int = 0):
+                          seed: int = 0, rank_one: bool = False):
     """The WHOLE rank-adaptive ADF solve (adf.cpp:541-601) as ONE XLA
     program: fixed-rank while_loop solves AND the rank bumps between
     them run device-resident, with cores padded to the ``caps`` rank
@@ -346,7 +362,7 @@ def make_adf_adaptive_run(shapes_key, dtype_str: str, max_iters: int,
     rank-1 term into the dead pad slots (_bump_cores), resets the
     stagnation window, and keeps iterating — no host round trip.
 
-    Point measurements only.  Returns (cores, ranks, hist, count)."""
+    Returns (cores, ranks, hist, count)."""
     from .tt_kernels import jit_f32
 
     def run(cores, onehots, values, target, min_decrease, ranks0, last0,
@@ -366,7 +382,7 @@ def make_adf_adaptive_run(shapes_key, dtype_str: str, max_iters: int,
         def body(carry):
             cs, hist, i, res_dec, last, ranks, key, _done = carry
             new, res0 = _adf_iteration_masked(cs, onehots, values, ranks,
-                                              caps, dtype)
+                                              caps, dtype, rank_one)
             new = _canonicalize_left_masked(new, ranks, caps, dtype)
             hist = hist.at[i].set(res0)
             ratio = jnp.minimum(res0 / jnp.where(last > 0, last, 1.0), 1.0)

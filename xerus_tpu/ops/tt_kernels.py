@@ -1063,6 +1063,14 @@ def _gemm_exact_body(cur, col_mask, dtype, tiny, max_outer: int,
             ok, jnp.logical_or(
                 I_t <= noise_floor * tau_s,
                 jnp.maximum(bound, I_t) <= stag_tol * tau_s))
+        # global capture-complete certificate: tau is a TRUE monotone
+        # lower bound on the captured energy, so tau >= (1-16eps) tr(G)
+        # bounds the truncation error at the noise floor REGARDLESS of
+        # how the basis got there (covers the overranked-representation
+        # case, where the kept tail is representation noise whose
+        # near-parallel power images no orthogonalizer can certify)
+        certified = jnp.logical_or(
+            certified, trG - tau2 <= 16.0 * jnp.finfo(dtype).eps * trG)
         # only power outers may certify (a mis-aimed Chebyshev step has
         # flat improvements for the wrong reason); Chebyshev outers
         # leave the stall count and the rate history untouched
@@ -1095,9 +1103,34 @@ def _gemm_exact_body(cur, col_mask, dtype, tiny, max_outer: int,
     V, tau = jax.lax.fori_loop(0, polish_steps, polish, (V, tau))
 
     vt_raw = V.T @ cur                                    # (keep_cap, M)
-    vt, ok = _ns_polar_rows(vt_raw, max_ns, dtype, rowmask=col_mask)
+    # row-balance before the polar: kept directions can span many
+    # orders (an overranked representation keeps near-zero directions),
+    # putting kappa beyond f32 Newton-Schulz range — scaling rows
+    # preserves the ROWSPACE, and the projection cur vt^T vt depends on
+    # nothing else, so the balance is mathematically free
+    rn = jnp.sqrt(jnp.sum(vt_raw * vt_raw, axis=1))
+    vt_bal = vt_raw / jnp.maximum(rn, tiny)[:, None]
+    vt0, okp = _ns_polar_rows(vt_bal, max_ns, dtype, rowmask=col_mask)
+
+    def qr_extract(_):
+        # Householder LQ fallback: near-parallel balanced rows (kept
+        # directions at representation-noise scale) or exactly-dead rows
+        # break the Newton-Schulz polar; QR of vt_bal^T gives orthonormal
+        # rows spanning rowspace(vt_raw) with junk-orthonormal completion
+        # — the same gauge freedom the reference SVD's zero-sigma rows
+        # have.  Only sound when the certificate already bounds the
+        # leftover mass (it gates the lax.cond below), since completion
+        # rows may overlap leftover cur rowspace at that noise scale.
+        q, _r = jnp.linalg.qr(vt_bal.T)
+        k = q.shape[1]
+        qt = q.T
+        if k < vt_bal.shape[0]:
+            qt = jnp.pad(qt, ((0, vt_bal.shape[0] - k), (0, 0)))
+        return qt
+
+    vt = jax.lax.cond(okp, lambda _: vt0, qr_extract, None)
     vt = vt * col_mask[:, None]
-    return vt, jnp.logical_and(ok, converged), it
+    return vt, converged, it
 
 
 def _gemm_exact_tuning(dtype):
