@@ -277,3 +277,53 @@ def test_find_root_bisection():
     import pytest
     with pytest.raises(ValueError):
         find_root_bisection(lambda x: x * x + 1.0, -1, 1)
+
+
+def test_reference_binding_exact_names():
+    """The reference python module's exact (camelCase) names resolve:
+    python/tensorNetwork.cpp:41-121 (nodes/externalLinks/tensorObject/
+    TensorNetworkLink.indexPosition, contract overloads),
+    python/leastSquares.cpp:36-79 (PerformanceData.data/errorFunction,
+    DataPoint fields), python/factorizations.cpp:31 (TensorFactorisation),
+    python/indexedTensor.cpp:36,119 (__div__)."""
+    import numpy as np
+    import xerus_tpu as xe
+
+    assert xe.TensorFactorisation is not None
+    assert xe.TensorNetworkLink is xe.network.network.Link
+
+    tn = xe.TTTensor.random([2, 2, 2], 2).copy_as_network()
+    assert len(tn.externalLinks) == 3
+    nd = tn.nodes[1]
+    assert nd.tensorObject is nd.tensor
+    lk = next(l for l in nd.neighbors if not l.external)
+    assert lk.indexPosition == lk.index_position
+
+    # contract(id1, id2) and contract(set) overloads
+    t2 = xe.TTTensor.random([2, 2, 2], 2)
+    tn2 = t2.copy_as_network()
+    alive = [i for i, n in enumerate(tn2.nodes) if not n.erased]
+    sid = tn2.contract(set(alive))
+    full = tn2.nodes[sid].tensor.to_ndarray().reshape(-1)
+    ref = t2.to_tensor().to_ndarray().reshape(-1)
+    assert np.allclose(full, ref, atol=1e-10)
+
+    pd = xe.PerformanceData()
+    pd.errorFunction = lambda x: 0.5
+    assert pd.error_function(None) == 0.5
+    pd.start()
+    pd.add(1.0, x=xe.TTTensor.random([2, 2], 1))
+    p = pd.data[0]
+    assert p.iterationCount == p.iteration
+    assert p.elapsedTime == p.elapsed_time
+    assert p.error == 0.5
+
+    i = xe.Index()
+    half = i.__div__(2)
+    assert half.fractional_span and half.span == 2
+
+    A = xe.Tensor.random([3, 3])
+    out = xe.Tensor([3, 3])
+    j, k = xe.indices(2)
+    out(j, k) << A(j, k).__div__(2.0)
+    assert np.allclose(out.to_ndarray(), A.to_ndarray() / 2.0, atol=1e-12)

@@ -18,7 +18,9 @@ from .core import (Tensor, Representation, Initialisation, reshuffle,
                    solve_least_squares)
 from .core import entrywise_product as _tensor_entrywise_product
 from .indexing import Index, indices, SVD, QR, RQ, QC, CQ
-from .network import TensorNetwork
+from .indexing import Factorisation as TensorFactorisation
+from .network import TensorNetwork, TensorNode
+from .network import Link as TensorNetworkLink
 from .tt import (TTNetwork, TTTensor, TTOperator, dyadic_product,
                  apply_operator)
 from .tt import entrywise_product as _tt_entrywise_product
@@ -34,7 +36,7 @@ from .misc import (FileFormat, save_to_file, load_from_file, LogHistogram,
                    set_seed, log, xethrow)
 from .core import serialization as _serialization  # registers Tensor I/O
 
-from .algorithms import (PerformanceData, NoPerfData, ALSVariant, ALS,
+from .algorithms import (PerformanceData, NoPerfData, DataPoint, ALSVariant, ALS,
                          ALS_SPD, ALS_SPD_CG, DMRG, DMRG_SPD, ASD, ASD_SPD,
                          SinglePointMeasurementSet, RankOneMeasurementSet,
                          ADFVariant, ADF, TTTangentVector,

@@ -26,6 +26,16 @@ class DataPoint:
         self.ranks = ranks
         self.flags = flags
 
+    @property
+    def iterationCount(self):
+        """Reference field name (performanceData.h:46)."""
+        return self.iteration
+
+    @property
+    def elapsedTime(self):
+        """Reference field name (performanceData.h:47)."""
+        return self.elapsed_time
+
 
 class PerformanceData:
     def __init__(self, active: bool = True, print_progress: bool = False,
@@ -47,6 +57,16 @@ class PerformanceData:
 
     def __bool__(self) -> bool:
         return self.active
+
+    @property
+    def errorFunction(self) -> Optional[Callable]:
+        """Reference binding name (python/leastSquares.cpp:41-46): the
+        per-datapoint error callback ``f(x) -> float``."""
+        return self.error_function
+
+    @errorFunction.setter
+    def errorFunction(self, f: Optional[Callable]) -> None:
+        self.error_function = f
 
     def __lshift__(self, text) -> "PerformanceData":
         """Append free-form text to the header block (the reference's

@@ -46,6 +46,9 @@ class Expression:
             return SolveExpr(A=other, b=self)  # x(i) << b(j) / A(j,i)
         return NotImplemented
 
+    # reference binding name (python/indexedTensor.cpp:119)
+    __div__ = __truediv__
+
     def __add__(self, other):
         if isinstance(other, Expression):
             return Sum.of(self, 1.0, other, 1.0)

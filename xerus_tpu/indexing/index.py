@@ -45,6 +45,10 @@ class Index:
     def __truediv__(self, denom: int) -> "Index":
         return Index(self.value_id, int(denom), _fractional=True)
 
+    # reference binding name (python/indexedTensor.cpp:36, a py2-era
+    # protocol slot exposed as a plain method there)
+    __div__ = __truediv__
+
     # -- queries ---------------------------------------------------------
     def fixed(self) -> bool:
         return self.fixed_position is not None

@@ -37,6 +37,11 @@ class Link:
     def links(self, node_id: int) -> bool:
         return (not self.external) and self.other == node_id
 
+    @property
+    def indexPosition(self) -> int:
+        """Reference binding name (python/tensorNetwork.cpp:118)."""
+        return self.index_position
+
     def __repr__(self) -> str:
         kind = "ext" if self.external else "node"
         return f"Link({kind} {self.other}@{self.index_position}, dim={self.dimension})"
@@ -62,6 +67,12 @@ class TensorNode:
         self.tensor = None
         self.neighbors = []
         self.erased = True
+
+    @property
+    def tensorObject(self) -> Optional[Tensor]:
+        """Reference binding name (python/tensorNetwork.cpp:103): the
+        node's tensor, or None for an erased node."""
+        return self.tensor
 
 
 class TensorNetwork:
@@ -458,6 +469,20 @@ class TensorNetwork:
         for x, y in order:
             self.contract_pair(x, y)
         return order[-1][0]
+
+    def contract(self, a, b: Optional[int] = None):
+        """Reference-name overload (python/tensorNetwork.cpp:92-93):
+        ``contract(id1, id2)`` contracts one node pair in place;
+        ``contract(ids)`` contracts a node set and returns the surviving
+        node id (tensorNetwork.cpp:1037 / :1253)."""
+        if b is not None:
+            return self.contract_pair(int(a), int(b))
+        return self.contract_ids(set(a))
+
+    @property
+    def externalLinks(self) -> List[Link]:
+        """Reference binding name (python/tensorNetwork.cpp:47)."""
+        return self.external_links
 
     def _contraction_order(self, ids: Set[int]) -> List[Tuple[int, int]]:
         from .heuristics import best_contraction_order
