@@ -9,7 +9,7 @@ full object-level API the way a user would; it runs anywhere (CPU or TPU).
   4. Two-site DMRG ground state of the d=32 Heisenberg chain (adaptive rank)
   5. ADF completion + largest-entry search
 
-Usage: python benchmarks/all_workloads.py [--cpu|--tpu]
+Usage: python benchmarks/all_workloads.py [--cpu|--tpu] [--only N[,M...]]
 
 Each workload re-seeds (0xBAADF00D + workload index) so the instances are
 IDENTICAL across modes (BASELINE.md measurement rules).
@@ -45,13 +45,21 @@ if TPU_MODE:
 
 import numpy as np
 
-# --only 3 / --only 1,5: run a subset of the five workloads (each block
-# re-seeds independently, so subsets measure the identical instances).
+# --only 3 / --only 1,5 / --only=1,5: run a subset of the five workloads
+# (each block re-seeds independently, so subsets measure the identical
+# instances).
 _ONLY = None
 for _k, _a in enumerate(sys.argv):
-    if _a.startswith("--only"):
-        _v = _a.split("=", 1)[1] if "=" in _a else sys.argv[_k + 1]
-        _ONLY = {int(x) for x in _v.split(",")}
+    if _a == "--only" or _a.startswith("--only="):
+        if "=" in _a:
+            _v = _a.split("=", 1)[1]
+        elif _k + 1 < len(sys.argv):
+            _v = sys.argv[_k + 1]
+        else:
+            sys.exit("usage: --only N[,M...] with N in 1..5")
+        _ONLY = {int(x) for x in _v.split(",") if x.strip()}
+        if not _ONLY or not _ONLY <= {1, 2, 3, 4, 5}:
+            sys.exit(f"usage: --only N[,M...] with N in 1..5 (got {_v!r})")
 
 
 def _want(n: int) -> bool:

@@ -953,9 +953,13 @@ def _ns_polar_rows(Y, max_it: int, dtype, rowmask=None,
 def _gemm_exact_body(cur, col_mask, dtype, tiny, max_outer: int,
                      max_ns: int, polish_steps: int, stall_need: int):
     """Core of the certified GEMM-only truncation (see
-    _trunc_step_gemm_exact): returns (vt, ok).  Pure GEMM + elementwise
-    + reductions + jax control flow — deliberately expressible both as
-    a plain XLA computation AND inside a Pallas TPU kernel (the v5e
+    _trunc_step_gemm_exact): returns (vt0, vt_bal, okp, converged, it)
+    — vt0 is the Newton-Schulz polar extraction (valid iff okp), vt_bal
+    the row-balanced projection it was built from (the caller's
+    Householder-LQ fallback input, _finish_gemm_exact).  Pure GEMM +
+    elementwise + reductions + jax control flow — deliberately
+    expressible both as a plain XLA computation AND inside a Pallas TPU
+    kernel (the v5e
     per-op dispatch overhead, not FLOPs, dominates the XLA form: an
     in-kernel 256^3 highest-precision matmul measures ~0.4 us vs ~2-4 us
     as a standalone XLA op inside a scan body)."""
@@ -1111,16 +1115,29 @@ def _gemm_exact_body(cur, col_mask, dtype, tiny, max_outer: int,
     rn = jnp.sqrt(jnp.sum(vt_raw * vt_raw, axis=1))
     vt_bal = vt_raw / jnp.maximum(rn, tiny)[:, None]
     vt0, okp = _ns_polar_rows(vt_bal, max_ns, dtype, rowmask=col_mask)
+    # NOTE: the Householder-LQ extraction fallback for okp=False lives
+    # in _finish_gemm_exact at XLA level — this body is traced inside a
+    # Pallas TPU kernel (_gemm_exact_pallas_call) and Mosaic cannot
+    # lower the qr primitive (BENCH_r03 crash).  The body must stay
+    # GEMM + elementwise + jax control flow ONLY; a CPU jaxpr-guard
+    # test (tests/test_pallas_lowering.py) enforces this.
+    return vt0, vt_bal, okp, converged, it
 
+
+def _finish_gemm_exact(vt0, vt_bal, okp, col_mask):
+    """XLA-level completion of the certified GEMM truncation: when the
+    Newton-Schulz polar failed (okp=False), extract orthonormal rows by
+    Householder LQ.  Near-parallel balanced rows (kept directions at
+    representation-noise scale) or exactly-dead rows break the NS polar;
+    QR of vt_bal^T gives orthonormal rows spanning rowspace(vt_raw) with
+    junk-orthonormal completion — the same gauge freedom the reference
+    SVD's zero-sigma rows have.  Only sound when the certificate already
+    bounds the leftover mass (the caller's converged flag gates the
+    gemm-vs-svd dispatch), since completion rows may overlap leftover
+    cur rowspace at that noise scale.  Hoisted OUT of _gemm_exact_body:
+    qr does not lower through Mosaic, so the fallback must run outside
+    the Pallas kernel."""
     def qr_extract(_):
-        # Householder LQ fallback: near-parallel balanced rows (kept
-        # directions at representation-noise scale) or exactly-dead rows
-        # break the Newton-Schulz polar; QR of vt_bal^T gives orthonormal
-        # rows spanning rowspace(vt_raw) with junk-orthonormal completion
-        # — the same gauge freedom the reference SVD's zero-sigma rows
-        # have.  Only sound when the certificate already bounds the
-        # leftover mass (it gates the lax.cond below), since completion
-        # rows may overlap leftover cur rowspace at that noise scale.
         q, _r = jnp.linalg.qr(vt_bal.T)
         k = q.shape[1]
         qt = q.T
@@ -1129,8 +1146,7 @@ def _gemm_exact_body(cur, col_mask, dtype, tiny, max_outer: int,
         return qt
 
     vt = jax.lax.cond(okp, lambda _: vt0, qr_extract, None)
-    vt = vt * col_mask[:, None]
-    return vt, converged, it
+    return vt * col_mask[:, None]
 
 
 def _gemm_exact_tuning(dtype):
@@ -1192,12 +1208,16 @@ def _trunc_step_gemm_exact(cur, keep, keep_cap: int, dtype, tiny,
         use_pallas = (jax.default_backend() == "tpu"
                       and _gemm_exact_pallas_ok((B, M), keep_cap))
     if use_pallas:
-        vt, okv = _gemm_exact_pallas_call(cur, keep, keep_cap, dtype,
-                                          tuning)
-        vt = vt * col_mask[:, None]
-        ok = okv[0, 0] > 0
+        vt0, vt_bal, okv = _gemm_exact_pallas_call(
+            cur, keep, keep_cap, dtype, tuning,
+            interpret=(use_pallas == "interpret"))
+        okp = okv[0, 0] > 0
+        ok = okv[0, 1] > 0
+        vt = _finish_gemm_exact(vt0, vt_bal, okp, col_mask)
     else:
-        vt, ok, _it = _gemm_exact_body(cur, col_mask, dtype, tiny, *tuning)
+        vt0, vt_bal, okp, ok, _it = _gemm_exact_body(
+            cur, col_mask, dtype, tiny, *tuning)
+        vt = _finish_gemm_exact(vt0, vt_bal, okp, col_mask)
 
     def gemm_out(_):
         US = (cur @ vt.T) * col_mask[None, :]
@@ -1209,37 +1229,49 @@ def _trunc_step_gemm_exact(cur, keep, keep_cap: int, dtype, tiny,
     return jax.lax.cond(ok, gemm_out, svd_fallback, None)
 
 
-def _gemm_exact_pallas_call(cur, keep, keep_cap: int, dtype, tuning):
+def _gemm_exact_pallas_call(cur, keep, keep_cap: int, dtype, tuning,
+                            interpret: bool = False):
     """One fused Pallas kernel for the whole certified truncation
     iteration: G, the basis and all carries stay in VMEM; ~25 outer
     steps of GEMM-only math cost ~0.4 us per 256^3 highest-precision
-    matmul in-kernel vs ~2-4 us each as standalone XLA ops."""
+    matmul in-kernel vs ~2-4 us each as standalone XLA ops.
+
+    Returns (vt0, vt_bal, okv) with okv[0] = [okp, converged, it]; the
+    Householder-LQ fallback for okp=False runs OUTSIDE the kernel
+    (_finish_gemm_exact) because Mosaic cannot lower qr.  ``interpret``
+    runs the same kernel in Pallas interpret mode for CPU parity tests
+    (tests/test_pallas_lowering.py)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     B, M = cur.shape
     tiny_v = 1e-30   # python scalar: a traced constant would be a
     # captured tracer, which pallas kernels reject
 
-    def kernel(keep_ref, cur_ref, vt_ref, ok_ref):
+    def kernel(keep_ref, cur_ref, vt_ref, vtb_ref, ok_ref):
         kp = keep_ref[0]
         cmask = (jax.lax.broadcasted_iota(jnp.int32, (1, keep_cap), 1)
                  < kp).astype(dtype)[0]
-        vt, ok, it = _gemm_exact_body(cur_ref[:], cmask, dtype, tiny_v,
-                                      *tuning)
-        vt_ref[:] = vt
-        ok_ref[0, 0] = ok.astype(jnp.int32)
-        ok_ref[0, 1] = it
+        vt0, vt_bal, okp, conv, it = _gemm_exact_body(
+            cur_ref[:], cmask, dtype, tiny_v, *tuning)
+        vt_ref[:] = vt0
+        vtb_ref[:] = vt_bal
+        ok_ref[0, 0] = okp.astype(jnp.int32)
+        ok_ref[0, 1] = conv.astype(jnp.int32)
+        ok_ref[0, 2] = it
 
-    vt, okv = pl.pallas_call(
+    vt0, vt_bal, okv = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((keep_cap, M), dtype),
-                   jax.ShapeDtypeStruct((1, 2), jnp.int32)),
+                   jax.ShapeDtypeStruct((keep_cap, M), dtype),
+                   jax.ShapeDtypeStruct((1, 3), jnp.int32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
+        interpret=interpret,
     )(jnp.asarray(keep, jnp.int32).reshape(1), cur)
-    return vt, okv
+    return vt0, vt_bal, okv
 
 
 def _trunc_step_full_cols(cur, keep, keep_cap: int, dtype):
