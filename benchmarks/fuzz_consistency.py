@@ -19,7 +19,15 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-jax.config.update("jax_platforms", "cpu")
+
+# --tpu: leave the session backend alone (opportunistic TPU runs — the
+# gemm_exact tier then exercises the REAL Mosaic Pallas kernel instead of
+# interpret mode).  Default: CPU, like the test suite.
+TPU_MODE = "--tpu" in sys.argv
+if TPU_MODE:
+    sys.argv.remove("--tpu")
+else:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -521,15 +529,107 @@ def trial_round_methods(seed: int) -> list:
     return fails
 
 
+def trial_round_spectra(seed: int) -> list:
+    """Eighth tier (VERDICT r3 #8): gemm_exact on ENGINEERED spectra —
+    cliff (sharp drop at the cut, the method's design target), overranked
+    (true rank below the target: polar failure + Householder-LQ fallback),
+    geometric decay — at the kernel level with use_pallas parity.  Off-TPU
+    the Pallas branch runs in interpret mode (same kernel trace Mosaic
+    compiles, tests/test_pallas_lowering.py); under --tpu it is the real
+    fused Mosaic kernel, so opportunistic TPU fuzz runs accumulate
+    production-regime evidence beyond the two bench rows."""
+    import jax.numpy as jnp
+    from xerus_tpu.ops import tt_kernels as tk
+
+    rng = np.random.default_rng(seed)
+    fails = []
+
+    def check(name, ok):
+        if not ok:
+            fails.append(name)
+
+    # MXU-aligned shapes (the _gemm_exact_pallas_ok gate) so the Pallas
+    # branch actually builds; keep below cap so col-masking is exercised.
+    B = 128 * int(rng.integers(1, 3))          # 128 or 256
+    M = B * int(rng.integers(1, 3))            # B or 2B
+    cap = 128
+    keep = int(rng.integers(cap // 2, cap))    # 64..127
+    kind = ("cliff", "overranked", "decay")[seed % 3]
+    if kind == "cliff":
+        gap = 10.0 ** rng.uniform(2, 6)
+        s = np.concatenate([np.linspace(gap, gap / 10.0, keep),
+                            np.full(B - keep, 1.0)])
+    elif kind == "overranked":
+        t = int(rng.integers(1, keep))
+        s = np.concatenate([np.linspace(10.0, 1.0, t),
+                            np.zeros(B - t)])
+    else:
+        s = 0.9 ** np.arange(B) * 10.0
+    U, _ = np.linalg.qr(rng.standard_normal((B, B)))
+    V, _ = np.linalg.qr(rng.standard_normal((M, B)))
+    A64 = (U * s) @ V.T
+    cur = jnp.asarray(A64, jnp.float32)
+    best = np.sqrt((np.sort(s)[::-1][keep:] ** 2).sum())
+    nrm = np.linalg.norm(A64)
+
+    pallas = None if TPU_MODE else "interpret"
+    with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+        us_p, vt_p = tk._trunc_step_gemm_exact(
+            cur, keep, cap, jnp.float32, 1e-30, use_pallas=pallas)
+        us_x, vt_x = tk._trunc_step_gemm_exact(
+            cur, keep, cap, jnp.float32, 1e-30, use_pallas=False)
+    rec_p = np.asarray(us_p, np.float64) @ np.asarray(vt_p, np.float64)
+    rec_x = np.asarray(us_x, np.float64) @ np.asarray(vt_x, np.float64)
+    err_p = np.linalg.norm(A64 - rec_p)
+    err_x = np.linalg.norm(A64 - rec_x)
+    # Eckart-Young optimality at f32 roundoff: the certificate bounds the
+    # leftover ENERGY (squared norm) at eps-level relative to ||A||^2, so
+    # the sound check is err^2 <= best^2 + c*eps*||A||^2 — NOT
+    # err <= best + c*eps*||A|| (for decaying spectra with small `best`
+    # the energy-level roundoff shows up as a few percent of `best`
+    # while staying at pure roundoff in energy).
+    eps32 = np.finfo(np.float32).eps
+    bound = np.sqrt(best ** 2 + 64 * eps32 * nrm ** 2)
+    check(f"gemm_exact_optimal_xla_{kind}", err_x <= bound)
+    check(f"gemm_exact_optimal_pallas_{kind}", err_p <= bound)
+    # branch parity: identical dispatch decisions + same-quality output
+    check(f"pallas_xla_err_parity_{kind}",
+          abs(err_p ** 2 - err_x ** 2) <= 64 * eps32 * nrm ** 2)
+    return fails
+
+
+TIERS = (trial, trial_structural, trial_dsl_solvers, trial_eps_rounding,
+         trial_eigen_ops, trial_stacks_decomp, trial_round_methods,
+         trial_round_spectra)
+
+
 def main():
+    # --tiers 8 / --tiers 1,7: run a tier subset (campaign runs on one
+    # new tier shouldn't pay for the other seven)
+    tiers = list(TIERS)
+    for k, a in enumerate(list(sys.argv)):
+        if a == "--tiers" or a.startswith("--tiers="):
+            if "=" in a:
+                v, rm = a.split("=", 1)[1], [a]
+            elif k + 1 < len(sys.argv):
+                v, rm = sys.argv[k + 1], [a, sys.argv[k + 1]]
+            else:
+                sys.exit("usage: --tiers N[,M...] with N in 1..8")
+            want = {int(x) for x in v.split(",") if x.strip()}
+            if not want or not want <= set(range(1, len(TIERS) + 1)):
+                sys.exit(f"usage: --tiers N[,M...] with N in 1..8 "
+                         f"(got {v!r})")
+            tiers = [TIERS[i - 1] for i in sorted(want)]
+            for x in rm:
+                sys.argv.remove(x)
+            break
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     base = int(sys.argv[2]) if len(sys.argv) > 2 else 0xF022
     bad = 0
     for t in range(n):
         seed = base + t
-        for fn in (trial, trial_structural, trial_dsl_solvers,
-                   trial_eps_rounding, trial_eigen_ops,
-                   trial_stacks_decomp, trial_round_methods):
+        for fn in tiers:
             try:
                 fails = fn(seed)
             except Exception as e:  # noqa: BLE001 - report and continue
