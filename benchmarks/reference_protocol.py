@@ -12,6 +12,15 @@ encodes the backend + dtype instead of compile flags (the config here is
 runtime, not compile-time — SURVEY.md section 5.6).
 
 Usage: python benchmarks/reference_protocol.py [--rounds N] [--out DIR]
+           [--max-steps N] [--tpu] [--problems a,b] [--solvers x,y]
+
+--tpu runs the protocol in a TPU session (profile xerus_tpu_tpu_f32):
+f32 value dtype (XERUS_TPU_NO_X64 — object-level f64 is unusable on this
+TPU, CLAUDE.md), problem construction under host(), solves on the
+device.  The object-level solvers dispatch one expression at a time
+through the ~150 ms-RTT tunnel, so pair --tpu with --max-steps and the
+--problems/--solvers filters (VERDICT r3 #6: a reduced tree is enough
+to make the committed-protocol claim backend-symmetric).
 """
 
 from __future__ import annotations
@@ -21,11 +30,20 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+TPU_MODE = "--tpu" in sys.argv
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if TPU_MODE:
+    os.environ["XERUS_TPU_NO_X64"] = "1"
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+else:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import xerus_tpu as xe  # noqa: E402
@@ -180,17 +198,31 @@ def main():
                     help="cap CG/SD iterations (0 = to convergence, the "
                          "reference's endless-loop behavior; use e.g. 40 "
                          "for a bounded validation run)")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run in a TPU session (see module docstring)")
+    ap.add_argument("--problems", default="",
+                    help="comma-separated problem-family filter")
+    ap.add_argument("--solvers", default="",
+                    help="comma-separated solver-name filter")
     args = ap.parse_args()
     global MAX_STEPS
     MAX_STEPS = args.max_steps
+    want_p = {p for p in args.problems.split(",") if p}
+    want_s = {s for s in args.solvers.split(",") if s}
+    from xerus_tpu.config import host
     profile = profile_name()
     print(f"running profile {profile}")
     for _ in range(args.rounds):
         for prob in problems():
-            A = [prob.get_a() for _ in range(NUM_SOLVES_PER_RUN)]
-            X = [prob.get_x() for _ in range(NUM_SOLVES_PER_RUN)]
-            B = [prob.get_b() for _ in range(NUM_SOLVES_PER_RUN)]
+            if want_p and prob.name not in want_p:
+                continue
+            with host():   # object-level construction off the device
+                A = [prob.get_a() for _ in range(NUM_SOLVES_PER_RUN)]
+                X = [prob.get_x() for _ in range(NUM_SOLVES_PER_RUN)]
+                B = [prob.get_b() for _ in range(NUM_SOLVES_PER_RUN)]
             for sname, solver in prob.solvers:
+                if want_s and sname not in want_s:
+                    continue
                 print(f"  solving {prob.name} with {sname}")
                 t0 = time.perf_counter()
                 speed = LogHistogram(HISTOGRAM_BASE_CONVERGENCE_RATES)
