@@ -360,6 +360,46 @@ def test_randomized_round_cholqr1_matches_householder_quality():
     assert all(bool(jnp.all(jnp.isfinite(c))) for c in r32)
 
 
+def test_randomized_round_precision_knobs():
+    """precision/gram_precision on _round_randomized (the bf16-pass
+    study knobs, VERDICT r3 #4): None must stay bit-identical to the
+    explicit 'highest' trace under the jit_f32 discipline (backward
+    compat with every existing call site), and lowered precisions must
+    stay quasi-optimal.  On CPU all f32 matmul precisions execute as
+    true f32, so 'default' is a pure API/trace test here; the measured
+    precision trade-offs live in doc/performance.md (TPU campaign)."""
+    import jax
+    from xerus_tpu.ops.tt_kernels import _round_randomized
+
+    rng = np.random.default_rng(11)
+    shapes = [(1, 2, 4), (4, 2, 16), (16, 2, 16), (16, 2, 4), (4, 2, 1)]
+    cs = tuple(jnp.asarray(rng.standard_normal(s), jnp.float32)
+               for s in shapes)
+    with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+        base = _round_randomized(cs, None, 8, 4, qr_method="cholqr1")
+        expl = _round_randomized(cs, None, 8, 4, qr_method="cholqr1",
+                                 precision="highest",
+                                 gram_precision="highest")
+        low = _round_randomized(cs, None, 8, 4, qr_method="cholqr1",
+                                precision="default",
+                                gram_precision="high")
+    for b, e in zip(base, expl):
+        assert jnp.array_equal(b, e), "None must equal explicit highest"
+
+    def dense(cores):
+        t = np.asarray(cores[0], np.float64)
+        for c in cores[1:]:
+            t = np.einsum("...a,anb->...nb", t, np.asarray(c, np.float64))
+        return t.reshape(-1)
+
+    x = dense(cs)
+    for out in (base, low):
+        err = np.linalg.norm(dense(out) - x) / np.linalg.norm(x)
+        # rank 8 >= true max bond rank: representable, error at the f32
+        # cholqr1 floor (u*kappa^2 single-pass orthogonality, ~2e-5 here)
+        assert err < 1e-4, err
+
+
 def test_apply_operator_rounded_fused():
     """Fused MPO apply + randomized rounding (ops/apply_kernels.py): the
     (a*r)-rank product is never materialized; exact on representable

@@ -1639,7 +1639,8 @@ def make_timed_loop(kernel, iters: int):
 
 def _round_randomized(cores: Tuple[jnp.ndarray, ...], seeds: jnp.ndarray,
                       target_rank: int, oversample: int,
-                      qr_method: str = "householder"):
+                      qr_method: str = "householder",
+                      precision=None, gram_precision=None):
     """Randomized rounding to fixed target rank (Al Daas/Ballard-style
     'randomize-then-orthogonalize').
 
@@ -1648,12 +1649,27 @@ def _round_randomized(cores: Tuple[jnp.ndarray, ...], seeds: jnp.ndarray,
     (r n x l) panels.  No SVD sweep; error is quasi-optimal in expectation.
     This is a NEW TPU-first design — the reference only has the
     deterministic QR+SVD chain (tensorNetwork.cpp:678).
-    """
+
+    ``precision`` sets the matmul precision of the bulk GEMMs (sketch
+    build, panel build Y = G W, projection/carry updates); on the v5e MXU
+    None→trace default (jit_f32 kernels trace HIGHEST = 6 bf16 passes),
+    'high' = bf16x3 (3 passes), 'default' = one bf16 pass.  The kept
+    SUBSPACE is statistically robust to sketch/panel noise (quasi-
+    optimality is an expectation over the Gaussian sketch, so extra
+    mantissa noise perturbs WHICH near-optimal basis is found, not how
+    good it is), but the projection GEMMs write the output VALUES, whose
+    relative error floors at the pass precision (~4e-3 for one bf16
+    pass).  ``gram_precision`` controls the cholqr1 Gram + orthonormal-
+    ization separately: panel orthogonality degrades as u_gram * kappa^2
+    and errors compound along the chain, so it should stay >= 'high'
+    when precision is lowered.  Measured campaign: doc/performance.md
+    (round 4, bf16 study)."""
     d = len(cores)
     l = target_rank + oversample
     dtype = cores[0].dtype
     key = jax.random.PRNGKey(0)
     keys = jax.random.split(jax.random.fold_in(key, 0), d)
+    pP, pG = precision, gram_precision
 
     # random TT cores R_i: (l, n, l) (boundaries 1)
     # sketches W[i]: (r_i, l) = contraction of G_{i+1..d-1} with R_{i+1..d-1}
@@ -1666,8 +1682,8 @@ def _round_randomized(cores: Tuple[jnp.ndarray, ...], seeds: jnp.ndarray,
         R = jax.random.normal(keys[i], (l_left, n, lw), dtype=dtype) \
             / jnp.sqrt(jnp.asarray(l, dtype=dtype))
         # W[i][a, p] = sum_{n, b, q} G[a n b] W[i+1][b q] R[p n q]
-        GW = jnp.einsum("anb,bq->anq", cores[i + 1], W[i + 1])
-        Wi = jnp.einsum("anq,pnq->ap", GW, R)
+        GW = jnp.einsum("anb,bq->anq", cores[i + 1], W[i + 1], precision=pP)
+        Wi = jnp.einsum("anq,pnq->ap", GW, R, precision=pP)
         # only the column span of W matters -> safe to renormalize
         W[i] = Wi / (jnp.linalg.norm(Wi) + jnp.asarray(1e-30, dtype))
 
@@ -1675,16 +1691,18 @@ def _round_randomized(cores: Tuple[jnp.ndarray, ...], seeds: jnp.ndarray,
     log_scale = jnp.zeros((), dtype=dtype)
     carry = None  # (k, r) projection to apply to the next core
     for i in range(d - 1):
-        G = out[i] if carry is None else jnp.einsum("ka,anb->knb", carry, out[i])
+        G = out[i] if carry is None else jnp.einsum(
+            "ka,anb->knb", carry, out[i], precision=pP)
         rl, n, rr = G.shape
-        Y = jnp.einsum("anb,bl->anl", G, W[i]).reshape(rl * n, -1)
+        Y = jnp.einsum("anb,bl->anl", G, W[i], precision=pP).reshape(
+            rl * n, -1)
         if qr_method == "cholqr1" and rl * n >= Y.shape[1]:
             # one shifted Gram+chol+trsm pass — sound for the tall
             # well-conditioned sketch panels (see _round_randomized_scan's
             # cholqr1 note); short/boundary panels keep Householder
             from jax.scipy.linalg import solve_triangular
             lc = Y.shape[1]
-            Gm = Y.T @ Y
+            Gm = jnp.matmul(Y.T, Y, precision=pG)
             shift = (jnp.asarray(10 * Y.shape[0] * jnp.finfo(dtype).eps,
                                  dtype) * jnp.max(jnp.diagonal(Gm))
                      + jnp.asarray(1e-30, dtype))
@@ -1695,11 +1713,12 @@ def _round_randomized(cores: Tuple[jnp.ndarray, ...], seeds: jnp.ndarray,
         k = min(target_rank, q.shape[1])
         q = q[:, :k]
         out[i] = q.reshape(rl, n, k)
-        carry = jnp.einsum("ank,anb->kb", out[i].reshape(rl, n, k), G)
+        carry = jnp.einsum("ank,anb->kb", out[i].reshape(rl, n, k), G,
+                           precision=pP)
         nrm = jnp.linalg.norm(carry) + jnp.asarray(1e-30, dtype)
         log_scale = log_scale + jnp.log(nrm)
         carry = carry / nrm
-    final = jnp.einsum("ka,anb->knb", carry, out[d - 1])
+    final = jnp.einsum("ka,anb->knb", carry, out[d - 1], precision=pP)
     per_core = jnp.exp(log_scale / d)
     return tuple(c * per_core for c in out[:d - 1]) + (final * per_core,)
 
@@ -2656,12 +2675,17 @@ def als_sweep_flops(x_shapes, A_shapes) -> float:
 
 @lru_cache(maxsize=32)
 def make_randomized_round_unrolled(shapes_key: Tuple, target_rank: int,
-                                   oversample: int, dtype_str: str):
+                                   oversample: int, dtype_str: str,
+                                   precision: str = None,
+                                   gram_precision: str = None):
     """Jitted unrolled true-shape randomized rounding sweep with cholqr1
     panels (the bench headline kernel; see _round_randomized).  One
     compile per exact shape tuple — use the padded scan factory
-    (make_randomized_round_scan) when shapes vary."""
+    (make_randomized_round_scan) when shapes vary.  ``precision`` /
+    ``gram_precision`` lower the bulk-GEMM / Gram matmul precision (see
+    _round_randomized; measured trade-offs in doc/performance.md)."""
     def fn(cores):
         return _round_randomized(cores, None, target_rank, oversample,
-                                 qr_method="cholqr1")
+                                 qr_method="cholqr1", precision=precision,
+                                 gram_precision=gram_precision)
     return jit_f32(fn, dtype_str)
