@@ -120,11 +120,12 @@ def _time_looped(kernel, cores, iters, repeats: int = 3):
     return max(best - rtt, 1e-9) / iters
 
 
-def main() -> None:
-    os.environ.setdefault("XERUS_TPU_NO_X64", "1")
+def _setup_cache() -> None:
+    """Persistent compilation cache: compiles through the tunnel are slow
+    (minutes); cache them across bench/study runs.  Callable by the
+    benchmarks/ study drivers too — without it every driver re-compiles
+    from scratch."""
     import jax
-    # persistent compilation cache: compiles through the tunnel are slow
-    # (minutes); cache them across bench runs
     try:
         cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  ".jax_cache")
@@ -132,6 +133,12 @@ def main() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+
+def main() -> None:
+    os.environ.setdefault("XERUS_TPU_NO_X64", "1")
+    import jax
+    _setup_cache()
     import jax.numpy as jnp
     from functools import partial
     from xerus_tpu.ops.tt_kernels import (_round_sweep_scan, _round_randomized,

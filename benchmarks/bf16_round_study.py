@@ -114,6 +114,7 @@ def main() -> None:
     oversample = 8
     iters = _parse_int("--iters", 96 if rank >= 1024 else 192)
 
+    _bench._setup_cache()
     if not _bench._probe_backend():
         print(json.dumps({"error": "backend init timed out"}))
         sys.exit(1)

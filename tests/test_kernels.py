@@ -400,6 +400,33 @@ def test_randomized_round_precision_knobs():
         assert err < 1e-4, err
 
 
+def test_randomized_round_cholqr1_invl_parity():
+    """cholqr1_invl (trsm against the (l, l) identity, panel apply as a
+    GEMM — the MXU-friendly form, round-4 structure study) computes the
+    same algebra as cholqr1: same output ranks, same truncation, same
+    values up to f32 rounding of the L^{-T} formation order."""
+    import jax
+    from xerus_tpu.ops.tt_kernels import _round_randomized
+
+    rng = np.random.default_rng(23)
+    shapes = [(1, 2, 8), (8, 2, 32), (32, 2, 32), (32, 2, 8), (8, 2, 1)]
+    cs = tuple(jnp.asarray(rng.standard_normal(s), jnp.float32)
+               for s in shapes)
+    with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+        a = _round_randomized(cs, None, 8, 4, qr_method="cholqr1")
+        b = _round_randomized(cs, None, 8, 4, qr_method="cholqr1_invl")
+    assert [x.shape for x in a] == [x.shape for x in b]
+
+    def dense(cores):
+        t = np.asarray(cores[0], np.float64)
+        for c in cores[1:]:
+            t = np.einsum("...a,anb->...nb", t, np.asarray(c, np.float64))
+        return t.reshape(-1)
+
+    fa, fb = dense(a), dense(b)
+    assert np.linalg.norm(fa - fb) / np.linalg.norm(fa) < 1e-5
+
+
 def test_apply_operator_rounded_fused():
     """Fused MPO apply + randomized rounding (ops/apply_kernels.py): the
     (a*r)-rank product is never materialized; exact on representable

@@ -1696,7 +1696,8 @@ def _round_randomized(cores: Tuple[jnp.ndarray, ...], seeds: jnp.ndarray,
         rl, n, rr = G.shape
         Y = jnp.einsum("anb,bl->anl", G, W[i], precision=pP).reshape(
             rl * n, -1)
-        if qr_method == "cholqr1" and rl * n >= Y.shape[1]:
+        if (qr_method in ("cholqr1", "cholqr1_invl")
+                and rl * n >= Y.shape[1]):
             # one shifted Gram+chol+trsm pass — sound for the tall
             # well-conditioned sketch panels (see _round_randomized_scan's
             # cholqr1 note); short/boundary panels keep Householder
@@ -1707,7 +1708,25 @@ def _round_randomized(cores: Tuple[jnp.ndarray, ...], seeds: jnp.ndarray,
                                  dtype) * jnp.max(jnp.diagonal(Gm))
                      + jnp.asarray(1e-30, dtype))
             Lc = jnp.linalg.cholesky(Gm + shift * jnp.eye(lc, dtype=dtype))
-            q = solve_triangular(Lc, Y.T, lower=True).T
+            if qr_method == "cholqr1_invl":
+                # trsm on the SMALL side: invert L against the (l, l)
+                # identity, then apply as a GEMM.  The per-bond trsm RHS
+                # count drops from rl*n (1024+) to l; the (m, l) x (l, l)
+                # apply rides the MXU.  Same algebra as cholqr1 up to
+                # rounding (L^{-T} formed once vs back-substitution per
+                # column); quality measured identical — see
+                # doc/performance.md (round 4, structure study).
+                invLT = solve_triangular(Lc, jnp.eye(lc, dtype=dtype),
+                                         lower=True).T
+                q = jnp.matmul(Y, invLT, precision=pG)
+            else:
+                q = solve_triangular(Lc, Y.T, lower=True).T
+        elif qr_method == "none":
+            # timing-study skeleton ONLY: skips orthonormalization entirely
+            # (output is NOT a valid rounding).  Used by
+            # benchmarks/round_structure_study.py to measure the pure-GEMM
+            # floor of the sweep.
+            q = Y
         else:
             q, _ = jnp.linalg.qr(Y)
         k = min(target_rank, q.shape[1])
