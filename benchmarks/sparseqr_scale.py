@@ -123,16 +123,15 @@ def main() -> None:
                   f"{row['fill_q']} | {row['fill_c']} | {rel:.1e} |",
                   flush=True)
             assert rel < 1e-10, (pattern, n, nnz_row, rel)
+            # write incrementally: a killed run keeps its finished rows
+            with open(os.path.join(_REPO, "benchmarks",
+                                   "sparseqr_scale.json"), "w") as f:
+                json.dump(rows, f, indent=1)
             if t_nat > budget:
                 print(f"... {pattern}: stopping, native wall "
                       f"{t_nat:.0f}s > budget at n={n}", flush=True)
                 stop_at[pattern] = n  # skip larger sizes, this pattern
                 break
-
-    with open(os.path.join(_REPO, "benchmarks",
-                           "sparseqr_scale.json"), "w") as f:
-        json.dump(rows, f, indent=1)
-
 
 if __name__ == "__main__":
     main()

