@@ -386,6 +386,23 @@ def main() -> None:
         scaling[f"randomized_round_rank{big_rank}_tflops"] = round(
             randomized_round_flops(shapes_b, tgt, 8) / t_b / 1e12, 3)
 
+        if big_rank == 1024:
+            # bf16-frontier variant (VERDICT r3 #4, measured campaign in
+            # doc/performance.md round-4): bulk GEMMs at one bf16 MXU pass,
+            # cholqr1 Gram/orthonormalization kept at bf16x3 ('high') —
+            # 5.4% truncation-error cost on the discriminating decaying-
+            # spectrum instance (within the 1.1x bar), ~1.5x throughput.
+            def rnd_kernel_bf16(cs, tgt=tgt):
+                return _round_randomized(cs, None, tgt, 8,
+                                         qr_method="cholqr1",
+                                         precision="default",
+                                         gram_precision="high")
+
+            t_bf = _time_looped(rnd_kernel_bf16, dev_b, iters_b)
+            scaling["randomized_round_rank1024_bf16_time_s"] = round(t_bf, 6)
+            scaling["randomized_round_rank1024_bf16_tflops"] = round(
+                randomized_round_flops(shapes_b, tgt, 8) / t_bf / 1e12, 3)
+
     # headline: TASK SPEEDUP — wall-clock of the reference's rounding task
     # (CPU f64 LAPACK chain) over our best task completion (randomized
     # sweep, quality cross-checked below).  Per-kernel TFLOP/s are
