@@ -110,6 +110,7 @@ def test_als_preserves_core_position():
     assert x.canonicalized and x.corePosition == 2
 
 
+@pytest.mark.slow
 def test_als_quickstart_qtt_poisson():
     """The quickstart problem: 2^9 QTT Poisson solve, checked against a dense
     solve (doc/jekyll/_posts/1000-12-10-quickstart.md)."""
@@ -163,6 +164,7 @@ def test_dmrg_solve_kernel_rank_growth():
     assert float(err) < 1e-10
 
 
+@pytest.mark.slow
 def test_asd_spd_fast_path_converges():
     """Jitted ASD half-sweep (ops/tt_kernels.py _asd_half_sweep — the
     als.cpp:73-92 gradient step with exact stepsize, matrix-free local
@@ -180,6 +182,7 @@ def test_asd_spd_fast_path_converges():
     assert float(resid) < 1e-6
 
 
+@pytest.mark.slow
 def test_als_cg_matrix_free_local_solver():
     """local_solver='cg' (matrix-free local solves, never materializes
     the (r n r)^2 local operator — TPU-native extension) converges like

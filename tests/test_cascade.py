@@ -4,6 +4,7 @@ al. 2017, Example 4.1).  The SLIM MPO is checked against an
 independently-built dense generator, and a reduced implicit-Euler run
 must produce normalized states with rising saturation curves."""
 
+import pytest
 import numpy as np
 
 import xerus_tpu as xe
@@ -55,6 +56,7 @@ def test_cascade_operator_two_sites():
     assert np.allclose(dense, _dense_generator(2, 3), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_cascade_implicit_euler_vs_dense_evolution():
     """The full TT pipeline (SLIM operator, ALS_SPD implicit-Euler steps,
     one-norm renormalization) against the same evolution done dense in

@@ -132,6 +132,7 @@ def test_adf_device_loop_rank_one():
     assert resid < 1e-5
 
 
+@pytest.mark.slow
 def test_adf_adaptive_device_run_matches_host_quality():
     """check_every="device" with growable ranks routes the WHOLE
     rank-adaptive solve (fixed-rank levels + rank bumps) through ONE

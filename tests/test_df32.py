@@ -379,6 +379,7 @@ def test_df_svd_jw_small_sigma_accuracy():
     assert np.linalg.norm(rec - A) / np.linalg.norm(A) < 1e-6
 
 
+@pytest.mark.slow
 def test_tt_round_df_matches_f64_oracle():
     """Double-word TT rounding (ops/df_rounding.py): matches the f64
     object-level round() and resolves eps thresholds invisible to f32."""

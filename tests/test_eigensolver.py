@@ -96,6 +96,7 @@ def test_scan_dmrg_kernel_matches_exact():
     assert np.linalg.norm(Hm @ xv - lam * xv) < 1e-9
 
 
+@pytest.mark.slow
 def test_dmrg_scan_lanczos_and_lobpcg_match_exact():
     """Matrix-free local solvers (ops/dmrg_kernels.py _lanczos_smallest /
     _lobpcg_smallest) must reach the same ground state as the dense-eigh
@@ -135,6 +136,7 @@ def test_smallest_eigenvalue_lanczos_path():
             TTTensor.random([2, 3], 2), solver="lanczos")
 
 
+@pytest.mark.slow
 def test_dmrg_half_sweep_batched_matches_serial():
     """Throughput-mode vmapped DMRG half-sweep == per-instance serial
     sweeps (make_dmrg_sweep_batched, ops/dmrg_kernels.py)."""
@@ -186,6 +188,7 @@ def test_dmrg_half_sweep_batched_matches_serial():
         assert overlap > 1.0 - 1e-9, (i, overlap)
 
 
+@pytest.mark.slow
 def test_multistart_eigensolver_matches_exact():
     """num_starts > 1 races independent initializations in one batched
     program per half-sweep (dmrg_groundstate_multistart); the winner
@@ -202,6 +205,7 @@ def test_multistart_eigensolver_matches_exact():
     assert np.linalg.norm(Hm @ xv - e * xv) < 1e-8
 
 
+@pytest.mark.slow
 def test_shifted_dmrg_psd_operator_all_solvers():
     """PSD operator (ground energy > 0): the padded frames' spurious zero
     eigenvalues beat the true ground unless the kernel solves (A - s*P)
@@ -251,6 +255,7 @@ def test_shifted_dmrg_explicit_shift_and_negative_ground():
     assert abs(e - exact) < 1e-9
 
 
+@pytest.mark.slow
 def test_shifted_multistart_psd():
     """Auto-shifted multistart race on the PSD Laplace."""
     from xerus_tpu.ops.dmrg_kernels import dmrg_groundstate_multistart
@@ -265,6 +270,7 @@ def test_shifted_multistart_psd():
     assert abs(e - exact) < 1e-9
 
 
+@pytest.mark.slow
 def test_dmrg_device_run_matches_host_loop():
     """make_dmrg_run (the whole solve as ONE lax.while_loop program) must
     reproduce the per-sweep host loop exactly: same energy at every sweep

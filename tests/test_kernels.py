@@ -486,6 +486,7 @@ def test_gram_round_eps_truncation():
     assert got.ranks() == [2] * 5
 
 
+@pytest.mark.slow
 def test_tt_residual_rel_device():
     """Device-side ||Ax-b||/||b|| (block-TT + orthogonalization sweep)
     matches the object-level residual, including far below the
@@ -558,6 +559,7 @@ def test_als_multi_sweep_res_matches_single_sweeps():
                - float(tt_residual_rel(cur, Ac, bc))) < 1e-12
 
 
+@pytest.mark.slow
 def test_df_als_multi_sweep_reaches_f64_quality():
     """Chained df32 half-sweeps (one program) refine an f32-converged
     start to ~f64-level residual (mixed_precision.make_df_als_multi_sweep)."""
@@ -589,6 +591,7 @@ def test_df_als_multi_sweep_reaches_f64_quality():
     assert res < 1e-11, res
 
 
+@pytest.mark.slow
 def test_subspace_round_quality_and_exactness():
     """Deterministic GEMM-only subspace truncation (method='subspace'):
     exact on representable ranks, within a few percent of the exact-SVD
@@ -619,6 +622,7 @@ def test_subspace_round_quality_and_exactness():
         tt_round_sweep_segmented(cores, 4, method="subspace", eps=1e-6)
 
 
+@pytest.mark.slow
 def test_gemm_exact_round_matches_svd_chain():
     """method='gemm_exact' (zero-factorization certified truncation,
     ops/tt_kernels._trunc_step_gemm_exact) must match the exact-SVD

@@ -110,6 +110,7 @@ def test_solver_checkpointing(tmp_path):
     assert resid < 1e-8
 
 
+@pytest.mark.slow
 def test_warmup_precompiles_kernels():
     """xe.warmup compiles the whole-sweep kernels once; a second call for
     the same family hits the lru-cached jits and is near-instant."""

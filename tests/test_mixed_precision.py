@@ -47,6 +47,7 @@ def test_df_tensordot_matches_f64():
     assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-13
 
 
+@pytest.mark.slow
 def test_mixed_als_reaches_f64_quality():
     """The flagship claim: 1e-12-level residual with zero f64 arithmetic
     (float64 here is only used to build inputs and VERIFY the result)."""
@@ -64,6 +65,7 @@ def test_mixed_als_reaches_f64_quality():
     assert resid < 1e-12
 
 
+@pytest.mark.slow
 def test_fused_f32_df_run_reaches_f64_floor():
     """make_als_f32_df_run: the WHOLE mixed-precision solve (f32
     while_loop to the plateau + in-program df seed + df finish) as one
@@ -104,6 +106,7 @@ def test_fused_f32_df_run_reaches_f64_floor():
     assert res < 1e-12, res
 
 
+@pytest.mark.slow
 def test_fused_f32_df_run_odd_cap_stays_finite():
     """An ODD max_f32_sweeps cap must not leave the core at site d-1 when
     the f32 loop exits at the cap — the df phase assumes the core at 0

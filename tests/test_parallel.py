@@ -213,6 +213,7 @@ def test_site_sharded_add(mesh):
                    + b.components[k].dimensions[2] for k in range(d - 1))
 
 
+@pytest.mark.slow
 def test_sharded_batched_sweeps_match_unsharded(mesh):
     """dp-sharded batched ALS/DMRG == unsharded batched kernels."""
     import jax.numpy as jnp

@@ -354,6 +354,7 @@ def test_from_dense_unfolding_exact_and_roundable():
     assert abs(ea - eb) < 1e-9 * (1.0 + ea)
 
 
+@pytest.mark.slow
 def test_round_fast_methods_match_reference_round():
     """Object-level round_fast routes the whole-sweep kernels; on
     representable ranks every method reproduces the tensor exactly and
@@ -578,6 +579,7 @@ def test_random_ttsvd():
         xe.randomTTSVD(xe.Tensor.from_ndarray(full), [2, 2])
 
 
+@pytest.mark.slow
 def test_round_fast_randomized_unrolled():
     """round_fast(method='randomized_unrolled'): the unrolled true-shape
     cholqr1 sweep behind the object API (quality on par with the padded
@@ -620,6 +622,7 @@ def test_tt_special_sum_diff_zero_tensor():
     assert np.allclose(ttZ.to_tensor().to_ndarray(), Y.to_ndarray(), atol=1e-13)
 
 
+@pytest.mark.slow
 def test_tt_real_difference_commutation():
     """Expression-level cancellation and commutation
     (ttArithmetic.cxx real_difference)."""

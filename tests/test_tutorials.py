@@ -15,11 +15,19 @@ _TUTORIAL_DIR = os.path.join(os.path.dirname(__file__), "..", "doc",
                              "tutorials")
 
 
+# long-horizon solver pages (each compiles + converges whole solves;
+# 20-35 s apiece on the 1-CPU host) run in the slow tier — the default
+# tier keeps every other page, including quickstart
+_HEAVY_PAGES = {"als.md", "riemannian.md", "completion.md"}
+
+
 def _tutorial_pages():
     if not os.path.isdir(_TUTORIAL_DIR):
         return []
-    return sorted(f for f in os.listdir(_TUTORIAL_DIR)
-                  if f.endswith(".md"))
+    names = sorted(f for f in os.listdir(_TUTORIAL_DIR)
+                   if f.endswith(".md"))
+    return [pytest.param(f, marks=pytest.mark.slow) if f in _HEAVY_PAGES
+            else f for f in names]
 
 
 @pytest.mark.parametrize("page", _tutorial_pages())
