@@ -187,3 +187,54 @@ def test_singular_solve_falls_back():
     b = Tensor.from_ndarray(np.array([2.0, 0, 0, 0]))
     x = fact.solve(A, b)
     assert np.allclose(a @ x.to_ndarray(), b.to_ndarray(), atol=1e-9)
+
+
+def test_svd_gesdd_nonconvergence_fallback(monkeypatch):
+    """XLA's CPU SVD (gesdd) returns nan SILENTLY on non-convergence; the
+    object layer must fall back to the robust gesvd driver instead of
+    letting the QC rank rule read a nan spectrum as 'rank 1' (round-4
+    field failure: a host()-scoped DMRG residual readout nan'd and
+    silently truncated a 96x48 unfolding to rank 1).  Simulate the gesdd
+    failure; the real failing matrix reproduces it end-to-end when
+    tests/data/gesdd_failure_96x48.npy exists."""
+    import jax.numpy as jnp
+
+    def fake_gesdd(a):
+        u, s, vt = np.linalg.svd(np.asarray(a), full_matrices=False)
+        return (jnp.asarray(u), jnp.full(s.shape, np.nan, s.dtype),
+                jnp.asarray(vt))
+
+    monkeypatch.setattr(fact, "_svd_jit", fake_gesdd)
+    A = _rand([12, 7])
+    u, s, vt = fact._svd_robust(A.to_jax())
+    assert not np.isnan(np.asarray(s)).any()
+    rec = np.asarray(u) @ np.diag(np.asarray(s)) @ np.asarray(vt)
+    assert np.allclose(rec, A.to_ndarray(), atol=1e-12)
+    # the QC route heals too (rank is revealed from the FALLBACK spectrum)
+    C, Q = fact.calculate_cq(A, 1)
+    assert C.dimensions[-1] == 7
+    rec2 = np.tensordot(C.to_ndarray(), Q.to_ndarray(), axes=([1], [0]))
+    assert np.allclose(rec2, A.to_ndarray(), atol=1e-12)
+
+
+def test_revealed_rank_rejects_nan_spectrum():
+    with pytest.raises(Exception, match="nan singular values"):
+        fact._revealed_rank(np.array([np.nan, 1.0, 0.5]))
+
+
+def test_gesdd_failure_fixture_if_present():
+    """End-to-end regression on the REAL matrix that made gesdd fail
+    (captured from the round-4 TPU session's DMRG residual readout)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "gesdd_failure_96x48.npy")
+    if not os.path.exists(path):
+        pytest.skip("fixture not captured in this checkout")
+    m = np.load(path)
+    T = Tensor.from_ndarray(m)
+    C, Q = fact.calculate_cq(T, 1)
+    assert np.isfinite(C.to_ndarray()).all()
+    assert np.isfinite(Q.to_ndarray()).all()
+    rec = np.tensordot(C.to_ndarray(), Q.to_ndarray(), axes=([1], [0]))
+    assert np.allclose(rec, m, atol=1e-10 * max(1.0, np.abs(m).max()))
+    assert C.dimensions[-1] > 1   # the silent rank-1 collapse is the bug

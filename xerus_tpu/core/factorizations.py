@@ -38,9 +38,58 @@ def _split_sizes(t: Tensor, split_pos: int) -> Tuple[int, int, int]:
     return lhs, rhs, min(lhs, rhs)
 
 
+def _host_operand(a):
+    """Pin a factorization operand to the CPU device.
+
+    The object-layer factorizations carry the reference's f64 LAPACK
+    (host) semantics (blasLapackWrapper.cpp:218-651).  In a TPU session an
+    operand that is already device-committed drags the jitted
+    factorization onto the accelerator REGARDLESS of any surrounding
+    ``xe.host()`` scope (jax placement follows committed operands, not
+    ``default_device``), and this TPU's f64 support is broken at scale —
+    observed round 4: a fully ``host()``-scoped DMRG residual readout
+    returned nan because one upstream buffer was device-resident, the
+    on-TPU f64 SVD nan'd, and the QC rank rule then silently truncated to
+    rank 1.  Pinning here makes every dense object-layer factorization
+    CPU-correct by construction, whatever the caller forgot."""
+    try:
+        devs = getattr(a, "devices", None)
+        if devs is not None and all(d.platform == "cpu" for d in a.devices()):
+            return a
+        return jax.device_put(a, jax.devices("cpu")[0])
+    except Exception:
+        return a          # no CPU backend registered: leave placement alone
+
+
 @jax.jit
 def _svd_jit(a):
     return jnp.linalg.svd(a, full_matrices=False)
+
+
+def _svd_robust(a):
+    """Thin SVD that survives LAPACK gesdd non-convergence.
+
+    XLA's CPU SVD custom-call wraps gesdd and returns nan silently when
+    the divide-and-conquer iteration fails (no info flag surfaces through
+    jnp.linalg.svd).  Observed in round 4 on a REAL object-layer matrix —
+    a 96x48 f64 DMRG-residual unfolding (tests/data/gesdd_failure_96x48.npy,
+    regression-tested) — where the downstream QC rank rule then read
+    nan singular values as 'rank 1' and silently truncated the tensor.
+    On nan output, retry with scipy's gesvd driver (plain QR-iteration
+    bidiagonal SVD, the slower-but-robust classic), matching the
+    reference's LAPACK usage which treats info>0 as an error rather than
+    an answer (blasLapackWrapper.cpp:218-270)."""
+    u, s, vt = _svd_jit(a)
+    s_host = np.asarray(s)
+    if not np.isnan(s_host).any():
+        return u, s, vt
+    from scipy.linalg import svd as _scipy_svd
+    u2, s2, vt2 = _scipy_svd(np.asarray(a), full_matrices=False,
+                             lapack_driver="gesvd")
+    require(not np.isnan(s2).any(),
+            "SVD failed to converge (gesdd AND gesvd): input likely "
+            "contains non-finite values")
+    return jnp.asarray(u2), jnp.asarray(s2), jnp.asarray(vt2)
 
 
 @jax.jit
@@ -53,10 +102,10 @@ def calculate_svd(t: Tensor, split_pos: int, max_rank: int = 0,
     """(U, S, Vt) with U: dims[:split]+[r], S: r x r sparse-diag, Vt: [r]+dims[split:]."""
     require(0.0 <= eps < 1.0, "epsilon must fulfill 0 <= eps < 1")
     lhs_size, rhs_size, rank = _split_sizes(t, split_pos)
-    a = t.to_jax(apply_factor=False).reshape(lhs_size, rhs_size)
+    a = _host_operand(t.to_jax(apply_factor=False)).reshape(lhs_size, rhs_size)
     with pa_section("Dense LAPACK", "Singular Value Decomposition",
                     f"{lhs_size}x{rhs_size}"):
-        u, s, vt = _svd_jit(a)
+        u, s, vt = _svd_robust(a)
         s_host = np.asarray(s)
 
     if max_rank:
@@ -106,7 +155,7 @@ def calculate_qr(t: Tensor, split_pos: int) -> Tuple[Tensor, Tensor]:
         if out is not None and out[2] == rank:
             return _sparse_factorization_output(t, split_pos, rank, out[0],
                                                 out[1], t.factor)
-    a = t.to_jax(apply_factor=False).reshape(lhs_size, rhs_size)
+    a = _host_operand(t.to_jax(apply_factor=False)).reshape(lhs_size, rhs_size)
     with pa_section("Dense LAPACK", "QR Factorisation",
                     f"{lhs_size}x{rhs_size}"):
         q, r = _qr_jit(a)
@@ -124,7 +173,7 @@ def calculate_rq(t: Tensor, split_pos: int) -> Tuple[Tensor, Tensor]:
     simpler flip identity: qr(flip(A).T) gives RQ of A after flips.
     """
     lhs_size, rhs_size, rank = _split_sizes(t, split_pos)
-    a = t.to_jax(apply_factor=False).reshape(lhs_size, rhs_size)
+    a = _host_operand(t.to_jax(apply_factor=False)).reshape(lhs_size, rhs_size)
     # RQ via QR of reversed transpose: A[::-1,:].T -> QR -> transpose back.
     with pa_section("Dense LAPACK", "RQ Factorisation",
                     f"{lhs_size}x{rhs_size}"):
@@ -164,7 +213,7 @@ def _qc_dense_factor(a, lhs_size: int, rhs_size: int):
         rank = max(int(np.sum(diag >= cutoff)), 1) if diag[0] > 0 else 1
         inv = jnp.argsort(perm)
         return q, r[:, inv], rank
-    u, s, vt = _svd_jit(a)
+    u, s, vt = _svd_robust(a)
     rank = _revealed_rank(np.asarray(s))
     return u, s[:, None] * vt, rank
 
@@ -173,6 +222,11 @@ def _revealed_rank(s_host: np.ndarray) -> int:
     """Rank rule of blasLapackWrapper.cpp:268-273 applied to singular values."""
     if s_host.size == 0:
         return 1
+    # a nan spectrum must never silently read as 'rank 1' (nan >= cutoff
+    # is False for every entry) — that was the failure mode that let a
+    # gesdd non-convergence truncate a tensor to rank 1 without a word
+    require(not np.isnan(s_host).any(),
+            "rank-revealing factorization received nan singular values")
     cutoff = _QC_RANK_EPS_MULT * float(np.finfo(config.value_dtype).eps) * float(s_host[0])
     rank = int(np.sum(s_host >= cutoff)) if s_host[0] > 0 else 1
     return max(rank, 1)
@@ -193,7 +247,7 @@ def calculate_qc(t: Tensor, split_pos: int) -> Tuple[Tensor, Tensor]:
         if out is not None:
             return _sparse_factorization_output(t, split_pos, out[2], out[0],
                                                 out[1], t.factor)
-    a = t.to_jax(apply_factor=False).reshape(lhs_size, rhs_size)
+    a = _host_operand(t.to_jax(apply_factor=False)).reshape(lhs_size, rhs_size)
     with pa_section("Dense LAPACK", "QRP Factorisation",
                     f"{lhs_size}x{rhs_size}"):
         basis, coeff, rank = _qc_dense_factor(a, lhs_size, rhs_size)
@@ -225,7 +279,7 @@ def calculate_cq(t: Tensor, split_pos: int) -> Tuple[Tensor, Tensor]:
             C.use_dense_representation_if_desirable()
             Q.use_dense_representation_if_desirable()
             return C, Q
-    a = t.to_jax(apply_factor=False).reshape(lhs_size, rhs_size)
+    a = _host_operand(t.to_jax(apply_factor=False)).reshape(lhs_size, rhs_size)
     with pa_section("Dense LAPACK", "QRP Factorisation",
                     f"{lhs_size}x{rhs_size}"):
         basis, coeff, rank = _qc_dense_factor(a.T, rhs_size, lhs_size)
@@ -326,8 +380,8 @@ def solve(A: Tensor, B: Tensor, extra_degree: int = 0) -> Tensor:
     X = _try_sparse_solve(A, B, deg_m, m, n, p)
     if X is not None:
         return X
-    a = A.to_jax(apply_factor=False).reshape(m, n)
-    b = B.to_jax(apply_factor=False).reshape(m, p)
+    a = _host_operand(A.to_jax(apply_factor=False)).reshape(m, n)
+    b = _host_operand(B.to_jax(apply_factor=False)).reshape(m, p)
     x = _solve_matrix(a, b)
     out_dims = A.dimensions[deg_m:] + B.dimensions[deg_m:]
     X = Tensor.from_jax(x.reshape(out_dims) if out_dims else x.reshape(()))
@@ -346,8 +400,8 @@ def solve_least_squares(A: Tensor, B: Tensor, extra_degree: int = 0) -> Tensor:
     X = _try_sparse_solve(A, B, deg_m, m, n, p)
     if X is not None:
         return X
-    a = A.to_jax(apply_factor=False).reshape(m, n)
-    b = B.to_jax(apply_factor=False).reshape(m, p)
+    a = _host_operand(A.to_jax(apply_factor=False)).reshape(m, n)
+    b = _host_operand(B.to_jax(apply_factor=False)).reshape(m, p)
     with pa_section("Dense LAPACK", "Solve Least Squares",
                     f"{m}x{n} * {p}"):
         x = _lstsq(a, b)
