@@ -53,12 +53,13 @@ def _host_operand(a):
     rank 1.  Pinning here makes every dense object-layer factorization
     CPU-correct by construction, whatever the caller forgot."""
     try:
-        devs = getattr(a, "devices", None)
-        if devs is not None and all(d.platform == "cpu" for d in a.devices()):
-            return a
-        return jax.device_put(a, jax.devices("cpu")[0])
-    except Exception:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
         return a          # no CPU backend registered: leave placement alone
+    devs = getattr(a, "devices", None)
+    if devs is not None and all(d.platform == "cpu" for d in a.devices()):
+        return a
+    return jax.device_put(a, cpu)
 
 
 @jax.jit
@@ -72,8 +73,9 @@ def _svd_robust(a):
     XLA's CPU SVD custom-call wraps gesdd and returns nan silently when
     the divide-and-conquer iteration fails (no info flag surfaces through
     jnp.linalg.svd).  Observed in round 4 on a REAL object-layer matrix —
-    a 96x48 f64 DMRG-residual unfolding (tests/data/gesdd_failure_96x48.npy,
-    regression-tested) — where the downstream QC rank rule then read
+    a 96x48 f64 DMRG-residual unfolding (regression fixture
+    tests/data/gesdd_failure_96x48.npy when captured; set
+    XERUS_TPU_CAPTURE_GESDD_DIR to re-capture) — where the QC rank rule read
     nan singular values as 'rank 1' and silently truncated the tensor.
     On nan output, retry with scipy's gesvd driver (plain QR-iteration
     bidiagonal SVD, the slower-but-robust classic), matching the
@@ -83,13 +85,38 @@ def _svd_robust(a):
     s_host = np.asarray(s)
     if not np.isnan(s_host).any():
         return u, s, vt
-    from scipy.linalg import svd as _scipy_svd
-    u2, s2, vt2 = _scipy_svd(np.asarray(a), full_matrices=False,
-                             lapack_driver="gesvd")
+    cap_dir = os.environ.get("XERUS_TPU_CAPTURE_GESDD_DIR")
+    if cap_dir:
+        # Preserve the failing matrix as a regression fixture
+        # (tests/test_factorizations.py::test_gesdd_failure_fixture_if_present).
+        a_np = np.asarray(a)
+        os.makedirs(cap_dir, exist_ok=True)
+        np.save(os.path.join(
+            cap_dir, f"gesdd_failure_{a_np.shape[0]}x{a_np.shape[1]}.npy"),
+            a_np)
+    try:
+        from scipy.linalg import svd as _scipy_svd
+        u2, s2, vt2 = _scipy_svd(np.asarray(a), full_matrices=False,
+                                 lapack_driver="gesvd")
+    except ImportError:
+        # numpy's svd is the same gesdd class, but a fresh process-level
+        # LAPACK entry occasionally succeeds where XLA's custom-call
+        # failed; better than raising mid-solve with no signal.
+        u2, s2, vt2 = np.linalg.svd(np.asarray(a), full_matrices=False)
     require(not np.isnan(s2).any(),
             "SVD failed to converge (gesdd AND gesvd): input likely "
             "contains non-finite values")
-    return jnp.asarray(u2), jnp.asarray(s2), jnp.asarray(vt2)
+    # Pin the fallback results like the operands: bare jnp.asarray would
+    # place them on the session default device (the TPU in a TPU
+    # session), dragging downstream f64 math onto the accelerator — the
+    # exact failure mode this fallback exists to prevent.  device_put
+    # from numpy goes host->CPU directly, never touching the tunnel.
+    try:
+        cpu = jax.devices("cpu")[0]
+        return (jax.device_put(u2, cpu), jax.device_put(s2, cpu),
+                jax.device_put(vt2, cpu))
+    except RuntimeError:
+        return jnp.asarray(u2), jnp.asarray(s2), jnp.asarray(vt2)
 
 
 @jax.jit
