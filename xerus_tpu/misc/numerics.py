@@ -12,72 +12,94 @@ from __future__ import annotations
 import math
 from typing import Callable, List, Sequence
 
+import numpy as np
+
 from ..config import require
 
 _EPS = 2.220446049250313e-16  # double machine epsilon
+
+
+def _feval(f: Callable, xs: np.ndarray) -> np.ndarray:
+    """Evaluate ``f`` on a 1-D node array.
+
+    Tries one vectorized call first (cheap for numpy-aware callables);
+    scalar-only callables (``math.cos``, branching lambdas) raise on array
+    input and are mapped pointwise instead."""
+    if xs.size > 1:     # size-1 arrays: float(arr) succeeds spuriously
+        try:
+            fx = np.asarray(f(xs), dtype=float)
+            if fx.shape == xs.shape:
+                return fx
+        except Exception:
+            pass
+    return np.array([float(f(float(x))) for x in xs])
 
 
 def integrate(f: Callable[[float], float], a: float, b: float,
               eps: float = _EPS, min_iter: int = 4, max_iter: int = 6,
               branch_factor: int = 7, max_recursion: int = 10,
               relative_error: bool = True) -> float:
-    """Adaptive Romberg integration of ``f`` over [a, b]
-    (simpleNumerics.cpp:37-96): trapezoid refinement + Richardson table;
-    intervals that fail to converge within ``max_iter`` halvings are
-    split into ``branch_factor`` parts recursively."""
+    """Adaptive quadrature with the semantics of the reference's
+    integrator (simpleNumerics.cpp:37-96): Romberg acceleration over
+    trapezoid halvings, falling back to a ``branch_factor``-way interval
+    split (depth-limited by ``max_recursion``) when the estimate has not
+    stabilized to ``eps`` within ``max_iter`` refinements.
+
+    Original vectorized design: each refinement evaluates all new
+    midpoints as one batched ``_feval`` call, and a single rolling
+    Romberg row ``row`` (``row[0]`` = current composite trapezoid,
+    ``row[-1]`` = most-extrapolated estimate) replaces the reference's
+    in-place iterant list."""
     require(min_iter > 1, "integrate needs min_iter > 1")
     require(branch_factor > 1, "integrate needs branch_factor > 1")
-    lo, hi = min(a, b), max(a, b)
     sign = -1.0 if a > b else 1.0
+    lo, hi = (a, b) if a <= b else (b, a)
     if relative_error:
         eps = max(eps, _EPS)
-    iterants = [(hi - lo) * (f(lo) + f(hi)) / 2.0]
-    h = hi - lo
-    error = 1.0
-    max_val = abs(iterants[0])
-    for it in range(max_iter):
-        s = 0.0
-        x = lo + h / 2.0
-        while x < hi:
-            fx = f(x)
-            s += fx
-            max_val = max(max_val, abs(fx))
-            x += h
-        h /= 2.0
-        s *= h
-        s += iterants[-1] / 2.0
-        iterants.append(s)
-        old_it0 = iterants[0]
-        n = len(iterants)
-        for k in range(n - 1):
-            i = n - 1 - k
-            iterants[i - 1] = iterants[i] + (
-                (iterants[i] - iterants[i - 1]) / (2.0 ** (2 * (k + 1)) - 1))
-        if relative_error:
-            if old_it0 != 0:
-                error = abs((iterants[0] - old_it0) / old_it0)
-            else:
-                error = abs(iterants[0] - old_it0)
-            if math.isnan(error):
-                error = abs(iterants[0] - old_it0)
-        else:
-            error = abs(iterants[0] - old_it0)
-        if it >= min_iter and error <= eps:
-            return sign * iterants[0]
+
+    width = hi - lo
+    ends = _feval(f, np.array([lo, hi], dtype=float))
+    trap = width * float(ends.sum()) / 2.0
+    peak = max(float(np.abs(ends).max()), abs(trap))
+    row = np.array([trap])
+    for level in range(1, max_iter + 1):
+        n_new = 1 << (level - 1)
+        h = width / (2.0 * n_new)
+        nodes = lo + h * (2.0 * np.arange(n_new) + 1.0)
+        fx = _feval(f, nodes)
+        if fx.size:
+            peak = max(peak, float(np.abs(fx).max()))
+        trap = 0.5 * trap + h * float(fx.sum())
+        # Extend the Romberg row: each column cancels the next even
+        # error order, R_new[k] = R_new[k-1] + (R_new[k-1]-R_old[k-1])/(4^k-1).
+        new = np.empty(row.size + 1)
+        new[0] = trap
+        for k in range(1, new.size):
+            new[k] = new[k - 1] + (new[k - 1] - row[k - 1]) / (4.0 ** k - 1.0)
+        prev_best, row = row[-1], new
+        best = float(row[-1])
+        delta = abs(best - prev_best)
+        err = delta / abs(prev_best) if (relative_error and prev_best != 0.0
+                                         and not math.isnan(delta / prev_best)
+                                         ) else delta
+        if level > min_iter and err <= eps:
+            return sign * best
+    best = float(row[-1])
     if max_recursion == 0:
-        return sign * iterants[0]
-    # divide and conquer: split the parts that did not converge easily
-    h = (hi - lo) / branch_factor
-    if relative_error:
-        new_eps = max(abs(iterants[0]), max_val) * eps
-    else:
-        new_eps = max(eps, math.sqrt(branch_factor) * _EPS
-                      * max(abs(iterants[0]), max_val))
-    total = 0.0
-    for i in range(branch_factor):
-        total += integrate(f, lo + i * h, lo + (i + 1) * h, new_eps,
-                           min_iter, max_iter, branch_factor,
-                           max_recursion - 1, False)
+        return sign * best
+    # Divide and conquer: the interval resisted smooth extrapolation
+    # (kink / discontinuity); split it and integrate the parts to an
+    # ABSOLUTE tolerance derived from the magnitude scale seen so far.
+    scale = max(abs(best), peak)
+    child_eps = (scale * eps if relative_error
+                 else max(eps, math.sqrt(branch_factor) * _EPS * scale))
+    cuts = lo + (width / branch_factor) * np.arange(branch_factor + 1)
+    cuts[-1] = hi
+    total = math.fsum(
+        integrate(f, float(cuts[i]), float(cuts[i + 1]), child_eps,
+                  min_iter, max_iter, branch_factor, max_recursion - 1,
+                  relative_error=False)
+        for i in range(branch_factor))
     return sign * total
 
 
