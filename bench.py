@@ -392,11 +392,17 @@ def main() -> None:
             # cholqr1 Gram/orthonormalization kept at bf16x3 ('high') —
             # 5.4% truncation-error cost on the discriminating decaying-
             # spectrum instance (within the 1.1x bar), ~1.5x throughput.
+            # knobs come from the PUBLIC preset consumed by
+            # TTNetwork.round_fast(speed="bf16_frontier") — one source of
+            # truth between the object API and this row
+            from xerus_tpu.ops.tt_kernels import SPEED_PRESETS
+            _bf = SPEED_PRESETS["bf16_frontier"]
+
             def rnd_kernel_bf16(cs, tgt=tgt):
                 return _round_randomized(cs, None, tgt, 8,
                                          qr_method="cholqr1",
-                                         precision="default",
-                                         gram_precision="high")
+                                         precision=_bf["precision"],
+                                         gram_precision=_bf["gram_precision"])
 
             t_bf = _time_looped(rnd_kernel_bf16, dev_b, iters_b)
             scaling["randomized_round_rank1024_bf16_time_s"] = round(t_bf, 6)

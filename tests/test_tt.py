@@ -452,6 +452,52 @@ def test_round_fast_per_edge_rank_vector():
                        b.to_tensor().to_ndarray(), atol=1e-10)
 
 
+def test_round_fast_bf16_frontier_preset(monkeypatch):
+    """speed='bf16_frontier' reaches the measured v5e frontier through the
+    object API: it routes the unrolled cholqr1 kernel with bulk
+    precision='default' and gram_precision pinned at 'high'.  The
+    gram>='high' pin IS the guardrail for the measured 4.6x
+    decaying-spectrum error blowup at gram='default'
+    (doc/performance.md round-4 bf16 study) — this test fails if the
+    preset ever lowers it.  CPU einsum ignores the precision args, so the
+    numeric check here is exactness on representable ranks; the knob
+    plumbing is asserted by spying on the kernel factory."""
+    from xerus_tpu.ops import tt_kernels as tk
+
+    preset = tk.SPEED_PRESETS["bf16_frontier"]
+    assert preset["gram_precision"] == "high"    # the guardrail
+    assert preset["precision"] == "default"
+
+    captured = {}
+    orig_factory = tk.make_randomized_round_unrolled
+
+    def spy(shapes_key, target_rank, oversample, dtype_str,
+            precision=None, gram_precision=None):
+        captured["precision"] = precision
+        captured["gram_precision"] = gram_precision
+        return orig_factory(shapes_key, target_rank, oversample, dtype_str,
+                            precision=precision,
+                            gram_precision=gram_precision)
+
+    monkeypatch.setattr(tk, "make_randomized_round_unrolled", spy)
+    a = TTTensor.random([2] * 8, 3)
+    want = a.to_tensor().to_ndarray()
+    t = a.copy()
+    t.round_fast(6, speed="bf16_frontier")
+    t.require_correct_format()
+    assert captured == {"precision": "default", "gram_precision": "high"}
+    assert np.allclose(t.to_tensor().to_ndarray(), want,
+                       atol=1e-6 * np.linalg.norm(want))
+
+    # the preset is randomized-kernel-only and needs a uniform int rank
+    with pytest.raises(Exception, match="randomized-kernel preset"):
+        a.copy().round_fast(6, method="svd", speed="bf16_frontier")
+    with pytest.raises(Exception, match="uniform int max_rank"):
+        a.copy().round_fast([3] * 7, speed="bf16_frontier")
+    with pytest.raises(Exception, match="speed must be"):
+        a.copy().round_fast(6, speed="fp8_maximum")
+
+
 def test_round_fast_per_edge_vector_with_eps():
     """Rank vector + eps combine: eps drops the tiny directions below the
     per-edge caps, matching round(vector, eps)."""

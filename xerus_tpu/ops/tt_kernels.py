@@ -2692,6 +2692,20 @@ def als_sweep_flops(x_shapes, A_shapes) -> float:
     return total
 
 
+# Public speed presets for the randomized rounding sweep, exposed through
+# TTNetwork.round_fast(speed=...) and used verbatim by bench.py's
+# bf16-frontier row (one source of truth).  Measured campaign:
+# doc/performance.md (round-4 bf16 study).  GUARDRAIL: gram_precision must
+# stay >= 'high' whenever the bulk precision is lowered — cholqr1 panel
+# orthogonality degrades as u_gram * kappa^2 and the loss compounds along
+# the chain (measured 4.6x truncation-error blowup at gram='default' on
+# the decaying-spectrum instance; tests/test_tt.py pins the preset).
+SPEED_PRESETS = {
+    "exact": {"precision": None, "gram_precision": None},
+    "bf16_frontier": {"precision": "default", "gram_precision": "high"},
+}
+
+
 @lru_cache(maxsize=32)
 def make_randomized_round_unrolled(shapes_key: Tuple, target_rank: int,
                                    oversample: int, dtype_str: str,

@@ -615,7 +615,7 @@ class TTNetwork:
             self.move_core(initial_core)
 
     def round_fast(self, max_rank, method: str = "randomized",
-                   eps: float = 0.0) -> None:
+                   eps: float = 0.0, speed: str = "exact") -> None:
         """TPU fast-path rounding through the whole-sweep jitted kernels
         (ops/tt_kernels.py) instead of the edge-by-edge object loop of
         `round()`.  ``max_rank``: int (uniform) or per-edge rank vector of
@@ -640,13 +640,39 @@ class TTNetwork:
         is 'randomized'/'streaming').  Works for TTTensor and TTOperator
         (physical legs folded for the kernels).  The result is
         re-canonicalized to core 0; use `round()` for the reference's
-        eps-per-edge object semantics (ttNetwork.cpp:644-685)."""
+        eps-per-edge object semantics (ttNetwork.cpp:644-685).
+
+        speed: 'exact' (default) keeps every matmul at the f32-quality
+        trace default.  'bf16_frontier' runs the randomized sweep at the
+        measured v5e throughput frontier (doc/performance.md round-4
+        bf16 study): bulk GEMMs at one bf16 MXU pass, cholqr1
+        Gram/orthonormalization pinned at bf16x3 ('high') — ~1.5x
+        throughput (19+ TFLOP/s at rank 1024) for a ~5% truncation-error
+        cost on decaying spectra.  The Gram precision is NOT lowered
+        with the bulk: panel orthogonality degrades as u_gram * kappa^2
+        and compounds along the chain (measured 4.6x error blowup with
+        gram='default').  Only meaningful for the randomized methods
+        (routes to the unrolled cholqr1 kernel); no effect on CPU
+        backends where einsum precision is ignored."""
         import jax
         import numpy as _np
         from ..ops import (tt_round_sweep_uniform, tt_round_randomized_uniform,
                            tt_round_streaming_uniform)
         from ..ops.tt_kernels import tt_round_sweep_segmented
         from ..config import host
+        from ..ops.tt_kernels import SPEED_PRESETS
+        require(speed in SPEED_PRESETS,
+                f"speed must be one of {sorted(SPEED_PRESETS)}")
+        preset = SPEED_PRESETS[speed]
+        _precision = preset["precision"]
+        _gram_precision = preset["gram_precision"]
+        if speed != "exact":
+            require(method in ("randomized", "randomized_unrolled"),
+                    f"speed={speed!r} is a randomized-kernel preset "
+                    "(method='randomized'/'randomized_unrolled')")
+            require(isinstance(max_rank, (int, _np.integer)),
+                    f"speed={speed!r} needs a uniform int max_rank")
+            method = "randomized_unrolled"
         rank_vec = None
         if not isinstance(max_rank, (int, _np.integer)):
             rank_vec = [int(r) for r in max_rank]
@@ -701,7 +727,8 @@ class TTNetwork:
             from ..ops.tt_kernels import make_randomized_round_unrolled
             fn = make_randomized_round_unrolled(
                 tuple(tuple(c.shape) for c in cores), int(max_rank), 8,
-                str(jnp.asarray(cores[0]).dtype))
+                str(jnp.asarray(cores[0]).dtype),
+                precision=_precision, gram_precision=_gram_precision)
             out = fn(tuple(jnp.asarray(c) for c in cores))
             if eps > 0.0:
                 out = tt_round_sweep_segmented(list(out), int(max_rank),
