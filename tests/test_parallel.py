@@ -415,3 +415,72 @@ def test_adf_variant_mesh_device_loop(mesh):
     assert abs(r1 - r2) < 1e-9 * max(1.0, abs(r1))
     for a, b in zip(x1.components, x2.components):
         assert np.allclose(a.to_ndarray(), b.to_ndarray(), atol=1e-8)
+
+
+@pytest.mark.slow
+def test_tp_als_solve_converges_like_serial():
+    """FULL tp-sharded ALS solve to convergence (VERDICT r4 #3): the
+    multi-sweep class of bug (env staleness, canonicalization drift
+    across psum boundaries) is invisible to the one-half-sweep oracles.
+    d=10 Poisson, rank 8, f32: the converged relative residual of
+    parallel/tp_als.tp_als_solve over the 8-virtual-device mesh must
+    match the serial alternating half-sweep chain's (same start, same
+    sweep count).  Reference anchor: ALS convergence oracles,
+    unitTests/als.cxx:28-61."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from xerus_tpu.parallel.tp_als import tp_als_solve, _reverse_chain
+    from xerus_tpu.ops.tt_kernels import _als_half_sweep
+    from xerus_tpu.examples import laplace_operator
+
+    mesh1d = Mesh(np.array(jax.devices()[:8]), ("tp",))
+    dims = [2] * 10
+    A = laplace_operator(dims)
+    xe.set_seed(7)
+    x0 = TTTensor.random(dims, 8)
+    x0.canonicalize_left()          # core at 0 (the sweep kernels' contract)
+    b = TTTensor.ones(dims)
+
+    f32 = lambda t: [jnp.asarray(np.asarray(c.to_ndarray(), np.float32))
+                     for c in t.components]
+    x_cores, A_cores, b_cores = f32(x0), f32(A), f32(b)
+
+    def dense(cores):
+        out = np.asarray(cores[0], np.float64)
+        for c in cores[1:]:
+            out = np.einsum("...a,anb->...nb", out,
+                            np.asarray(c, np.float64))
+        return out.squeeze(axis=(0, -1))
+
+    A_dense = np.asarray(A.to_tensor().to_ndarray(),
+                         np.float64).reshape(2 ** 10, 2 ** 10)
+    b_dense = dense(b_cores).reshape(-1)
+
+    def rel_res(cores):
+        xd = dense(cores).reshape(-1)
+        return (np.linalg.norm(A_dense @ xd - b_dense)
+                / np.linalg.norm(b_dense))
+
+    r_start = rel_res(x_cores)
+    sweeps = 6
+    got = tp_als_solve(x_cores, A_cores, b_cores, mesh1d,
+                       num_half_sweeps=sweeps, cg_iters=200)
+    r_tp = rel_res(got)
+
+    xs, As, bs = tuple(x_cores), tuple(A_cores), tuple(b_cores)
+    reversed_state = False
+    for _ in range(sweeps):
+        xs = _als_half_sweep(xs, As, bs)
+        xs = tuple(_reverse_chain(xs))
+        As = tuple(_reverse_chain(As, operator=True))
+        bs = tuple(_reverse_chain(bs))
+        reversed_state = not reversed_state
+    if reversed_state:
+        xs = _reverse_chain(xs)
+    r_serial = rel_res(xs)
+
+    assert r_tp < 0.05 * r_start            # actually converged
+    # same ALS fixed point at matching residual (f32 CG vs f32 Cholesky
+    # local solves: small solver-floor slack)
+    assert r_tp < 1.25 * r_serial + 1e-5, (r_tp, r_serial)
+    assert r_serial < 1.25 * r_tp + 1e-5, (r_tp, r_serial)

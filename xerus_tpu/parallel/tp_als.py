@@ -225,3 +225,47 @@ def tp_als_half_sweep(x_cores: Sequence, A_cores: Sequence,
         rl, n, rr = np.asarray(x_cores[k]).shape
         res.append(jnp.asarray(out[k][:rl, :n, :rr]))
     return res
+
+
+def _reverse_chain(cores: Sequence, operator: bool = False) -> List:
+    """Read a TT chain backwards: reverse the site order and swap each
+    core's bond legs.  A LEFT-orthogonal core becomes RIGHT-orthogonal
+    under the transpose, so a chain left-orthogonalized up to its last
+    site maps to one canonicalized at (new) site 0 — exactly the
+    half-sweep kernels' input contract.  This is the serial DMRG driver's
+    stack-reversal trick (ops/dmrg_kernels.py) lifted to core lists."""
+    if operator:
+        return [jnp.transpose(jnp.asarray(c), (3, 1, 2, 0))
+                for c in reversed(list(cores))]
+    return [jnp.transpose(jnp.asarray(c), (2, 1, 0))
+            for c in reversed(list(cores))]
+
+
+def tp_als_solve(x_cores: Sequence, A_cores: Sequence, b_cores: Sequence,
+                 mesh: Mesh, axis: str = "tp", num_half_sweeps: int = 8,
+                 cg_iters: int = 64) -> List[jnp.ndarray]:
+    """FULL tensor-parallel SPD ALS solve of one system: alternating-
+    direction half-sweeps entirely through the sharded kernel, no
+    host-side recanonicalization between sweeps (direction alternation is
+    chain reversal, `_reverse_chain`).  x must enter canonicalized at
+    core 0.  Returns the solution cores in forward site order (core at
+    position 0 for even ``num_half_sweeps``, at d-1 for odd).
+
+    This is the multi-sweep convergence path the one-half-sweep oracle
+    tests cannot see (env staleness / canonicalization drift across psum
+    boundaries accumulates over sweeps); the serial convergence oracle is
+    tests/test_parallel.py::test_tp_als_solve_converges_like_serial.
+    Reference anchor: the ALS convergence oracles, unitTests/als.cxx:28-61."""
+    x = [jnp.asarray(c) for c in x_cores]
+    A = [jnp.asarray(c) for c in A_cores]
+    b = [jnp.asarray(c) for c in b_cores]
+    reversed_state = False
+    for _ in range(int(num_half_sweeps)):
+        x = tp_als_half_sweep(x, A, b, mesh, axis=axis, cg_iters=cg_iters)
+        x = _reverse_chain(x)
+        A = _reverse_chain(A, operator=True)
+        b = _reverse_chain(b)
+        reversed_state = not reversed_state
+    if reversed_state:
+        x = _reverse_chain(x)
+    return x
