@@ -91,7 +91,10 @@ def _dispatch_rtt():
     return _RTT_CACHE[0]
 
 
-def _time_looped(kernel, cores, iters, repeats: int = 3):
+_SPREADS = {}
+
+
+def _time_looped(kernel, cores, iters, repeats: int = 3, name: str = None):
     """Per-iteration seconds via the chained-loop method: iters chained
     executions inside one program; dispatch RTT subtracted.  Runs under
     the f32 kernel discipline (x64 off, matmul precision 'highest' —
@@ -100,7 +103,12 @@ def _time_looped(kernel, cores, iters, repeats: int = 3):
     Pick `iters` so the program wall is >= ~0.5 s: for a fast kernel a
     short chain leaves the measurement dominated by tunnel-RTT jitter
     (a 16x2 ms chain is 32 ms of work behind a ~150+-5 ms dispatch —
-    +-15% run-to-run spread was observed on the headline kernel)."""
+    +-15% run-to-run spread was observed on the headline kernel).
+
+    ``name`` records the max/min repeat-spread ratio into the JSON's
+    ``wall_spread_ratios`` field (VERDICT r4 #2: make variance visible so
+    a >1.1x vs_best_wall ratio can be triaged as jitter vs regression
+    without a re-run)."""
     import jax
     from xerus_tpu.ops.tt_kernels import make_timed_loop
     rtt = _dispatch_rtt()
@@ -112,11 +120,14 @@ def _time_looped(kernel, cores, iters, repeats: int = 3):
 
     v = run()  # compile + first run
     assert np.isfinite(v), "kernel produced non-finite values"
-    best = float("inf")
+    times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         run()
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    if name is not None:
+        _SPREADS[name] = round(max(times) / max(best, 1e-12), 3)
     return max(best - rtt, 1e-9) / iters
 
 
@@ -167,7 +178,8 @@ def main() -> None:
         return tuple(_round_sweep_segmented(list(cs), [TARGET] * (D - 1),
                                             0.0, "svd"))
 
-    tpu_time = _time_looped(det_kernel, dev_cores, ITERS)
+    tpu_time = _time_looped(det_kernel, dev_cores, ITERS,
+                            name="deterministic_segmented_time_s")
     flops = round_flops(shapes, TARGET)   # useful (unpadded) flops
     tflops = flops / tpu_time / 1e12
 
@@ -184,7 +196,8 @@ def main() -> None:
         return tuple(_round_sweep_segmented(list(cs), [TARGET] * (D - 1),
                                             0.0, "gemm_exact"))
 
-    ge_time = _time_looped(gemm_exact_kernel, dev_cores, ITERS)
+    ge_time = _time_looped(gemm_exact_kernel, dev_cores, ITERS,
+                           name="deterministic_gemm_exact_time_s")
     ge_tflops = flops / ge_time / 1e12
 
     # cliff-spectrum instance: a numerically-rank-96 TT carried at full
@@ -208,9 +221,11 @@ def main() -> None:
         dr = np.where(np.arange(rr) < SIGNAL_RANK, 1.0, 1e-6).astype(dtype)
         cliff_cores.append(c * dl[:, None, None] * dr[None, None, :])
     cliff_dev = tuple(jnp.asarray(c) for c in cliff_cores)
-    ge_decay_time = _time_looped(gemm_exact_kernel, cliff_dev, ITERS)
+    ge_decay_time = _time_looped(gemm_exact_kernel, cliff_dev, ITERS,
+                                 name="deterministic_gemm_exact_cliff_time_s")
     ge_decay_tflops = flops / ge_decay_time / 1e12
-    svd_decay_time = _time_looped(det_kernel, cliff_dev, ITERS)
+    svd_decay_time = _time_looped(det_kernel, cliff_dev, ITERS,
+                                  name="deterministic_svd_cliff_time_s")
     svd_decay_tflops = flops / svd_decay_time / 1e12
 
     # deterministic GEMM-only subspace truncation (no SVD/eigh in the
@@ -220,7 +235,8 @@ def main() -> None:
         return tuple(_round_sweep_segmented(list(cs), [TARGET] * (D - 1),
                                             0.0, "subspace"))
 
-    sub_time = _time_looped(sub_kernel, dev_cores, 64)
+    sub_time = _time_looped(sub_kernel, dev_cores, 64,
+                            name="deterministic_subspace_time_s")
     sub_tflops = flops / sub_time / 1e12
 
     # all-bonds-at-once GEMM-only deterministic rounding: gram_parallel's
@@ -232,7 +248,8 @@ def main() -> None:
     def subpar_kernel(inputs):
         return (_round_subspace_parallel(inputs[0], target_rank=TARGET),)
 
-    subpar_time = _time_looped(subpar_kernel, (stacked,), 128)
+    subpar_time = _time_looped(subpar_kernel, (stacked,), 128,
+                               name="deterministic_parallel_time_s")
     subpar_tflops = flops / subpar_time / 1e12
 
     def rnd_kernel(cs):
@@ -244,7 +261,8 @@ def main() -> None:
         # 2.81 ms
         return _round_randomized(cs, None, TARGET, 8, qr_method="cholqr1")
 
-    rnd_time = _time_looped(rnd_kernel, dev_cores, 256)
+    rnd_time = _time_looped(rnd_kernel, dev_cores, 256,
+                            name="randomized_round_time_s")
     rnd_tflops = randomized_round_flops(shapes, TARGET, 8) / rnd_time / 1e12
 
     # streaming two-sided-sketch (generalized Nyström) rounding: no
@@ -257,7 +275,8 @@ def main() -> None:
                                                   psi_oversample=64)
         return (first, mids, last)
 
-    stream_time = _time_looped(stream_kernel, (stacked,), 128)
+    stream_time = _time_looped(stream_kernel, (stacked,), 128,
+                               name="streaming_round_time_s")
 
     # CPU float64 LAPACK baseline (best of 3 — the single-core host
     # jitters by ~15% run to run, which used to leak into the headline)
@@ -295,7 +314,10 @@ def main() -> None:
     def als_kernel(cs):
         return _als_half_sweep(tuple(cs), tuple(A_cores), b_cores)
 
-    als_time = _time_looped(als_kernel, x_cores, 32)
+    # repeats=5: this row read 1.168x of best in BENCH_r04 — measure the
+    # spread so jitter and regression are distinguishable (VERDICT r4 #2)
+    als_time = _time_looped(als_kernel, x_cores, 32, repeats=5,
+                            name="als_halfsweep_d32_poisson_r30_time_s")
     # NOTE a batched-8 variant of this config was measured at 24.8 ms
     # per instance — WORSE than the 21.7 ms single-instance sweep: the
     # rank-30 local solves already saturate the MXU, so batching only
@@ -352,7 +374,9 @@ def main() -> None:
         out, e = dmrg_body(inputs[0], jnp.asarray(H_stack))
         return (out,)
 
-    dmrg_time = _time_looped(dmrg_kernel, (jnp.asarray(hx_stack),), 64)
+    dmrg_time = _time_looped(dmrg_kernel, (jnp.asarray(hx_stack),), 64,
+                             repeats=5,
+                             name="dmrg_lanczos_halfsweep_d32_r16_time_s")
 
     # ------------- workload 4: Ozaki split GEMM (f64-quality matmul) ----
     from xerus_tpu.ops.ozaki import ozaki_matmul
@@ -365,7 +389,8 @@ def main() -> None:
         ch, cl = ozaki_matmul(inputs[0], zo, Bo, zo)
         return (ch,)
 
-    oz_time = _time_looped(oz_kernel, (Ao,), 8192)
+    oz_time = _time_looped(oz_kernel, (Ao,), 8192, repeats=5,
+                           name="ozaki_f64quality_matmul_512_time_s")
     oz_tflops = 2.0 * NO ** 3 / oz_time / 1e12
 
     # ------------- rounding scaling rows (rank 512 / 1024) -------------
@@ -381,7 +406,8 @@ def main() -> None:
         def rnd_kernel_b(cs, tgt=tgt):
             return _round_randomized(cs, None, tgt, 8, qr_method="cholqr1")
 
-        t_b = _time_looped(rnd_kernel_b, dev_b, iters_b)
+        t_b = _time_looped(rnd_kernel_b, dev_b, iters_b,
+                           name=f"randomized_round_rank{big_rank}_time_s")
         scaling[f"randomized_round_rank{big_rank}_time_s"] = round(t_b, 6)
         scaling[f"randomized_round_rank{big_rank}_tflops"] = round(
             randomized_round_flops(shapes_b, tgt, 8) / t_b / 1e12, 3)
@@ -404,7 +430,8 @@ def main() -> None:
                                          precision=_bf["precision"],
                                          gram_precision=_bf["gram_precision"])
 
-            t_bf = _time_looped(rnd_kernel_bf16, dev_b, iters_b)
+            t_bf = _time_looped(rnd_kernel_bf16, dev_b, iters_b,
+                                name="randomized_round_rank1024_bf16_time_s")
             scaling["randomized_round_rank1024_bf16_time_s"] = round(t_bf, 6)
             scaling["randomized_round_rank1024_bf16_tflops"] = round(
                 randomized_round_flops(shapes_b, tgt, 8) / t_bf / 1e12, 3)
@@ -466,9 +493,147 @@ def main() -> None:
         "device": str(jax.devices()[0]),
     }
     result.update(scaling)
+    _e2e_poisson_row(result)
+    result["wall_spread_ratios"] = dict(_SPREADS)
     # current-vs-best wall ratios (>1 = regression vs best-known run)
     result["vs_best_wall_ratios"] = _update_history(result, hist)
     print(json.dumps(result))
+
+
+E2E_MARKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache", "e2e_poisson_marker.json")
+E2E_N1, E2E_N2 = 16, 2
+
+
+def _e2e_poisson_row(result: dict) -> None:
+    """BASELINE.json's north-star workload as a DRIVER-CAPTURED row
+    (VERDICT r4 #1): the FULL d=32 rank-30 QTT Poisson ALS solve — f32
+    while_loop half-sweeps to the f32 plateau + in-program df32 finish,
+    ONE XLA program / ONE dispatch (ops.mixed_precision.make_als_f32_df_run,
+    same staged fused mode as benchmarks/poisson_solve_e2e.py) — with the
+    solution residual verified on the host in f64.
+
+    Tunnel economics: warm (persistent .jax_cache) the whole solve is
+    ~0.7 s wall; cold it is a ~900 s tunnel compile.  A marker file
+    written after the first successful warm run gates the row: cold cache
+    + no XERUS_BENCH_E2E_COLD=1 → skip with reason rather than risk the
+    driver's budget.  XERUS_BENCH_E2E=0 skips unconditionally."""
+    if os.environ.get("XERUS_BENCH_E2E") == "0":
+        result["e2e_poisson_d32_skip_reason"] = "disabled via XERUS_BENCH_E2E=0"
+        return
+    warm = os.path.exists(E2E_MARKER)
+    if not warm and os.environ.get("XERUS_BENCH_E2E_COLD") != "1":
+        result["e2e_poisson_d32_skip_reason"] = (
+            "compile cache cold (no marker): first compile is ~900 s through "
+            "the tunnel; run once with XERUS_BENCH_E2E_COLD=1 to warm it")
+        return
+    try:
+        import jax
+        import jax.numpy as jnp
+        from xerus_tpu.ops.mixed_precision import make_als_f32_df_run
+        from xerus_tpu.ops.df32 import df_from_f64, df_to_f64
+
+        rng = np.random.Generator(np.random.PCG64(0xBAADF00D))
+        xs = []
+        for i in range(D):
+            rl = 1 if i == 0 else min(ALS_RANK, 2 ** i, 2 ** (D - i))
+            rr = 1 if i == D - 1 else min(ALS_RANK, 2 ** (i + 1),
+                                          2 ** (D - i - 1))
+            xs.append(rng.normal(size=(rl, 2, rr)) / np.sqrt(ALS_RANK))
+        for i in range(D - 1, 0, -1):      # right-canonicalize (core at 0)
+            rl, n, rr = xs[i].shape
+            q, r = np.linalg.qr(xs[i].reshape(rl, n * rr).T)
+            xs[i] = q.T.reshape(q.shape[1], n, rr)
+            xs[i - 1] = np.einsum("anb,bk->ank", xs[i - 1], r.T)
+        L = 2.0 * np.eye(2) - np.eye(2, k=1) - np.eye(2, k=-1)
+        I = np.eye(2)
+        A64 = []
+        for i in range(D):
+            core = np.zeros((1 if i == 0 else 2, 2, 2,
+                             1 if i == D - 1 else 2))
+            if i == 0:
+                core[0, :, :, 0] = L; core[0, :, :, 1] = I
+            elif i == D - 1:
+                core[0, :, :, 0] = I; core[1, :, :, 0] = L
+            else:
+                core[0, :, :, 0] = I; core[1, :, :, 0] = L
+                core[1, :, :, 1] = I
+            A64.append(core)
+        b64 = [np.ones((1, 2, 1)) for _ in range(D)]
+
+        x32 = tuple(jnp.asarray(c.astype(np.float32)) for c in xs)
+        A32 = tuple(jnp.asarray(c.astype(np.float32)) for c in A64)
+        b32 = tuple(jnp.asarray(c.astype(np.float32)) for c in b64)
+        A_df = tuple(df_from_f64(c) for c in A64)
+        b_df = tuple(df_from_f64(c) for c in b64)
+        jax.block_until_ready(x32)
+
+        shapes_key = tuple(tuple(c.shape) for c in x32)
+        run = make_als_f32_df_run(shapes_key, "float32", E2E_N1, E2E_N2)
+        t0 = time.perf_counter()
+        c2, hist_arr, cnt = run(x32, A32, b32, A_df, b_df)
+        int(cnt)
+        t_first = time.perf_counter() - t0
+        # measured solve: warm program, fresh start; the int(cnt) fetch is
+        # the ONLY sync — the wall includes the dispatch RTT (it is part
+        # of the task: one dispatch per solve)
+        t0 = time.perf_counter()
+        c2, hist_arr, cnt = run(x32, A32, b32, A_df, b_df)
+        cnt = int(cnt)
+        t_solve = time.perf_counter() - t0
+        sol = [df_to_f64(np.asarray(h), np.asarray(l)) for (h, l) in c2]
+        res_f64 = _host_poisson_residual(sol, A64, b64)
+        result["e2e_poisson_d32_solve_wall_s"] = round(t_solve, 4)
+        result["e2e_poisson_d32_first_run_s"] = round(t_first, 2)
+        result["e2e_poisson_d32_residual_f64"] = f"{res_f64:.3e}"
+        result["e2e_poisson_d32_f32_halfsweeps"] = cnt
+        result["e2e_poisson_d32_df_halfsweeps"] = E2E_N2
+        # CPU f64 reference for the SAME instance: 298 s object-level ALS
+        # (doc/performance.md, measured round 1)
+        result["e2e_poisson_d32_vs_cpu_f64"] = round(298.0 / t_solve, 1)
+        try:
+            with open(E2E_MARKER, "w") as fh:
+                json.dump({"shapes": str(shapes_key), "n1": E2E_N1,
+                           "n2": E2E_N2}, fh)
+        except Exception:
+            pass
+    except Exception as e:          # never take the whole bench down
+        result["e2e_poisson_d32_skip_reason"] = f"failed: {type(e).__name__}: {e}"
+
+
+def _host_poisson_residual(sol, A64, b64) -> float:
+    """Host-f64 relative residual ||Ax-b||/||b|| of a TT solution via the
+    z = [Ax, -b] stacked-TT log-norm (overflow-safe QR env sweep)."""
+    z = []
+    d = len(sol)
+    for k in range(d):
+        ax = np.einsum("amnb,unU->aumbU", A64[k], sol[k]).reshape(
+            A64[k].shape[0] * sol[k].shape[0], 2, -1)
+        bc = b64[k]
+        if k == 0:
+            z.append(np.concatenate([ax, -bc], axis=2))
+        elif k == d - 1:
+            z.append(np.concatenate([ax, bc], axis=0))
+        else:
+            al, m, ar = ax.shape
+            bl, _, br = bc.shape
+            top = np.concatenate([ax, np.zeros((al, m, br))], axis=2)
+            bot = np.concatenate([np.zeros((bl, m, ar)), bc], axis=2)
+            z.append(np.concatenate([top, bot], axis=0))
+
+    def log_norm(cores):
+        R = np.ones((1, 1))
+        logs = 0.0
+        for c in cores[:-1]:
+            cur = np.einsum("ka,anb->knb", R, c).reshape(-1, c.shape[2])
+            _, R = np.linalg.qr(cur)
+            nrm = np.linalg.norm(R)
+            logs += np.log(max(nrm, 1e-300))
+            R = R / nrm
+        last = np.einsum("ka,anb->knb", R, cores[-1])
+        return logs + np.log(max(np.linalg.norm(last), 1e-300))
+
+    return float(np.exp(log_norm(z) - log_norm(b64)))
 
 
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
