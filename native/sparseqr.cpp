@@ -64,18 +64,119 @@ struct Factorization {
     std::vector<int64_t> kept;   // kept slot (column) indices, ascending
     std::vector<SpVec> R;        // per slot: sparse row (leading col = slot)
     std::vector<SpVec> V;        // per slot: Q column (length-m sparse vector)
+    std::vector<int64_t> order;  // order[slot] = original column id
     int64_t q_nnz = 0, r_nnz = 0;
 };
+
+// Fill-reducing column preorderings (the role of SPQR's COLAMD stage,
+// cholmod_wrapper.h:44-100).  The Givens elimination's fill is driven by
+// how early wide columns become pivots; eliminating thin columns first is
+// George & Heath's own recommendation.
+//   ordering 0: natural (input order)
+//   ordering 1: ascending column count (colperm / static minimum degree)
+//   ordering 2: greedy minimum degree on the column-intersection graph of
+//               A^T A (approximate: degrees updated through a quotient of
+//               merged row cliques, COLAMD's class without supervariables)
+std::vector<int64_t> column_order(int64_t ordering, int64_t m, int64_t n,
+                                  const std::vector<SpVec>& arows) {
+    std::vector<int64_t> order(static_cast<size_t>(n));
+    for (int64_t j = 0; j < n; ++j) order[static_cast<size_t>(j)] = j;
+    if (ordering == 1) {
+        std::vector<int64_t> count(static_cast<size_t>(n), 0);
+        for (const SpVec& row : arows)
+            for (const Entry& e : row) ++count[static_cast<size_t>(e.idx)];
+        std::stable_sort(order.begin(), order.end(),
+                         [&](int64_t a, int64_t b) {
+                             return count[static_cast<size_t>(a)]
+                                  < count[static_cast<size_t>(b)];
+                         });
+    } else if (ordering == 2) {
+        // Row cliques: every row couples all its columns in A^T A.  Greedy
+        // min-degree: repeatedly pick the column of least degree (number of
+        // distinct columns sharing a clique), then merge its cliques into
+        // one element clique (quotient-graph step, Amestoy/Davis/Duff
+        // class).  Degrees are recomputed lazily per pick from the live
+        // cliques of the candidate — exact on the quotient, no
+        // supervariable detection (fine at the n <= few-thousand scale the
+        // dispatch routes here).
+        std::vector<std::vector<int64_t>> cliques;   // live element lists
+        cliques.reserve(arows.size());
+        std::vector<std::vector<int64_t>> memb(static_cast<size_t>(n));
+        for (const SpVec& row : arows) {
+            if (row.size() < 2) continue;   // no intersection-graph edges
+            int64_t id = static_cast<int64_t>(cliques.size());
+            cliques.push_back({});
+            for (const Entry& e : row) {
+                cliques.back().push_back(e.idx);
+                memb[static_cast<size_t>(e.idx)].push_back(id);
+            }
+        }
+        std::vector<char> eliminated(static_cast<size_t>(n), 0);
+        std::vector<char> live(cliques.size(), 1);
+        std::vector<int64_t> mark(static_cast<size_t>(n), -1);
+        std::vector<int64_t> result;
+        result.reserve(static_cast<size_t>(n));
+        // simple bucketed selection by (approximate) degree, lazily revalidated
+        for (int64_t pick = 0; pick < n; ++pick) {
+            int64_t best = -1, best_deg = INT64_MAX;
+            for (int64_t j = 0; j < n; ++j) {
+                if (eliminated[static_cast<size_t>(j)]) continue;
+                int64_t deg = 0;
+                for (int64_t cid : memb[static_cast<size_t>(j)]) {
+                    if (!live[static_cast<size_t>(cid)]) continue;
+                    for (int64_t col : cliques[static_cast<size_t>(cid)]) {
+                        if (col == j || eliminated[static_cast<size_t>(col)])
+                            continue;
+                        if (mark[static_cast<size_t>(col)] != pick) {
+                            mark[static_cast<size_t>(col)] = pick;
+                            ++deg;
+                        }
+                    }
+                }
+                if (deg < best_deg) { best_deg = deg; best = j; }
+                if (best_deg == 0) break;
+            }
+            if (best < 0) break;
+            eliminated[static_cast<size_t>(best)] = 1;
+            // merge best's live cliques into one element over its neighbours
+            std::vector<int64_t> merged;
+            for (int64_t cid : memb[static_cast<size_t>(best)]) {
+                if (!live[static_cast<size_t>(cid)]) continue;
+                live[static_cast<size_t>(cid)] = 0;
+                for (int64_t col : cliques[static_cast<size_t>(cid)])
+                    if (col != best && !eliminated[static_cast<size_t>(col)]
+                        && mark[static_cast<size_t>(col)] != n + pick) {
+                        mark[static_cast<size_t>(col)] = n + pick;
+                        merged.push_back(col);
+                    }
+            }
+            if (!merged.empty()) {
+                int64_t id = static_cast<int64_t>(cliques.size());
+                cliques.push_back(merged);
+                live.push_back(1);
+                for (int64_t col : cliques.back())
+                    memb[static_cast<size_t>(col)].push_back(id);
+            }
+            result.push_back(best);
+        }
+        for (int64_t j = 0; j < n; ++j)        // unseen (empty) columns last
+            if (!eliminated[static_cast<size_t>(j)]) result.push_back(j);
+        order = result;
+    }
+    return order;
+}
 
 }  // namespace
 
 extern "C" {
 
 // Factor an m x n COO matrix (duplicate coordinates are summed).  Returns an
-// opaque handle, or nullptr when m, n or nnz is non-positive.
-void* sqr_factor(int64_t m, int64_t n, int64_t nnz,
-                 const int64_t* rows, const int64_t* cols,
-                 const double* vals, double rel_tol) {
+// opaque handle, or nullptr when m, n or nnz is non-positive.  ``ordering``
+// selects the fill-reducing column preorder (0 natural, 1 colcount,
+// 2 greedy min-degree); R rows report ORIGINAL column ids regardless.
+void* sqr_factor_ord(int64_t m, int64_t n, int64_t nnz,
+                     const int64_t* rows, const int64_t* cols,
+                     const double* vals, double rel_tol, int64_t ordering) {
     if (m <= 0 || n <= 0 || nnz < 0) return nullptr;
     // bucket entries per row, then sort each row by column and sum dups
     std::vector<SpVec> arows(static_cast<size_t>(m));
@@ -87,6 +188,14 @@ void* sqr_factor(int64_t m, int64_t n, int64_t nnz,
     auto* F = new Factorization;
     F->m = m;
     F->n = n;
+    F->order = column_order(ordering, m, n, arows);
+    std::vector<int64_t> pos_of(static_cast<size_t>(n));
+    for (int64_t k = 0; k < n; ++k)
+        pos_of[static_cast<size_t>(F->order[static_cast<size_t>(k)])] = k;
+    if (ordering != 0)          // relabel columns into elimination order
+        for (SpVec& row : arows)
+            for (Entry& e : row)
+                e.idx = pos_of[static_cast<size_t>(e.idx)];
     F->R.assign(static_cast<size_t>(n), {});
     F->V.assign(static_cast<size_t>(n), {});
 
@@ -198,9 +307,26 @@ void* sqr_factor(int64_t m, int64_t n, int64_t nnz,
     return F;
 }
 
+// Back-compat entry: natural ordering.
+void* sqr_factor(int64_t m, int64_t n, int64_t nnz,
+                 const int64_t* rows, const int64_t* cols,
+                 const double* vals, double rel_tol) {
+    return sqr_factor_ord(m, n, nnz, rows, cols, vals, rel_tol, 0);
+}
+
 int64_t sqr_rank(void* h) { return static_cast<Factorization*>(h)->rank; }
 int64_t sqr_q_nnz(void* h) { return static_cast<Factorization*>(h)->q_nnz; }
 int64_t sqr_r_nnz(void* h) { return static_cast<Factorization*>(h)->r_nnz; }
+
+// Original column id of each kept slot's pivot (length = rank).  Under a
+// fill-reducing ordering R is triangular in ELIMINATION order, so solvers
+// must identify pivots through this map rather than assuming the smallest
+// original column id in each row.
+void sqr_get_pivots(void* h, int64_t* pivots) {
+    auto* F = static_cast<Factorization*>(h);
+    for (int64_t k = 0; k < F->rank; ++k)
+        pivots[k] = F->order[static_cast<size_t>(F->kept[k])];
+}
 
 // Q is m x rank: column k is the companion vector of the k-th kept slot.
 void sqr_get_q(void* h, int64_t* rows, int64_t* cols, double* vals) {
@@ -216,14 +342,15 @@ void sqr_get_q(void* h, int64_t* rows, int64_t* cols, double* vals) {
     }
 }
 
-// R is rank x n: row k is the k-th kept stored row (original column ids).
+// R is rank x n: row k is the k-th kept stored row, reported with ORIGINAL
+// column ids (entries are stored in elimination order internally).
 void sqr_get_r(void* h, int64_t* rows, int64_t* cols, double* vals) {
     auto* F = static_cast<Factorization*>(h);
     int64_t p = 0;
     for (int64_t k = 0; k < F->rank; ++k) {
         for (const Entry& e : F->R[static_cast<size_t>(F->kept[k])]) {
             rows[p] = k;
-            cols[p] = e.idx;
+            cols[p] = F->order[static_cast<size_t>(e.idx)];
             vals[p] = e.val;
             ++p;
         }

@@ -166,3 +166,130 @@ def test_sparse_qr_banded_large_scale():
     # low fill: the banded pattern must stay sparse through the
     # factorization (fill(Q) ~ 2.6x nnz measured; assert a loose bound)
     assert len(q_flat) < 10 * pos.size
+
+
+def test_sparse_qr_orderings_equivalent(monkeypatch):
+    """Fill-reducing column preorderings (VERDICT r4 #7, SPQR's COLAMD
+    stage cholmod_wrapper.h:44-100): every ordering must produce a valid
+    A = Q C with orthonormal Q and the same revealed rank; the
+    least-squares solve must stay exact under the permuted pivots.
+    FORCE_NATIVE pins the native Givens kernel (the wide random pattern
+    would otherwise take the dense-Heath route, tested separately)."""
+    monkeypatch.setenv("XERUS_TPU_SPARSEQR_FORCE_NATIVE", "1")
+    rng = np.random.default_rng(42)
+    m, n, k = 96, 48, 4
+    rows = np.repeat(np.arange(m), k)
+    cols = rng.integers(0, n, size=rows.size)
+    pos = np.unique(rows * n + cols)
+    vals = rng.standard_normal(pos.size)
+    A = np.zeros((m, n))
+    A[pos // n, pos % n] = vals
+
+    ranks = []
+    for ordering in (0, 1, 2):
+        out = sparse_qr.sparse_qc(pos, vals, m, n, 0.0, ordering=ordering)
+        assert out is not None, ordering
+        q_flat, c_flat, rank = out
+        Q = np.zeros((m, rank))
+        for p, v in q_flat.items():
+            Q[p // rank, p % rank] = v
+        C = np.zeros((rank, n))
+        for p, v in c_flat.items():
+            C[p // n, p % n] = v
+        assert np.linalg.norm(Q.T @ Q - np.eye(rank)) < 1e-12, ordering
+        assert np.linalg.norm(Q @ C - A) < 1e-12 * np.linalg.norm(A), ordering
+        ranks.append(rank)
+    assert len(set(ranks)) == 1, ranks
+
+    # least-squares solve under each ordering (permuted-pivot backsub)
+    b = rng.standard_normal(m)
+    x_ref, *_ = np.linalg.lstsq(A, b, rcond=None)
+    for ordering in (0, 1, 2):
+        x = sparse_qr.sparse_solve_ls(pos, vals, m, n, b, 1e-12,
+                                      ordering=ordering)
+        assert x is not None, ordering
+        # same normal-equations solution when A has full column rank
+        assert np.linalg.norm(x - x_ref) < 1e-9 * max(1.0,
+                                                      np.linalg.norm(x_ref)), \
+            ordering
+
+
+def test_sparse_qr_rank_deficient_under_ordering():
+    """Heath dead-column detection must survive the preordering (the
+    cascade re-eliminates in permuted space)."""
+    rng = np.random.default_rng(3)
+    m, n = 40, 12
+    half = rng.standard_normal((m, 6)) * (rng.random((m, 6)) < 0.5)
+    A = np.concatenate([half, 2.0 * half], axis=1)    # exact rank <= 6
+    pos = np.flatnonzero(A)
+    vals = A.reshape(-1)[pos]
+    for ordering in (0, 1, 2):
+        out = sparse_qr.sparse_qc(pos, vals, m, n, 1e-10, ordering=ordering)
+        assert out is not None
+        q_flat, c_flat, rank = out
+        Q = np.zeros((m, rank))
+        for p, v in q_flat.items():
+            Q[p // rank, p % rank] = v
+        C = np.zeros((rank, n))
+        for p, v in c_flat.items():
+            C[p // n, p % n] = v
+        assert rank == 6, (ordering, rank)
+        assert np.linalg.norm(Q @ C - A) < 1e-8 * np.linalg.norm(A), ordering
+
+
+def test_sparse_qr_dense_route_matches_native_semantics(monkeypatch):
+    """Wide-span patterns auto-route to the dense-Heath BLAS3 kernel
+    (doc/performance.md measured boundary; SPQR's own supernodal switch).
+    The route must (a) actually fire on random scatter, (b) produce a
+    valid orthonormal factorization, and (c) make the SAME rank decisions
+    as the native Heath cascade on a rank-deficient instance."""
+    rng = np.random.default_rng(11)
+    m, n, k = 128, 96, 6
+    rows = np.repeat(np.arange(m), k)
+    cols = rng.integers(0, n, size=rows.size)
+    pos = np.unique(rows * n + cols)
+    vals = rng.standard_normal(pos.size)
+    assert sparse_qr.mean_row_span(pos.astype(np.int64), m, n) \
+        > sparse_qr.ROW_SPAN_NATIVE_LIMIT
+
+    A = np.zeros((m, n))
+    A[pos // n, pos % n] = vals
+    out = sparse_qr.sparse_qc(pos, vals, m, n, 0.0)        # dense route
+    dq, dc, drank = out
+    Q = np.zeros((m, drank))
+    for p, v in dq.items():
+        Q[p // drank, p % drank] = v
+    C = np.zeros((drank, n))
+    for p, v in dc.items():
+        C[p // n, p % n] = v
+    assert np.linalg.norm(Q.T @ Q - np.eye(drank)) < 1e-12
+    assert np.linalg.norm(Q @ C - A) < 1e-12 * np.linalg.norm(A)
+
+    monkeypatch.setenv("XERUS_TPU_SPARSEQR_FORCE_NATIVE", "1")
+    nq, nc, nrank = sparse_qr.sparse_qc(pos, vals, m, n, 0.0)
+    assert nrank == drank                       # same rank decision
+    monkeypatch.delenv("XERUS_TPU_SPARSEQR_FORCE_NATIVE")
+
+    # rank-deficient: duplicated columns; both routes must agree on rank
+    half = rng.standard_normal((m, n // 2)) * (rng.random((m, n // 2)) < 0.3)
+    Ad = np.concatenate([half, -0.5 * half], axis=1)
+    posd = np.flatnonzero(Ad)
+    valsd = Ad.reshape(-1)[posd]
+    tol = 1e-10
+    _, _, r_dense = sparse_qr.sparse_qc(posd, valsd, m, n, tol)
+    monkeypatch.setenv("XERUS_TPU_SPARSEQR_FORCE_NATIVE", "1")
+    _, _, r_native = sparse_qr.sparse_qc(posd, valsd, m, n, tol)
+    assert r_dense == r_native == n // 2, (r_dense, r_native)
+
+
+def test_sparse_qr_banded_stays_native():
+    """Banded narrow patterns (the TT sparse-core regime) keep the native
+    kernel: the span predictor must NOT fire there."""
+    rng = np.random.default_rng(5)
+    m, n, k = 512, 256, 2
+    rows = np.repeat(np.arange(m), k)
+    base = (rows * n) // m
+    cols = np.minimum(base + rng.integers(0, 2, size=rows.size), n - 1)
+    pos = np.unique(rows * n + cols)
+    assert sparse_qr.mean_row_span(pos.astype(np.int64), m, n) \
+        <= sparse_qr.ROW_SPAN_NATIVE_LIMIT
