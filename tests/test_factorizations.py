@@ -195,8 +195,8 @@ def test_svd_gesdd_nonconvergence_fallback(monkeypatch):
     letting the QC rank rule read a nan spectrum as 'rank 1' (round-4
     field failure: a host()-scoped DMRG residual readout nan'd and
     silently truncated a 96x48 unfolding to rank 1).  Simulate the gesdd
-    failure; the real failing matrix reproduces it end-to-end when
-    tests/data/gesdd_failure_96x48.npy exists."""
+    failure; the real failing matrices reproduce it end-to-end in
+    test_gesdd_failure_fixtures."""
     import jax.numpy as jnp
 
     def fake_gesdd(a):
@@ -222,19 +222,32 @@ def test_revealed_rank_rejects_nan_spectrum():
         fact._revealed_rank(np.array([np.nan, 1.0, 0.5]))
 
 
-def test_gesdd_failure_fixture_if_present():
-    """End-to-end regression on the REAL matrix that made gesdd fail
-    (captured from the round-4 TPU session's DMRG residual readout)."""
+def test_gesdd_failure_fixtures():
+    """End-to-end regression on REAL matrices that made XLA's CPU gesdd
+    return nan silently (captured from TPU-session DMRG residual readouts
+    via XERUS_TPU_CAPTURE_GESDD_DIR; tests/data/gesdd_failure_*.npy).
+    Each fixture must (a) actually reproduce the gesdd nan, (b) come out
+    finite and exactly reconstructed through the object-layer CQ — the
+    silent rank-1 collapse was the round-4 field failure."""
+    import glob
     import os
-    path = os.path.join(os.path.dirname(__file__), "data",
-                        "gesdd_failure_96x48.npy")
-    if not os.path.exists(path):
-        pytest.skip("fixture not captured in this checkout")
-    m = np.load(path)
-    T = Tensor.from_ndarray(m)
-    C, Q = fact.calculate_cq(T, 1)
-    assert np.isfinite(C.to_ndarray()).all()
-    assert np.isfinite(Q.to_ndarray()).all()
-    rec = np.tensordot(C.to_ndarray(), Q.to_ndarray(), axes=([1], [0]))
-    assert np.allclose(rec, m, atol=1e-10 * max(1.0, np.abs(m).max()))
-    assert C.dimensions[-1] > 1   # the silent rank-1 collapse is the bug
+    paths = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "data",
+                                          "gesdd_failure_*.npy")))
+    if not paths:
+        pytest.skip("no captured fixtures in this checkout")
+    for path in paths:
+        m = np.load(path)
+        # (a) the fixture still triggers the raw gesdd failure — if a
+        # LAPACK upgrade fixes it this assert tells us the fixture went
+        # stale rather than silently testing nothing
+        _, s_raw, _ = fact._svd_jit(m)
+        assert np.isnan(np.asarray(s_raw)).any(), \
+            f"{os.path.basename(path)} no longer reproduces the gesdd bug"
+        # (b) the object layer heals it
+        T = Tensor.from_ndarray(m)
+        C, Q = fact.calculate_cq(T, 1)
+        assert np.isfinite(C.to_ndarray()).all()
+        assert np.isfinite(Q.to_ndarray()).all()
+        rec = np.tensordot(C.to_ndarray(), Q.to_ndarray(), axes=([1], [0]))
+        assert np.allclose(rec, m, atol=1e-10 * max(1.0, np.abs(m).max()))
+        assert C.dimensions[-1] > 1   # the silent rank-1 collapse is the bug

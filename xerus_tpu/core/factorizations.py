@@ -73,9 +73,9 @@ def _svd_robust(a):
     XLA's CPU SVD custom-call wraps gesdd and returns nan silently when
     the divide-and-conquer iteration fails (no info flag surfaces through
     jnp.linalg.svd).  Observed in round 4 on a REAL object-layer matrix —
-    a 96x48 f64 DMRG-residual unfolding (regression fixture
-    tests/data/gesdd_failure_96x48.npy when captured; set
-    XERUS_TPU_CAPTURE_GESDD_DIR to re-capture) — where the QC rank rule read
+    a 96x48 f64 DMRG-residual unfolding (committed regression fixtures
+    tests/data/gesdd_failure_*.npy, captured via
+    XERUS_TPU_CAPTURE_GESDD_DIR) — where the QC rank rule read
     nan singular values as 'rank 1' and silently truncated the tensor.
     On nan output, retry with scipy's gesvd driver (plain QR-iteration
     bidiagonal SVD, the slower-but-robust classic), matching the
