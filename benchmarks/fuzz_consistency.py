@@ -628,6 +628,14 @@ def main():
     base = int(sys.argv[2]) if len(sys.argv) > 2 else 0xF022
     bad = 0
     for t in range(n):
+        if t and t % 50 == 0:
+            # Long campaigns leak jitted programs (~200 MB/min: randomized
+            # trial shapes defeat the lru caches) until LLVM JIT dies with
+            # 'Cannot allocate memory' around trial ~190 (round-5 session).
+            # Dropping the compilation caches bounds the process.
+            import jax
+            jax.clear_caches()
+            print(f"  ... {t}/{n} ({bad} bad), caches cleared", flush=True)
         seed = base + t
         for fn in tiers:
             try:
