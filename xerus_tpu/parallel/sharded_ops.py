@@ -87,15 +87,33 @@ def _als_local_solve(x_cores: List[jnp.ndarray], A_cores: List[jnp.ndarray],
     return sol.reshape(bloc.shape)
 
 
+def _tp_sharding(mesh: Mesh, shape: Tuple[int, ...], prefer=()):
+    """NamedSharding that puts ``tp`` on the first axis (trying ``prefer``
+    order, then all axes) whose size divides by the tp extent; replicated
+    when none does.  Small TT cores routinely have axes (ranks, phys dims)
+    smaller than the mesh axis — an unconditional spec then fails
+    device_put with a divisibility error (found at 16 virtual devices:
+    tp=4 over a phys dim of 2)."""
+    tp = mesh.shape["tp"]
+    for ax in list(prefer) + list(range(len(shape))):
+        if shape[ax] % tp == 0:
+            spec = [None] * len(shape)
+            spec[ax] = "tp"
+            return NamedSharding(mesh, P(*spec))
+    return replicated(mesh)
+
+
 def sharded_als_local_solve(x_cores, A_cores, b_cores, mesh: Mesh):
     rep = replicated(mesh)
     x_dev = [jax.device_put(jnp.asarray(c), rep) for c in x_cores]
-    # shard operator cores over their left-rank axis (tp): the env einsum
-    # partial-sums over it, GSPMD inserts the all-reduce
+    # shard operator cores over a divisible axis (phys preferred, then
+    # ranks): the env einsum partial-sums over every A axis, so GSPMD
+    # inserts the all-reduce wherever tp lands
     A_dev = []
     for c in A_cores:
+        c = jnp.asarray(c)
         A_dev.append(jax.device_put(
-            jnp.asarray(c), NamedSharding(mesh, P(None, None, "tp", None))))
+            c, _tp_sharding(mesh, c.shape, prefer=(2, 1, 0, 3))))
     b_dev = [jax.device_put(jnp.asarray(c), rep) for c in b_cores]
     fn = jax.jit(_als_local_solve, out_shardings=rep)
     return fn(x_dev, A_dev, b_dev)
@@ -113,9 +131,12 @@ def _tt_inner(a_cores: List[jnp.ndarray], b_cores: List[jnp.ndarray]):
 
 
 def sharded_tt_inner(a_cores, b_cores, mesh: Mesh):
-    phys = NamedSharding(mesh, P(None, "tp", None))
-    a_dev = [jax.device_put(jnp.asarray(c), phys) for c in a_cores]
-    b_dev = [jax.device_put(jnp.asarray(c), phys) for c in b_cores]
+    a_dev = [jax.device_put(jnp.asarray(c),
+                            _tp_sharding(mesh, jnp.shape(c), prefer=(1,)))
+             for c in a_cores]
+    b_dev = [jax.device_put(jnp.asarray(c),
+                            _tp_sharding(mesh, jnp.shape(c), prefer=(1,)))
+             for c in b_cores]
     fn = jax.jit(_tt_inner, out_shardings=replicated(mesh))
     return fn(a_dev, b_dev)
 
