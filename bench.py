@@ -494,6 +494,7 @@ def main() -> None:
     }
     result.update(scaling)
     _e2e_poisson_row(result)
+    _e2e_dmrg_row(result)
     result["wall_spread_ratios"] = dict(_SPREADS)
     # current-vs-best wall ratios (>1 = regression vs best-known run)
     result["vs_best_wall_ratios"] = _update_history(result, hist)
@@ -599,6 +600,65 @@ def _e2e_poisson_row(result: dict) -> None:
             pass
     except Exception as e:          # never take the whole bench down
         result["e2e_poisson_d32_skip_reason"] = f"failed: {type(e).__name__}: {e}"
+
+
+E2E_DMRG_MARKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache", "e2e_dmrg_marker.json")
+
+
+def _e2e_dmrg_row(result: dict) -> None:
+    """Second driver-captured END-TO-END workload: the d=32 Heisenberg
+    two-site DMRG ground state through the PUBLIC object API
+    (xe.smallest_eigenvalue, matrix-free Lanczos local solves) — workload
+    4 of BASELINE.json's config list, the largest measured speedup of the
+    round-5 matched pair (WORKLOADS.md: 0.434 s vs 36.6 s CPU f64 at
+    5-decimal energy agreement).
+
+    Runs as a SUBPROCESS of the committed workload driver
+    (benchmarks/all_workloads.py --tpu --only 4) rather than in-process:
+    bench's XERUS_TPU_NO_X64=1 disables x64 globally, which silently
+    degrades the object-layer instance construction (f32 canonicalization
+    of a norm-1e13 random start) and the host residual readout — the
+    CLAUDE.md measurement pitfall, observed here as a fake 3e-1 residual
+    and a worse converged energy.  The subprocess keeps the workload
+    driver's f64 object layer + f32 kernel discipline.  Marker-gated like
+    the Poisson row: cold kernel compiles are minutes through the
+    tunnel."""
+    if os.environ.get("XERUS_BENCH_E2E") == "0":
+        result["e2e_dmrg_d32_skip_reason"] = "disabled via XERUS_BENCH_E2E=0"
+        return
+    warm = os.path.exists(E2E_DMRG_MARKER)
+    if not warm and os.environ.get("XERUS_BENCH_E2E_COLD") != "1":
+        result["e2e_dmrg_d32_skip_reason"] = (
+            "compile cache cold (no marker): run once with "
+            "XERUS_BENCH_E2E_COLD=1 to warm it")
+        return
+    try:
+        import subprocess
+        env = {k: v for k, v in os.environ.items() if k != "XERUS_TPU_NO_X64"}
+        r = subprocess.run(
+            [sys.executable, "-u",
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "all_workloads.py"),
+             "--tpu", "--only", "4"],
+            capture_output=True, text=True, timeout=1500, env=env)
+        line = next(l for l in r.stdout.splitlines()
+                    if l.startswith("{") and "dmrg_heisenberg" in l)
+        d = json.loads(line)
+        result["e2e_dmrg_d32_solve_wall_s"] = d["seconds"]
+        result["e2e_dmrg_d32_warm_s"] = d["warm_s"]
+        result["e2e_dmrg_d32_ground_energy"] = d["ground_energy"]
+        result["e2e_dmrg_d32_eig_residual"] = d["eig_residual"]
+        # CPU f64 reference for the SAME seeded instance: 36.646 s
+        # (WORKLOADS.md round-5 matched pair)
+        result["e2e_dmrg_d32_vs_cpu_f64"] = round(36.646 / d["seconds"], 1)
+        try:
+            with open(E2E_DMRG_MARKER, "w") as fh:
+                json.dump({"d": D, "max_rank": 16, "sweeps": 6}, fh)
+        except Exception:
+            pass
+    except Exception as e:
+        result["e2e_dmrg_d32_skip_reason"] = f"failed: {type(e).__name__}: {e}"
 
 
 def _host_poisson_residual(sol, A64, b64) -> float:
