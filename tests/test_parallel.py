@@ -499,3 +499,40 @@ def test_dryrun_multichip_16_devices_subprocess():
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     m.dryrun_multichip(16)       # subprocess path (live backend has 8)
+
+
+def test_tp_als_solve_odd_halfsweeps_orientation():
+    """Odd num_half_sweeps ends mid-reversal; the final un-reversal must
+    restore forward site order and original core shapes, and the residual
+    must still improve (the reversal bookkeeping is the failure mode)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from xerus_tpu.parallel.tp_als import tp_als_solve
+    from xerus_tpu.examples import laplace_operator
+
+    mesh1d = Mesh(np.array(jax.devices()[:8]), ("tp",))
+    dims = [2] * 6
+    A = laplace_operator(dims)
+    xe.set_seed(11)
+    x0 = TTTensor.random(dims, 3)
+    x0.canonicalize_left()
+    b = TTTensor.ones(dims)
+    f32 = lambda t: [jnp.asarray(np.asarray(c.to_ndarray(), np.float32))
+                     for c in t.components]
+    xc, Ac, bc = f32(x0), f32(A), f32(b)
+
+    out = tp_als_solve(xc, Ac, bc, mesh1d, num_half_sweeps=3, cg_iters=128)
+    assert [tuple(np.asarray(c).shape) for c in out] \
+        == [tuple(np.asarray(c).shape) for c in xc]
+
+    def dense(cores):
+        r = np.asarray(cores[0], np.float64)
+        for c in cores[1:]:
+            r = np.einsum("...a,anb->...nb", r, np.asarray(c, np.float64))
+        return r.reshape(-1)
+
+    Ad = np.asarray(A.to_tensor().to_ndarray(), np.float64).reshape(64, 64)
+    bd = dense(bc)
+    res0 = np.linalg.norm(Ad @ dense(xc) - bd) / np.linalg.norm(bd)
+    res = np.linalg.norm(Ad @ dense(out) - bd) / np.linalg.norm(bd)
+    assert res < 0.2 * res0, (res, res0)
